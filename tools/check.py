@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [only_query...]
+
+Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB against the
+parquet tables in <sfDir>, and compares to the Spark result parquet at
+<verifyOutDir>/<name>/*.parquet.  Mimics the driver: columns sorted by
+name, values compared row-by-row (after normalizing dtypes).
+"""
+import sys, os, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            # compare at µs granularity (Spark writes µs)
+            s = pd.to_datetime(s).dt.floor("us")
+        elif pd.api.types.is_float_dtype(s):
+            s = s.round(6)
+        elif pd.api.types.is_integer_dtype(s):
+            s = s.astype("Int64")
+        elif s.dtype == object:
+            s = s.apply(lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
+                        else (tuple(v) if isinstance(v, list) else v))
+        out[c] = s
+    return pd.DataFrame(out)
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    results = sorted(oracle.items())
+    for name, sql in results:
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark result parquet"); n_fail += 1; continue
+        try:
+            exp = norm(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        act = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+        if list(exp.columns) != list(act.columns):
+            print(f"FAIL {name}: columns oracle={list(exp.columns)} spark={list(act.columns)}")
+            n_fail += 1; continue
+        if len(exp) != len(act):
+            print(f"FAIL {name}: rows oracle={len(exp)} spark={len(act)}")
+            n_fail += 1; continue
+        bad = None
+        for c in exp.columns:
+            e, a = exp[c], act[c]
+            if pd.api.types.is_float_dtype(e) or pd.api.types.is_float_dtype(a):
+                ef = pd.to_numeric(e, errors="coerce").astype(float)
+                af = pd.to_numeric(a, errors="coerce").astype(float)
+                neq = ~((ef.isna() & af.isna()) | (abs(ef - af) <= 1e-6))
+            else:
+                neq = ~((e.isna() & a.isna()) | (e.astype(str) == a.astype(str)))
+            if neq.any():
+                i = int(neq.idxmax())
+                bad = (c, i, e.iloc[i], a.iloc[i]); break
+        if bad:
+            c, i, ev, av = bad
+            print(f"FAIL {name}: col {c} row {i}: oracle={ev!r} spark={av!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(exp)} rows)"); n_pass += 1
+    # rows-only note for queries with no oracle
+    for d in sorted(glob.glob(f"{outdir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name not in oracle:
+            files = glob.glob(f"{d}/*.parquet")
+            nr = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+            print(f"NOTE {name}: TEST-only, rows={nr}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

@@ -5,7 +5,12 @@ import graft.queries._
 object SparkEntry {
   /** Every implemented QueryPack (SURVEY.md §2B categories A–K). */
   private val packs: Seq[QueryPack] = Seq(
+    ProjectFilterQueries,
     JoinQueries,
+    AggQueries,
+    SortQueries,
+    SetQueries,
+    ScalarFnQueries,
   )
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

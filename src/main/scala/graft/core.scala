@@ -17,6 +17,32 @@ trait QueryPack {
   def oracleSql: Map[String, String]
 }
 
+/** SQL fragments shared verbatim between the Spark query (via `expr`)
+  * and the DuckDB oracle, so both engines evaluate the exact same text.
+  *
+  * Money math runs in DECIMAL: the source columns are 2-dp decimals
+  * stored as doubles, so casting back to DECIMAL is exact, products are
+  * exact, and ROUND of an exact decimal is engine-independent — rounding
+  * a binary double that sits on a half-cent boundary is NOT (Spark
+  * HALF_UP on the decimal expansion vs DuckDB's scaled-double round
+  * disagree ~1/1000 rows). Final CAST back to DOUBLE for a stable
+  * output representation.
+  */
+object Sql {
+  /** l_extendedprice * (1 - l_discount), exact, rounded to cents. */
+  val lineNet =
+    "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)"
+  /** Σ net revenue, exact decimal sum rounded to cents. */
+  val sumNet =
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)"
+  /** Σ net revenue with tax. */
+  val sumCharge =
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)"
+  /** l_quantity * l_tax, exact, rounded to cents. */
+  val qtyTax =
+    "CAST(ROUND(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(4,2)), 2) AS DOUBLE)"
+}
+
 /** Table loaders for the driver-generated parquet testdata. */
 object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
@@ -29,7 +55,17 @@ object Tables {
   def part(s: SparkSession, d: String)      = t(s, d, "part")
   def orders(s: SparkSession, d: String)    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String)    = t(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects; read it as a long (legacy conf) and truncate ns→µs with
+    * integer division — exactly what DuckDB's reader does, so the two
+    * engines agree on emitted timestamps (SURVEY.md §7.4.2).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String) = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")
 }

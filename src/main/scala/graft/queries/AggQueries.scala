@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables => T}
+
+/** SURVEY.md §2B category D — aggregations.
+  *
+  * All hash aggregates with automatic partial (map-side) + final phases —
+  * Spark's built-in equivalent of the reference's in-mapper combining
+  * ([IPDPS17] §IV.C). ROLLUP/CUBE/GROUPING SETS expand then hash-agg;
+  * the HLL sketch row is TEST-only (engine sketches differ by design).
+  * Grouping keys that can be NULL are coalesced to the sentinel 'ALL'
+  * so result ordering needs no cross-engine NULLS FIRST/LAST alignment.
+  */
+object AggQueries extends QueryPack {
+
+  val queries: Map[String, QueryFn] = Map(
+    "agg_group_pricing" -> ((s, d) => {
+      // TPC-H Q1-shaped pricing summary.
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          expr(graft.Sql.sumNet).as("sum_disc"),
+          expr(graft.Sql.sumCharge).as("sum_charge"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          round(avg("l_extendedprice"), 2).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "agg_global" -> ((s, d) => {
+      T.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        round(min("l_extendedprice"), 2).as("min_price"),
+        round(max("l_extendedprice"), 2).as("max_price"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(avg("l_extendedprice"), 2).as("avg_price"))
+    }),
+
+    "agg_distinct_exact" -> ((s, d) => {
+      T.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("cd_users"),
+          countDistinct(col("user_id"), col("ts").cast("date")).as("cd_user_days"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // TEST-only: HLL++ sketches are engine-specific; ScalaTest asserts
+    // ≤5% relative error vs the exact distinct count instead.
+    "agg_approx_hll" -> ((s, d) => {
+      T.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
+    "agg_rollup" -> ((s, d) => {
+      T.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).as("g_status"),
+          grouping(col("o_orderpriority")).as("g_prio"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("g_status"), col("g_prio"))
+        .orderBy("g_status", "g_prio", "status", "priority")
+    }),
+
+    "agg_cube" -> ((s, d) => {
+      T.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"), col("g_rf"), col("g_ls"))
+        .orderBy("g_rf", "g_ls", "returnflag", "linestatus")
+    }),
+
+    "agg_grouping_sets" -> ((s, d) => {
+      T.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+          |       COALESCE(o_orderpriority, 'ALL') AS priority,
+          |       COUNT(*) AS n,
+          |       ROUND(SUM(o_totalprice), 2) AS total
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
+    }),
+
+    "agg_stats" -> ((s, d) => {
+      T.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          round(stddev_samp(col("o_totalprice")), 2).as("sd"),
+          round(var_samp(col("o_totalprice")), 2).as("vr"),
+          round(min("o_totalprice"), 2).as("mn"),
+          round(max("o_totalprice"), 2).as("mx"),
+          round(avg("o_totalprice"), 2).as("av"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "agg_spatial_bin" -> ((s, d) => {
+      // Octree-app equivalent (SURVEY.md §2A): depth-3 grid (8 bins/dim)
+      // over the first 3 embedding dims in [-0.5, 0.5] → 9-bit cell id,
+      // keep dense cells. Pure arithmetic + hash aggregate: scales as a
+      // single map + shuffle-by-cell, identical shape to Mimir's octree
+      // density clustering.
+      def bin(i: Int) = least(greatest(
+        floor((element_at(col("embedding"), i).cast("double") + lit(0.5)) * 8).cast("long"),
+        lit(0L)), lit(7L))
+      T.embeddings(s, d)
+        .select((bin(1) * 64 + bin(2) * 8 + bin(3)).as("cell"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .orderBy("cell")
+    })
+  )
+
+  private val spatialBinSql = {
+    def bin(i: Int) =
+      s"LEAST(GREATEST(CAST(FLOOR((CAST(embedding[$i] AS DOUBLE) + 0.5) * 8) AS BIGINT), 0), 7)"
+    s"""SELECT ${bin(1)} * 64 + ${bin(2)} * 8 + ${bin(3)} AS cell,
+       |       CAST(COUNT(*) AS BIGINT) AS n
+       |FROM embeddings
+       |GROUP BY cell HAVING COUNT(*) >= 2 ORDER BY cell""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "agg_group_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice), 2) AS sum_base,
+        |       ${graft.Sql.sumNet} AS sum_disc,
+        |       ${graft.Sql.sumCharge} AS sum_charge,
+        |       ROUND(AVG(l_quantity), 2) AS avg_qty,
+        |       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+        |       ROUND(AVG(l_discount), 4) AS avg_disc,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_global" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(MIN(l_extendedprice), 2) AS min_price,
+        |       ROUND(MAX(l_extendedprice), 2) AS max_price,
+        |       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+        |       ROUND(AVG(l_extendedprice), 2) AS avg_price
+        |FROM lineitem""".stripMargin,
+
+    "agg_distinct_exact" ->
+      """SELECT event_type,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cd_users,
+        |       CAST(COUNT(DISTINCT (user_id, CAST(ts AS DATE))) AS BIGINT) AS cd_user_days,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio, status, priority""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, returnflag, linestatus""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(SUM(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT o_orderstatus,
+        |       ROUND(STDDEV_SAMP(o_totalprice), 2) AS sd,
+        |       ROUND(VAR_SAMP(o_totalprice), 2) AS vr,
+        |       ROUND(MIN(o_totalprice), 2) AS mn,
+        |       ROUND(MAX(o_totalprice), 2) AS mx,
+        |       ROUND(AVG(o_totalprice), 2) AS av
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_spatial_bin" -> spatialBinSql
+  )
+}

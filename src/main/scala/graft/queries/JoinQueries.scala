@@ -1,16 +1,17 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables => T}
 
 /** SURVEY.md §2B category C — joins over the TPC-H-ish star schema.
   *
-  * Scale notes (100 TB): dimension tables (region/nation/customer at
-  * low SF) are explicitly `broadcast()`-hinted so the big fact side never
-  * shuffles for them; the lineitem⋈orders join shuffles on the join key
-  * and is left to the planner + AQE (sort-merge vs shuffled-hash, skew
-  * split). No driver-side collection anywhere.
+  * Scale notes (100 TB): dimension tables (region/nation/customer at low
+  * SF) are explicitly `broadcast()`-hinted so the fact side never
+  * shuffles for them; fact⋈fact joins shuffle on their keys and are left
+  * to the planner + AQE (sort-merge vs shuffled-hash, skew split). The
+  * as-of join is a window over pruned candidates, not a custom strategy;
+  * the interval self-join is bounded per-user. No driver-side loops.
   */
 object JoinQueries extends QueryPack {
 
@@ -25,16 +26,123 @@ object JoinQueries extends QueryPack {
         .join(broadcast(T.region(s, d).filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
       rev.groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        .agg(expr(graft.Sql.sumNet).as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "join_broadcast_inner" -> ((s, d) => {
+      T.orders(s, d)
+        .join(broadcast(T.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    "join_shuffle_inner" -> ((s, d) => {
+      // fact ⋈ fact: both sides shuffle on the order key (or AQE picks
+      // broadcast at low SF) — the declared plan is key-partitioned.
+      T.lineitem(s, d)
+        .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "join_left_outer" -> ((s, d) => {
+      // customers with zero orders kept; count(o_orderkey) skips nulls.
+      T.customer(s, d)
+        .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("spend"))
+        .orderBy("c_custkey")
+    }),
+
+    "join_full_outer" -> ((s, d) => {
+      val hv = T.customer(s, d).filter(col("c_acctbal") > 7000)
+        .select(col("c_custkey"))
+      val recent = T.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+      hv.join(recent, col("c_custkey") === col("o_custkey"), "full")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+          col("c_custkey").isNotNull.as("has_high_bal"),
+          col("o_custkey").isNotNull.as("has_recent"))
+        .orderBy("k")
+    }),
+
+    "join_semi" -> ((s, d) => {
+      val urgent = T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      T.customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "join_anti" -> ((s, d) => {
+      val big = T.orders(s, d).filter(col("o_totalprice") > 300000)
+      T.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    }),
+
+    "join_cross" -> ((s, d) => {
+      T.region(s, d).crossJoin(T.nation(s, d))
+        .select(col("r_regionkey"), col("n_nationkey"),
+          concat_ws("-", col("r_name"), col("n_name")).as("label"))
+        .orderBy("r_regionkey", "n_nationkey")
+    }),
+
+    "join_theta_range" -> ((s, d) => {
+      // equi key + theta residual; aggregated so output stays bounded.
+      T.lineitem(s, d)
+        .join(broadcast(T.part(s, d)),
+          col("l_partkey") === col("p_partkey") && col("l_quantity") > col("p_size"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("p_brand")
+    }),
+
+    "join_asof" -> ((s, d) => {
+      // Most recent prior click per purchase (event-time as-of), expressed
+      // as candidate-join + per-purchase row_number — scales as a
+      // user-partitioned shuffle, no custom strategy needed.
+      val ev = T.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val w = Window.partitionBy("purchase_id")
+        .orderBy(col("c_ts").desc, col("click_id").desc)
+      p.join(c, col("user_id") === col("c_user") && col("c_ts") <= col("p_ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+        .orderBy("purchase_id")
+    }),
+
+    "join_interval" -> ((s, d) => {
+      // same-user event pairs within 10 minutes, counted per user;
+      // the self-join shuffles once on user_id, range residual after.
+      val ev = T.events(s, d)
+      val a = ev.select(col("user_id"), col("ts").as("a_ts"))
+      val b = ev.select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+      a.join(b, col("user_id") === col("b_user") &&
+          col("a_ts") < col("b_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
     "join_5way_flagship" ->
-      """SELECT n_name,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      s"""SELECT n_name,
+        |       ${graft.Sql.sumNet} AS revenue,
         |       CAST(COUNT(*) AS BIGINT) AS n_lines
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -43,6 +151,77 @@ object JoinQueries extends QueryPack {
         |JOIN region   ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "join_broadcast_inner" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join_shuffle_inner" ->
+      """SELECT l_orderkey, l_linenumber, o_custkey,
+        |       ROUND(l_extendedprice, 2) AS price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT c_custkey,
+        |       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+        |       ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT COALESCE(hv.c_custkey, r.o_custkey) AS k,
+        |       hv.c_custkey IS NOT NULL AS has_high_bal,
+        |       r.o_custkey IS NOT NULL AS has_recent
+        |FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 7000) hv
+        |FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders
+        |                 WHERE o_orderdate >= TIMESTAMP '2000-01-01') r
+        |  ON hv.c_custkey = r.o_custkey
+        |ORDER BY k""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r_regionkey, n_nationkey, r_name || '-' || n_name AS label
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    "join_theta_range" ->
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(l_quantity), 2) AS qty
+        |FROM lineitem JOIN part
+        |  ON l_partkey = p_partkey AND l_quantity > p_size
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "join_asof" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |     j AS (SELECT purchase_id, user_id, click_id,
+        |                  epoch_us(p_ts) - epoch_us(c_ts) AS gap_us,
+        |                  ROW_NUMBER() OVER (PARTITION BY purchase_id
+        |                                     ORDER BY c_ts DESC, click_id DESC) AS rn
+        |           FROM p JOIN c ON user_id = c_user AND c_ts <= p_ts)
+        |SELECT purchase_id, user_id, click_id, gap_us
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    "join_interval" ->
+      """SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.ts < b.ts AND b.ts <= a.ts + INTERVAL 10 MINUTES
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
   )
 }

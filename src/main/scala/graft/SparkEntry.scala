@@ -5,12 +5,16 @@ import graft.queries._
 object SparkEntry {
   /** Every implemented QueryPack (SURVEY.md §2B categories A–K). */
   private val packs: Seq[QueryPack] = Seq(
+    ScanQueries,
     ProjectFilterQueries,
     JoinQueries,
     AggQueries,
+    WindowQueries,
     SortQueries,
     SetQueries,
     ScalarFnQueries,
+    StreamQueries,
+    UdfQueries,
   )
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,54 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SaveMode
+import graft.{QueryPack, Tables => T}
+
+/** SURVEY.md §2B category A — sources and sinks.
+  *
+  * Roundtrips exercise sink+source fidelity: the query writes a table to
+  * CSV / JSON-lines in a temp dir with an explicit schema, reads it back,
+  * and the oracle is the identity SELECT — any encode/decode loss breaks
+  * the hash match. Parquet sink fidelity is exercised structurally by
+  * Verify (every result is dumped as parquet).
+  */
+object ScanQueries extends QueryPack {
+
+  val queries: Map[String, QueryFn] = Map(
+    "scan_parquet" -> ((s, d) => {
+      T.lineitem(s, d).orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "scan_csv_roundtrip" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft_csv_").toString
+      T.nation(s, d).write.mode(SaveMode.Overwrite)
+        .option("header", "true").csv(tmp)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.schema(schema).option("header", "true").csv(tmp)
+        .orderBy("n_nationkey")
+    }),
+
+    "scan_json_roundtrip" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft_json_").toString
+      T.region(s, d).write.mode(SaveMode.Overwrite).json(tmp)
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType)))
+      s.read.schema(schema).json(tmp).orderBy("r_regionkey")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scan_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "scan_json_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+  )
+}

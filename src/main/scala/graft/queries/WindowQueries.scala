@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables => T}
+
+/** SURVEY.md §2B category E — window functions.
+  *
+  * Every window partitions by a stable key (customer / user / nation) so
+  * at scale the only movement is one hash shuffle into window partitions;
+  * frames then evaluate streaming within each sorted partition. Event
+  * time is compared in integer microseconds (unix_micros ≡ DuckDB
+  * epoch_us) to avoid float/timestamp-precision drift.
+  */
+object WindowQueries extends QueryPack {
+
+  val queries: Map[String, QueryFn] = Map(
+    "win_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "win_rank_dense_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      T.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("tile"))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
+
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      T.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_prev_us"),
+          (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))).as("gap_next_us"))
+        .orderBy("event_id")
+    }),
+
+    "win_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(sum("value").over(w), 2).as("rsum"))
+        .orderBy("event_id")
+    }),
+
+    "win_range_frame" -> ((s, d) => {
+      // preceding-1h sum, range frame over integer µs epoch
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0)
+      T.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(sum("value").over(w), 2).as("hour_sum"))
+        .orderBy("event_id")
+    }),
+
+    "win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          first_value(col("o_orderkey")).over(w).as("first_k"),
+          last_value(col("o_orderkey")).over(w).as("last_k"))
+        .orderBy("o_orderkey")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "win_topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                                 ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "win_rank_dense_ntile" ->
+      """SELECT c_nationkey, c_custkey,
+        |       CAST(RANK() OVER w AS INT) AS rnk,
+        |       CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+        |       CAST(NTILE(4) OVER w AS INT) AS tile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "win_lag_lead" ->
+      """SELECT event_id, user_id,
+        |       epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) AS gap_prev_us,
+        |       epoch_us(LEAD(ts, 1) OVER w) - epoch_us(ts) AS gap_next_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "win_running_sum" ->
+      """SELECT event_id, user_id,
+        |       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS UNBOUNDED PRECEDING), 2) AS rsum
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "win_range_frame" ->
+      """SELECT event_id, user_id,
+        |       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |                              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS hour_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "win_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+        |       FIRST_VALUE(o_orderkey) OVER w AS first_k,
+        |       LAST_VALUE(o_orderkey) OVER w AS last_k
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -15,6 +15,10 @@ object SparkEntry {
     ScalarFnQueries,
     StreamQueries,
     UdfQueries,
+    TextQueries,
+    DedupQueries,
+    SimQueries,
+    GraphMmQueries,
   )
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

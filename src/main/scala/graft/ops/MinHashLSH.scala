@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH banding for near-duplicate candidate generation at
+  * scale (SURVEY.md §2B-I `dedup_jaccard_pairs` scale path).
+  *
+  * Pipeline (all DataFrame ops, no driver loops):
+  *   1. distinct k-token shingles per doc,
+  *   2. 60-bit portable hashes per shingle,
+  *   3. minhash signature: numPerm permutations h_i(x) = (a_i·x + b_i)
+  *      mod p via higher-order transform + array_min,
+  *   4. LSH banding: signature chunks of `rowsPerBand`; docs sharing any
+  *      band bucket become candidate pairs (one shuffle on band key),
+  *   5. exact Jaccard verification on the candidate pairs only.
+  *
+  * The banding step is probabilistic (recall < 1 for borderline pairs),
+  * which is why the ORACLED dedup query uses the exact inverted-index
+  * path instead; this operator is property-tested (candidates ⊇ all
+  * J≥0.9 pairs on the fixture corpus, exact verify removes false
+  * positives). At 100 TB the banding join replaces the O(n²) pair space
+  * with per-bucket blocks.
+  */
+object MinHashLSH {
+  // Mersenne prime 2^31-1: inputs reduced mod P stay 31-bit, so the
+  // permutation multiply never overflows a signed 64-bit long (ANSI mode
+  // would reject it).
+  private val P = 2147483647L
+
+  /** deterministic permutation coefficients (odd a, spread b). */
+  private def coef(i: Int): (Long, Long) =
+    (2L * i + 1L, 982451653L * (i + 1) % P)
+
+  /** per-row minhash signature column over a distinct-shingle array. */
+  def signature(shingleHashes: Column, numPerm: Int): Column =
+    array((0 until numPerm).map { i =>
+      val (a, b) = coef(i)
+      array_min(transform(shingleHashes, x => pmod(pmod(x, lit(P)) * a + b, lit(P))))
+    }: _*)
+
+  /** candidate pairs (a < b) from banding a signature column. */
+  def candidates(docs: DataFrame, idCol: String, sigCol: String,
+      numPerm: Int, rowsPerBand: Int): DataFrame = {
+    val bands = numPerm / rowsPerBand
+    val banded = docs.select(col(idCol), posexplode(
+      array((0 until bands).map(bnd =>
+        struct(lit(bnd).as("band"),
+          concat_ws("_", (0 until rowsPerBand).map(r =>
+            element_at(col(sigCol), bnd * rowsPerBand + r + 1)): _*).as("key"))): _*)))
+      .select(col(idCol), col("col.band"), col("col.key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+  }
+}

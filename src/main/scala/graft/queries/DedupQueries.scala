@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables => T}
+import graft.ops.{MinHashLSH, TextOps}
+
+/** SURVEY.md §2B category I (dedup half) — the training-pipeline
+  * deduplication suite: exact (canonicalized-content hash), n-gram
+  * Jaccard near-dup, SimHash buckets, and MinHash-LSH (TEST-only).
+  *
+  * Scale design: every oracled variant is a hash-partitioned groupBy or
+  * an inverted-index join — deterministic and complete (no probabilistic
+  * recall), so the DuckDB brute-force oracle matches exactly. The LSH
+  * variant trades exactness for per-bucket blocking and is therefore
+  * property-tested instead of oracled.
+  */
+object DedupQueries extends QueryPack {
+
+  val queries: Map[String, QueryFn] = Map(
+    "dedup_exact" -> ((s, d) => {
+      // exact dedup on canonicalized content: lowercase, tokenize,
+      // sort+dedupe tokens, sha256. Groups >1 are duplicate clusters;
+      // MIN(doc_id) is the surviving representative.
+      val canon = array_join(array_sort(array_distinct(
+        TextOps.tokens(lower(trim(col("text")))))), " ")
+      T.documents(s, d)
+        .withColumn("h", sha2(canon, 256))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("rep_doc"))
+        .filter(col("n") > 1)
+        .orderBy("h")
+    }),
+
+    "dedup_jaccard_pairs" -> ((s, d) => {
+      // near-dup pairs with exact 3-shingle Jaccard ≥ 0.5. Candidates
+      // come from an inverted shingle index (pairs must share ≥1 shingle
+      // — complete, unlike LSH banding), then exact verification.
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), array_distinct(
+          TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      val cand = inv.as("x").join(inv.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val withSets = cand
+        .join(docs.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
+        .join(docs.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
+      withSets
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+        .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("double"))
+        .withColumn("j", round(col("inter") / col("uni"), 4))
+        .filter(col("j") >= 0.5)
+        .select("a", "b", "j")
+        .orderBy("a", "b")
+    }),
+
+    "dedup_simhash" -> ((s, d) => {
+      // 16-bit SimHash over token multiset; equal hashes → near-dup
+      // bucket. Portable md5-derived bits, so the oracle reproduces the
+      // exact hash values.
+      val tok = T.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .withColumn("h", TextOps.md5Short(col("w")))
+      val bitSums = (0 until 16).map { j =>
+        sum(expr(s"CAST(FLOOR(h / POWER(2, $j)) AS INT) % 2") * 2 - 1).as(s"b$j")
+      }
+      tok.groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .withColumn("simhash",
+          (0 until 16).map(j => when(col(s"b$j") > 0, 1 << j).otherwise(0))
+            .reduce(_ + _))
+        .groupBy("simhash")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("rep_doc"))
+        .filter(col("n") > 1)
+        .orderBy("simhash")
+    }),
+
+    // TEST-only (no oracle): MinHash-LSH banding is probabilistic;
+    // ScalaTest asserts candidate recall ⊇ high-Jaccard pairs + exact
+    // verification equality on the fixture corpus.
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), array_distinct(
+          TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("hashes", transform(col("sh"), TextOps.md5Long(_)))
+        .withColumn("sig", MinHashLSH.signature(col("hashes"), 32))
+      val cand = MinHashLSH.candidates(docs, "doc_id", "sig", 32, 4)
+      val sets = docs.select(col("doc_id"), col("sh"))
+      cand
+        .join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
+        .join(sets.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
+        .withColumn("j", round(
+          size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(array_union(col("sha"), col("shb"))), 4))
+        .filter(col("j") >= 0.5)
+        .select("a", "b", "j")
+        .orderBy("a", "b")
+    })
+  )
+
+  /** DuckDB 3-shingle list from tokens `t` (shared with TextQueries). */
+  private val shingle3 =
+    "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT h, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS rep_doc
+        |FROM (SELECT doc_id,
+        |             sha256(array_to_string(list_sort(list_distinct(
+        |               string_split(lower(trim(text)), ' '))), ' ')) AS h
+        |      FROM documents)
+        |GROUP BY h HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, list_distinct($shingle3) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         |j AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b,
+         |         ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |               / len(list_distinct(a.sh || b.sh)), 4) AS j
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |SELECT a, b, j FROM j WHERE j >= 0.5 ORDER BY a, b""".stripMargin,
+
+    "dedup_simhash" -> {
+      val h = TextOps.md5ShortSql("w")
+      val bitSums = (0 until 16)
+        .map(j => s"SUM((CAST(FLOOR(h / POWER(2, $j)) AS INT) % 2) * 2 - 1) AS b$j")
+        .mkString(",\n        ")
+      val hash = (0 until 16)
+        .map(j => s"CASE WHEN b$j > 0 THEN ${1 << j} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, $h AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+         |bits AS (
+         |  SELECT doc_id,
+         |        $bitSums
+         |  FROM tok GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($hash AS INT) AS simhash FROM bits)
+         |SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS rep_doc
+         |FROM sh GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables => T}
+import graft.mr.MapReduce
+import graft.multimodal.BinaryFeatures
+import graft.ops.TextOps
+
+/** SURVEY.md §2B category I (rest) — BFS levels (Mimir's BFS app as
+  * iterated joins), the multimodal join, binary feature plumbing, and
+  * wordcount through the §2A MapReduce facade.
+  */
+object GraphMmQueries extends QueryPack {
+
+  val queries: Map[String, QueryFn] = Map(
+    "graph_bfs_levels" -> ((s, d) => {
+      // Mimir BFS-app equivalent: fixed 3-level expansion from the
+      // AMERICA region through nation to customer — each level is one
+      // broadcast/hash join (level-synchronous BFS ≡ iterated joins).
+      val root = T.region(s, d).filter(col("r_name") === "AMERICA")
+        .select(col("r_regionkey"))
+      val l0 = root.select(lit("region").as("node_kind"),
+        col("r_regionkey").cast("long").as("node_key"), lit(0).as("level"))
+      val nations = T.nation(s, d)
+        .join(broadcast(root), col("n_regionkey") === col("r_regionkey"))
+      val l1 = nations.select(lit("nation").as("node_kind"),
+        col("n_nationkey").cast("long").as("node_key"), lit(1).as("level"))
+      val l2 = T.customer(s, d)
+        .join(broadcast(nations.select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(lit("customer").as("node_kind"),
+          col("c_custkey").as("node_key"), lit(2).as("level"))
+      l0.unionAll(l1).unionAll(l2).orderBy("level", "node_kind", "node_key")
+    }),
+
+    "multimodal_join" -> ((s, d) => {
+      // text + vector sides joined 1:1 → per-(lang, label) profile.
+      import graft.ops.VectorOps
+      T.documents(s, d)
+        .join(T.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(col("lang"), col("label"), col("n_chars"),
+          VectorOps.norm(VectorOps.toDouble(col("embedding"))).as("nrm"))
+        .groupBy("lang", "label")
+        .agg(count(lit(1)).as("n"),
+          round(avg("n_chars"), 2).as("avg_chars"),
+          round(avg("nrm"), 4).as("avg_norm"))
+        .orderBy("lang", "label")
+    }),
+
+    "multimodal_features" -> ((s, d) => {
+      // binary-payload feature extraction (decode stubbed — see
+      // BinaryFeatures): typed mapPartitions over an opaque binary
+      // column, oracled via the same arithmetic in SQL.
+      val feats = BinaryFeatures.extract(
+        BinaryFeatures.documentsAsMedia(T.documents(s, d)))
+      feats.toDF()
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("n_bytes"), col("head_byte"),
+          col("checksum").as("crc_mod"))
+        .orderBy("doc_id")
+    }),
+
+    "mr_wordcount" -> ((s, d) => {
+      // wordcount through the Mimir-style MapReduce facade (§2A):
+      // map(tokenize) → map-side combine → reduce(sum).
+      import s.implicits._
+      val docs = T.documents(s, d).select(col("text")).as[String]
+      val kvs = MapReduce.map(docs)(line =>
+        line.split(" ").iterator.filter(_.nonEmpty).map(w => (w, 1L)))
+      MapReduce.reduceByKey(kvs)(_ + _)
+        .toDF("word", "n")
+        .orderBy(col("n").desc, col("word"))
+        .limit(100)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_bfs_levels" ->
+      """SELECT node_kind, node_key, level FROM (
+        |  SELECT 'region' AS node_kind, CAST(r_regionkey AS BIGINT) AS node_key, 0 AS level
+        |  FROM region WHERE r_name = 'AMERICA'
+        |  UNION ALL
+        |  SELECT 'nation', CAST(n_nationkey AS BIGINT), 1
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA'
+        |  UNION ALL
+        |  SELECT 'customer', c_custkey, 2
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA')
+        |ORDER BY level, node_kind, node_key""".stripMargin,
+
+    "multimodal_join" ->
+      """SELECT lang, label, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(AVG(n_chars), 2) AS avg_chars,
+        |       ROUND(AVG(sqrt(list_dot_product(v, v))), 4) AS avg_norm
+        |FROM (SELECT lang, label, n_chars,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM documents JOIN embeddings ON doc_id = vec_id)
+        |GROUP BY lang, label ORDER BY lang, label""".stripMargin,
+
+    // the stub decoder is a 31-polynomial byte hash mod 1e9+7 —
+    // reproduced here on the text bytes (ASCII corpus ⇒ LENGTH == bytes)
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |       CAST(LENGTH(text) AS INT) AS n_bytes,
+        |       CAST(unicode(substring(text, 1, 1)) AS INT) AS head_byte,
+        |       CAST(list_reduce(
+        |              list_prepend(CAST(0 AS BIGINT),
+        |                list_transform(regexp_extract_all(text, '.', 0),
+        |                               c -> CAST(unicode(c) AS BIGINT))),
+        |              (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS crc_mod
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "mr_wordcount" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin
+  )
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables => T}
+import graft.ops.VectorOps
+
+/** SURVEY.md §2B category I (similarity half) — embedding similarity
+  * search: brute-force cosine top-k (baseline), LSH-bucketed ANN (scale
+  * path), embedding near-dup pairs, and per-label norm stats.
+  *
+  * All vector math is zip_with/aggregate higher-order expressions over
+  * `array<float>` widened to double — fully codegen'd, no UDFs. The
+  * probe caps (`vec_id < …`) are part of the declared query semantics so
+  * the O(probes × n) pair space stays bounded; at 100 TB the ANN variant
+  * replaces the brute-force pair join with per-bucket blocks.
+  */
+object SimQueries extends QueryPack {
+
+  private val DIM = 64
+  private val PLANES = 8
+
+  val queries: Map[String, QueryFn] = Map(
+    "sim_cosine_knn" -> ((s, d) => {
+      // global top-20 most-similar pairs with a probe side capped at
+      // vec_id < 200 (brute-force baseline; ordering on the ROUNDED sim
+      // + (a,b) tie-break keeps the cutoff engine-deterministic).
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      val probes = e.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("a"), col("v").as("va"))
+      val all = e.select(col("vec_id").as("b"), col("v").as("vb"))
+      probes.join(all, col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(VectorOps.cosine(col("va"), col("vb")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
+    "sim_ann_lsh" -> ((s, d) => {
+      // ANN via deterministic random-hyperplane LSH: candidates share an
+      // 8-bit sign bucket (shuffle on bucket ≡ blocking), then exact
+      // cosine re-rank, top-3 per probe.
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("bucket", VectorOps.lshBucket(col("v"), PLANES, DIM))
+      val probes = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("a"), col("v").as("va"), col("bucket"))
+      val cands = e.select(col("vec_id").as("b"), col("v").as("vb"), col("bucket"))
+      val w = Window.partitionBy("a").orderBy(col("sim").desc, col("b"))
+      probes.join(cands, Seq("bucket"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          round(VectorOps.cosine(col("va"), col("vb")), 4).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("a", "rank", "b", "sim")
+        .orderBy("a", "rank")
+    }),
+
+    "dedup_embedding" -> ((s, d) => {
+      // embedding-cosine near-dup pairs (threshold tuned to the corpus).
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      val a = e.select(col("vec_id").as("a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("b"), col("v").as("vb"))
+      a.join(b, col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(VectorOps.cosine(col("va"), col("vb")), 4).as("sim"))
+        .filter(col("sim") >= 0.35)
+        .orderBy("a", "b")
+    }),
+
+    "sim_embedding_norms" -> ((s, d) => {
+      T.embeddings(s, d)
+        .select(col("label"), VectorOps.norm(VectorOps.toDouble(col("embedding"))).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), round(avg("nrm"), 4).as("avg_norm"))
+        .orderBy("label")
+    })
+  )
+
+  /** DuckDB: embedding widened to DOUBLE[] (shared fragment). */
+  private val vd = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+  private def annSql: String = {
+    val buckets = (0 until PLANES).map { j =>
+      val coefs = VectorOps.lshCoefs(j, DIM).map(c => s"$c.0").mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(v, $coefs) > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings),
+       |eb AS (SELECT vec_id, v, CAST($buckets AS INT) AS bucket FROM e),
+       |pairs AS (
+       |  SELECT p.vec_id AS a, c.vec_id AS b,
+       |         ROUND(list_cosine_similarity(p.v, c.v), 4) AS sim
+       |  FROM eb p JOIN eb c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+       |  WHERE p.vec_id < 100),
+       |ranked AS (
+       |  SELECT a, b, sim,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b) AS INT) AS rank
+       |  FROM pairs)
+       |SELECT a, rank, b, sim FROM ranked WHERE rank <= 3 ORDER BY a, rank""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_cosine_knn" ->
+      s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings)
+         |SELECT a.vec_id AS a, b.vec_id AS b,
+         |       ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE a.vec_id < 200
+         |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin,
+
+    "sim_ann_lsh" -> annSql,
+
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings)
+         |SELECT a.vec_id AS a, b.vec_id AS b,
+         |       ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+         |ORDER BY a, b""".stripMargin,
+
+    "sim_embedding_norms" ->
+      s"""SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         |       ROUND(AVG(sqrt(list_dot_product(v, v))), 4) AS avg_norm
+         |FROM (SELECT label, $vd AS v FROM embeddings)
+         |GROUP BY label ORDER BY label""".stripMargin
+  )
+}

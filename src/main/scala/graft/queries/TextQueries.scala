@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables => T}
+import graft.ops.TextOps
+
+/** SURVEY.md §2B category I (text half) — tokenization, n-grams, corpus
+  * stats, plus the training-pipeline text analyzers (language ID,
+  * quality scoring, BPE-ish token counting, document fingerprinting).
+  *
+  * Everything is explode/groupBy/higher-order-function shaped: one
+  * narrow tokenize map, one shuffle on the grouping key. No UDFs — all
+  * expressions are codegen-friendly built-ins, and the heuristics are
+  * written in engine-portable arithmetic so DuckDB oracles them exactly.
+  */
+object TextQueries extends QueryPack {
+
+  /** language signature words (measured per-lang frequency skews in the
+    * testdata corpus); the classifier scores each set and takes the
+    * argmax with alphabetical tie-break.
+    */
+  private val sigs = Seq(
+    "de" -> Seq("customer", "hash", "big"),
+    "en" -> Seq("order", "window", "group"),
+    "es" -> Seq("slow", "agg", "merge"),
+    "fr" -> Seq("scan", "data", "query"),
+    "zh" -> Seq("join", "small", "row"))
+
+  val queries: Map[String, QueryFn] = Map(
+    "text_wordcount" -> ((s, d) => {
+      // Mimir's flagship app: map(tokenize) → combine → reduce(sum).
+      // explode + hash-agg gets map-side partial aggregation for free.
+      T.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(100)
+    }),
+
+    "text_bigrams" -> ((s, d) => {
+      T.documents(s, d)
+        .select(explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(100)
+    }),
+
+    "text_lang_stats" -> ((s, d) => {
+      T.documents(s, d)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("docs"),
+          round(avg("n_chars"), 2).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(size(TextOps.tokens(col("text")))).as("total_tokens"))
+        .orderBy("lang")
+    }),
+
+    "text_langid" -> ((s, d) => {
+      // n-gram-frequency language ID heuristic → confusion matrix vs the
+      // labeled lang column.
+      val toks = TextOps.tokens(col("text"))
+      val scored = sigs.foldLeft(T.documents(s, d).withColumn("toks", toks)) {
+        case (df, (lang, words)) =>
+          df.withColumn(s"s_$lang",
+            size(filter(col("toks"), t => t.isin(words.map(lit(_)): _*))))
+      }
+      val g = greatest(sigs.map { case (l, _) => col(s"s_$l") }: _*)
+      val pred = sigs.foldRight(lit("??")) { case ((l, _), e) =>
+        when(col(s"s_$l") === g, l).otherwise(e)
+      }
+      // CASE order must be alphabetical for the tie-break: foldRight keeps
+      // 'de' as the first WHEN.
+      scored.withColumn("pred", pred)
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    }),
+
+    "text_quality" -> ((s, d) => {
+      // length/stopword/token-shape quality score, bucketed.
+      val toks = TextOps.tokens(col("text"))
+      val q = T.documents(s, d)
+        .withColumn("n_tok", size(toks).cast("double"))
+        .withColumn("stop_ratio",
+          size(filter(toks, t => t.isin("the", "a"))).cast("double") / col("n_tok"))
+        .withColumn("avg_tok_len",
+          (length(col("text")) - (col("n_tok") - 1)) / col("n_tok"))
+        .withColumn("score",
+          round(lit(0.3) * least(col("n_tok") / 50, lit(1.0))
+            + lit(0.4) * (lit(1.0) - col("stop_ratio"))
+            + lit(0.3) * least(col("avg_tok_len") / 6, lit(1.0)), 4))
+      q.withColumn("bucket",
+          when(col("score") >= 0.8, "high")
+            .when(col("score") >= 0.6, "mid").otherwise("low"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), round(avg("score"), 4).as("avg_score"))
+        .orderBy("bucket")
+    }),
+
+    "text_tokens_bpe" -> ((s, d) => {
+      // BPE-ish regex tokenization (letters / digit-runs / punctuation),
+      // counted per doc then aggregated per lang.
+      T.documents(s, d)
+        .withColumn("n_bpe",
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+        .groupBy("lang")
+        .agg(sum("n_bpe").as("total_bpe"), round(avg("n_bpe"), 2).as("avg_bpe"))
+        .orderBy("lang")
+    }),
+
+    "text_fingerprint" -> ((s, d) => {
+      // winnowing-style fingerprint: min 60-bit hash over 3-token
+      // shingles; identical-content docs collide → dup-candidate groups.
+      val sh = TextOps.shingles(TextOps.tokens(col("text")), 3)
+      T.documents(s, d)
+        .withColumn("fp", array_min(transform(sh, TextOps.md5Long(_))))
+        .filter(col("fp").isNotNull)
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("rep_doc"))
+        .filter(col("n") >= 2)
+        .orderBy("fp")
+    })
+  )
+
+  private def langidSql: String = {
+    val scores = sigs.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS s_$l"
+    }.mkString(",\n        ")
+    val g = sigs.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+    val cases = sigs.map { case (l, _) => s"WHEN s_$l = g THEN '$l'" }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |        $scores
+       |  FROM documents),
+       |p AS (SELECT lang, CASE $cases END AS pred
+       |      FROM (SELECT *, $g AS g FROM scored))
+       |SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+  }
+
+  /** DuckDB 3-token shingle list over space-split tokens `t`. */
+  private val shingle3 =
+    "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+
+  val oracleSql: Map[String, String] = Map(
+    "text_wordcount" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin,
+
+    "text_bigrams" ->
+      """SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        |      FROM (SELECT string_split(text, ' ') AS t FROM documents))
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+
+    "text_lang_stats" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+        |       ROUND(AVG(n_chars), 2) AS avg_chars,
+        |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_langid" -> langidSql,
+
+    "text_quality" ->
+      """WITH q AS (
+        |  SELECT ROUND(0.3 * LEAST(n_tok / 50, 1.0)
+        |             + 0.4 * (1.0 - stop_ratio)
+        |             + 0.3 * LEAST(avg_tok_len / 6, 1.0), 4) AS score
+        |  FROM (SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |               CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+        |                 / len(string_split(text, ' ')) AS stop_ratio,
+        |               (LENGTH(text) - (len(string_split(text, ' ')) - 1))
+        |                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_tok_len
+        |        FROM documents))
+        |SELECT CASE WHEN score >= 0.8 THEN 'high'
+        |            WHEN score >= 0.6 THEN 'mid' ELSE 'low' END AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(score), 4) AS avg_score
+        |FROM q GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "text_tokens_bpe" ->
+      """SELECT lang,
+        |       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe,
+        |       ROUND(AVG(n_bpe), 2) AS avg_bpe
+        |FROM (SELECT lang, len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_bpe
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT fp, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS rep_doc
+         |FROM (SELECT doc_id,
+         |             list_aggregate(list_transform($shingle3,
+         |                            s -> ${TextOps.md5LongSql("s")}), 'min') AS fp
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+         |WHERE fp IS NOT NULL
+         |GROUP BY fp HAVING COUNT(*) >= 2 ORDER BY fp""".stripMargin
+  )
+}

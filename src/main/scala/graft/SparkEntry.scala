@@ -19,6 +19,7 @@ object SparkEntry {
     DedupQueries,
     SimQueries,
     GraphMmQueries,
+    StreamingStatefulQueries,
   )
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,148 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.{Tables => T}
+
+/** SURVEY.md §2B category J (TEST rows) — the trigger-dependent
+  * streaming operators that CANNOT be oracled by batch SQL: watermark
+  * late-drop, dropDuplicatesWithinWatermark, and arbitrary stateful
+  * processing (mapGroupsWithState).
+  *
+  * Each job replays the `events` table through a MemoryStream in
+  * deterministic event-id-ordered chunks, with processAllAvailable()
+  * after each chunk so micro-batch boundaries — and therefore watermark
+  * advancement — are reproducible. The replay `collect()` is harness
+  * plumbing, not the operator: in production the source is Kafka/files
+  * and the same query graph runs unchanged.
+  *
+  * State design for scale: keys are user_id / event_id hashes (uniform),
+  * state is O(1) per key, and watermarks bound state retention — the
+  * RocksDB state store provider handles >memory state at 100 TB.
+  */
+object StreamingJobs {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** events as a deterministic in-order chunk sequence. */
+  private def eventChunks(spark: SparkSession, sfDir: String, nChunks: Int)
+      : Seq[Seq[Event]] = {
+    import spark.implicits._
+    val evs = T.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id").as[Event].collect().toSeq
+    val per = math.max(1, math.ceil(evs.size.toDouble / nChunks).toInt)
+    evs.grouped(per).toSeq
+  }
+
+  private def runToCompletion(spark: SparkSession, sfDir: String,
+      sinkName: String, build: MemoryStream[Event] => DataFrame,
+      outputMode: OutputMode, chunks: Int = 8,
+      reorder: Seq[Seq[Event]] => Seq[Seq[Event]] = identity): DataFrame = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val ckpt = Files.createTempDirectory(s"graft_ckpt_$sinkName").toString
+    // default micro-batch trigger: each addData+processAllAvailable pair
+    // is one deterministic micro-batch (AvailableNow would stop before
+    // the first addData).
+    val q = build(source).writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode(outputMode)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      for (chunk <- reorder(eventChunks(spark, sfDir, chunks))) {
+        source.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sinkName)
+  }
+
+  /** 1-h tumbling counts with a 10-min watermark; events that arrive
+    * after the watermark passed their window are DROPPED. The replay
+    * holds back every 40th event by two chunks to manufacture late data,
+    * and a terminal flush event advances the watermark past every real
+    * window so Append mode emits them all before the query stops.
+    */
+  def watermarkLate(spark: SparkSession, sfDir: String): DataFrame = {
+    val delayLate: Seq[Seq[Event]] => Seq[Seq[Event]] = { chunks =>
+      val idx = chunks.zipWithIndex
+      val maxTs = chunks.flatten.map(_.ts.getTime).max
+      val flush = Event(-1L, new Timestamp(maxTs + 7L * 24 * 3600 * 1000),
+        -1L, "___flush", 0.0)
+      idx.map { case (c, i) =>
+        val kept = c.filterNot(e => e.event_id % 40 == 0)
+        val arriving = idx.filter { case (_, j) => j + 2 == i }
+          .flatMap(_._1.filter(e => e.event_id % 40 == 0))
+        kept ++ arriving
+      } :+ (idx.takeRight(2).flatMap(_._1.filter(e => e.event_id % 40 == 0))
+        :+ flush) :+ Seq(flush)
+    }
+    val out = runToCompletion(spark, sfDir, "wm_late", src =>
+      src.toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      OutputMode.Append(), reorder = delayLate)
+    out.select(col("w.start").as("ws"), col("event_type"), col("n"))
+      .filter(col("event_type") =!= "___flush")
+      .orderBy("ws", "event_type")
+  }
+
+  /** streaming exact dedup on event_id within the watermark horizon;
+    * the replay re-sends every 10th event in the following chunk — the
+    * duplicates must not survive.
+    */
+  def dedupStateful(spark: SparkSession, sfDir: String): DataFrame = {
+    val reinject: Seq[Seq[Event]] => Seq[Seq[Event]] = { chunks =>
+      chunks.zipWithIndex.map { case (c, i) =>
+        val dups = if (i == 0) Nil
+          else chunks(i - 1).filter(e => e.event_id % 10 == 0)
+        c ++ dups
+      }
+    }
+    val out = runToCompletion(spark, sfDir, "dedup_stream", src =>
+      src.toDF()
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(Seq("event_id"))
+        .groupBy("event_type").agg(count(lit(1)).as("n")),
+      OutputMode.Complete(), reorder = reinject)
+    out.orderBy("event_type")
+  }
+
+  case class UserState(n: Long, lastSeenUs: Long)
+  case class UserCount(user_id: Long, n: Long, last_seen_us: Long)
+
+  /** arbitrary per-user state via mapGroupsWithState: running event
+    * count + last-seen event time, emitted every update; the final
+    * per-user row is the steady state.
+    */
+  def statefulCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val out = runToCompletion(spark, sfDir, "user_state", { src =>
+      src.toDS()
+        .groupByKey(_.user_id)
+        .mapGroupsWithState[UserState, UserCount](GroupStateTimeout.NoTimeout()) {
+          (user: Long, evs: Iterator[Event], state: GroupState[UserState]) =>
+            val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue))
+            val next = evs.foldLeft(prev) { (st, e) =>
+              UserState(st.n + 1L, math.max(st.lastSeenUs, e.ts.getTime * 1000L))
+            }
+            state.update(next)
+            UserCount(user, next.n, next.lastSeenUs)
+        }.toDF()
+    }, OutputMode.Update())
+    // memory sink keeps one row per update; the final state per user is
+    // the max count (counts are monotone).
+    out.groupBy("user_id")
+      .agg(max("n").as("n"), max("last_seen_us").as("last_seen_us"))
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.{Tables => T}
+
+/** Semantic invariants for the TEST-only (non-oracled) operators:
+  * sketch error bounds, LSH recall, and streaming statefulness.
+  */
+class SemanticsSpec extends SparkSpec {
+
+  test("agg_approx_hll within 5% of exact distinct counts") {
+    val approx = SparkEntry.queries("agg_approx_hll")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = T.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05,
+        s"$k: approx $ap vs exact $ex exceeds 5%")
+    }
+  }
+
+  test("MinHash-LSH near-dup output ⊇ exact Jaccard pairs at J≥0.9 and ⊆ at J≥0.5") {
+    val exact = SparkEntry.queries("dedup_jaccard_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exact verification ⇒ no false positives at the 0.5 threshold
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh -- exact}")
+    // banding (32 perms × 4 rows) must not lose high-similarity pairs
+    val high = exact.filter(_._3 >= 0.9)
+    assert(high.subsetOf(lsh), s"LSH missed high-J pairs: ${high -- lsh}")
+  }
+
+  test("streaming watermark job drops held-back late events") {
+    val streamed = SparkEntry.queries("stream_watermark_late")(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    val total = T.events(spark, sf).count()
+    val late = T.events(spark, sf).filter(col("event_id") % 40 === 0).count()
+    assert(streamed < total, "no events were dropped")
+    // at least the on-time events survive
+    assert(streamed >= total - late, s"dropped more than the late set: $streamed")
+  }
+
+  test("streaming dedup removes every reinjected duplicate") {
+    val streamed = SparkEntry.queries("stream_dedup_stateful")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = T.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      s"streaming dedup counts $streamed != batch counts $batch")
+  }
+
+  test("streaming stateful per-user counts equal batch counts") {
+    val streamed = SparkEntry.queries("stream_stateful_count")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = T.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+}

@@ -16,13 +16,20 @@ object TextOps {
   def tokens(c: Column): Column = split(c, " ")
 
   /** adjacent k-token shingles as strings, e.g. "a b c" for k=3;
-    * empty array when the doc has fewer than k tokens (Spark `sequence`
-    * would otherwise count DOWN for a negative span).
+    * empty array when the doc has fewer than k tokens.
+    *
+    * Built as zip_with over k shifted slices rather than
+    * `transform(sequence…, i => element_at(toks, i+o))`: higher-order
+    * lambdas are interpreted, so an element_at(split(...)) INSIDE the
+    * lambda re-tokenizes the whole string per element (measured 10×
+    * slowdown); slices evaluate the token array once per row.
     */
-  def shingles(toks: Column, k: Int): Column =
-    when(size(toks) < k, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o + 1)): _*)))
+  def shingles(toks: Column, k: Int): Column = {
+    val n = size(toks) - (k - 1) // number of shingles
+    val parts = (0 until k).map(o => slice(toks, lit(o + 1), n))
+    val joined = parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    when(size(toks) < k, array().cast("array<string>")).otherwise(joined)
+  }
 
   /** 60-bit portable hash of a string column (Spark side). */
   def md5Long(c: Column): Column =

@@ -15,10 +15,19 @@ object VectorOps {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
+
   def norm(v: Column): Column = sqrt(dot(v, v))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** unit-normalized copy — lets pair joins pay one dot per pair
+    * instead of dot + two norms (cosine(a,b) == dot(unit(a), unit(b))).
+    */
+  def unit(v: Column): Column = {
+    val n = norm(v)
+    transform(v, _ / n)
+  }
 
   /** dot product against a constant integer coefficient vector. */
   def dotConst(v: Column, coefs: Seq[Int]): Column =

@@ -32,24 +32,27 @@ object DedupQueries extends QueryPack {
     }),
 
     "dedup_jaccard_pairs" -> ((s, d) => {
-      // near-dup pairs with exact 3-shingle Jaccard ≥ 0.5. Candidates
-      // come from an inverted shingle index (pairs must share ≥1 shingle
-      // — complete, unlike LSH banding), then exact verification.
+      // near-dup pairs with exact 3-shingle Jaccard ≥ 0.5 via an
+      // inverted shingle index (complete: J>0 pairs must share a
+      // shingle). |a∩b| falls straight out of the index join as the
+      // shared-shingle count, so Jaccard needs only the two set sizes —
+      // no array re-join, no per-pair set intersection. One shuffle on
+      // shingle, one on (a,b), two broadcast joins of the tiny size
+      // table.
       val docs = T.documents(s, d)
         .select(col("doc_id"), array_distinct(
           TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
       val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-      val cand = inv.as("x").join(inv.as("y"),
+      val inter = inv.as("x").join(inv.as("y"),
           col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      val withSets = cand
-        .join(docs.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
-        .join(docs.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
-      withSets
-        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
-        .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("double"))
-        .withColumn("j", round(col("inter") / col("uni"), 4))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.toDF("a", "sza")), "a")
+        .join(broadcast(sizes.toDF("b", "szb")), "b")
+        .withColumn("j", round(col("inter").cast("double")
+          / (col("sza") + col("szb") - col("inter")), 4))
         .filter(col("j") >= 0.5)
         .select("a", "b", "j")
         .orderBy("a", "b")
@@ -85,8 +88,8 @@ object DedupQueries extends QueryPack {
           TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
         .filter(size(col("sh")) > 0)
         .withColumn("hashes", transform(col("sh"), TextOps.md5Long(_)))
-        .withColumn("sig", MinHashLSH.signature(col("hashes"), 32))
-      val cand = MinHashLSH.candidates(docs, "doc_id", "sig", 32, 4)
+        .withColumn("sig", MinHashLSH.signature(col("hashes"), 16))
+      val cand = MinHashLSH.candidates(docs, "doc_id", "sig", 16, 2)
       val sets = docs.select(col("doc_id"), col("sh"))
       cand
         .join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")

@@ -25,14 +25,15 @@ object SimQueries extends QueryPack {
       // global top-20 most-similar pairs with a probe side capped at
       // vec_id < 200 (brute-force baseline; ordering on the ROUNDED sim
       // + (a,b) tie-break keeps the cutoff engine-deterministic).
+      // Vectors are unit-normalized ONCE so each pair costs one dot.
       val e = T.embeddings(s, d)
-        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), VectorOps.unit(VectorOps.toDouble(col("embedding"))).as("v"))
       val probes = e.filter(col("vec_id") < 200)
         .select(col("vec_id").as("a"), col("v").as("va"))
       val all = e.select(col("vec_id").as("b"), col("v").as("vb"))
       probes.join(all, col("a") < col("b"))
         .select(col("a"), col("b"),
-          round(VectorOps.cosine(col("va"), col("vb")), 4).as("sim"))
+          round(VectorOps.dot(col("va"), col("vb")), 4).as("sim"))
         .orderBy(col("sim").desc, col("a"), col("b"))
         .limit(20)
     }),
@@ -42,8 +43,9 @@ object SimQueries extends QueryPack {
       // 8-bit sign bucket (shuffle on bucket ≡ blocking), then exact
       // cosine re-rank, top-3 per probe.
       val e = T.embeddings(s, d)
-        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
-        .withColumn("bucket", VectorOps.lshBucket(col("v"), PLANES, DIM))
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("raw"))
+        .withColumn("bucket", VectorOps.lshBucket(col("raw"), PLANES, DIM))
+        .withColumn("v", VectorOps.unit(col("raw")))
       val probes = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("a"), col("v").as("va"), col("bucket"))
       val cands = e.select(col("vec_id").as("b"), col("v").as("vb"), col("bucket"))
@@ -51,7 +53,7 @@ object SimQueries extends QueryPack {
       probes.join(cands, Seq("bucket"))
         .filter(col("a") =!= col("b"))
         .select(col("a"), col("b"),
-          round(VectorOps.cosine(col("va"), col("vb")), 4).as("sim"))
+          round(VectorOps.dot(col("va"), col("vb")), 4).as("sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("a", "rank", "b", "sim")
@@ -61,12 +63,12 @@ object SimQueries extends QueryPack {
     "dedup_embedding" -> ((s, d) => {
       // embedding-cosine near-dup pairs (threshold tuned to the corpus).
       val e = T.embeddings(s, d)
-        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), VectorOps.unit(VectorOps.toDouble(col("embedding"))).as("v"))
       val a = e.select(col("vec_id").as("a"), col("v").as("va"))
       val b = e.select(col("vec_id").as("b"), col("v").as("vb"))
       a.join(b, col("a") < col("b"))
         .select(col("a"), col("b"),
-          round(VectorOps.cosine(col("va"), col("vb")), 4).as("sim"))
+          round(VectorOps.dot(col("va"), col("vb")), 4).as("sim"))
         .filter(col("sim") >= 0.35)
         .orderBy("a", "b")
     }),

@@ -42,7 +42,7 @@ object StreamingJobs {
 
   private def runToCompletion(spark: SparkSession, sfDir: String,
       sinkName: String, build: MemoryStream[Event] => DataFrame,
-      outputMode: OutputMode, chunks: Int = 8,
+      outputMode: OutputMode, chunks: Int = 4,
       reorder: Seq[Seq[Event]] => Seq[Seq[Event]] = identity): DataFrame = {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -33,7 +33,7 @@ object SimQueries extends QueryPack {
       val all = e.select(col("vec_id").as("b"), col("v").as("vb"))
       probes.join(all, col("a") < col("b"))
         .select(col("a"), col("b"),
-          round(VectorOps.dot(col("va"), col("vb")), 4).as("sim"))
+          round(graft.GraftFunctions.dotCol(s, col("va"), col("vb")), 4).as("sim"))
         .orderBy(col("sim").desc, col("a"), col("b"))
         .limit(20)
     }),
@@ -53,7 +53,7 @@ object SimQueries extends QueryPack {
       probes.join(cands, Seq("bucket"))
         .filter(col("a") =!= col("b"))
         .select(col("a"), col("b"),
-          round(VectorOps.dot(col("va"), col("vb")), 4).as("sim"))
+          round(graft.GraftFunctions.dotCol(s, col("va"), col("vb")), 4).as("sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("a", "rank", "b", "sim")
@@ -68,7 +68,7 @@ object SimQueries extends QueryPack {
       val b = e.select(col("vec_id").as("b"), col("v").as("vb"))
       a.join(b, col("a") < col("b"))
         .select(col("a"), col("b"),
-          round(VectorOps.dot(col("va"), col("vb")), 4).as("sim"))
+          round(graft.GraftFunctions.dotCol(s, col("va"), col("vb")), 4).as("sim"))
         .filter(col("sim") >= 0.35)
         .orderBy("a", "b")
     }),

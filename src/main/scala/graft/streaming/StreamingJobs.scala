@@ -48,6 +48,11 @@ object StreamingJobs {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[Event]
     val ckpt = Files.createTempDirectory(s"graft_ckpt_$sinkName").toString
+    // modest state-partition count for the local replay (the stream pins
+    // it from the session conf at first batch; state-store commit cost
+    // scales with partitions × batches). Restored after the run.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     // default micro-batch trigger: each addData+processAllAvailable pair
     // is one deterministic micro-batch (AvailableNow would stop before
     // the first addData).
@@ -61,7 +66,10 @@ object StreamingJobs {
         source.addData(chunk)
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.table(sinkName)
   }
 

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The native graft_dot Catalyst expression: correctness vs the HOF
+  * fold, null handling, and SQL-surface registration.
+  */
+class DotProductSpec extends SparkSpec {
+
+  test("graft_dot equals zip_with/aggregate fold bit-for-bit") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.1, -0.2), Array(0.3, 0.7)),
+      (Array.empty[Double], Array.empty[Double]))
+      .toDF("a", "b")
+    val got = df.select(
+      GraftFunctions.dotCol(spark, col("a"), col("b")).as("fast"),
+      graft.ops.VectorOps.dot(col("a"), col("b")).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+    assert(got(0).getDouble(0) == 32.0)
+  }
+
+  test("graft_dot is null-safe") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1.0)), None: Option[Array[Double]]))
+      .toDF("a", "b")
+    val r = df.select(GraftFunctions.dotCol(spark, col("a"), col("b"))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("graft_dot reachable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()(0)
+    assert(r.getDouble(0) == 11.0)
+  }
+
+  test("GraftExtensions registers graft_dot via injectFunction") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; descriptor is valid
+    val s2 = spark.newSession()
+    GraftFunctions.register(s2)
+    assert(s2.sql("SELECT graft_dot(array(2.0d), array(8.0d))").collect()(0).getDouble(0) == 16.0)
+  }
+}

@@ -38,4 +38,27 @@ object MapReduce {
       implicit kv: Encoder[(K, V)]): Dataset[(K, V)] =
     kvs.groupByKey(_._1).reduceGroups((a, b) => (a._1, f(a._2, b._2)))
       .map { case (_, v) => v }
+
+  /** Mimir `ctx.insert(k,v)`: inject app-side KV records. */
+  def insert[K, V](spark: org.apache.spark.sql.SparkSession, kvs: Seq[(K, V)])(
+      implicit kv: Encoder[(K, V)]): Dataset[(K, V)] = {
+    import spark.implicits._
+    spark.createDataset(kvs)
+  }
+
+  /** Mimir `ctx.scan(fn)`: per-record callback, executed where the data
+    * lives (Mimir ran it rank-local; Spark runs it executor-local).
+    */
+  def scan[T](ds: Dataset[T])(f: T => Unit): Unit =
+    ds.foreachPartition((it: Iterator[T]) => it.foreach(f))
+
+  /** Mimir `ctx.output(...)`: write KVs as text, one file per partition
+    * (≡ Mimir's one file per rank), tab-separated.
+    */
+  def output[K, V](kvs: Dataset[(K, V)], path: String): Unit = {
+    val spark = kvs.sparkSession
+    import spark.implicits._
+    kvs.map { case (k, v) => s"$k\t$v" }
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
+  }
 }

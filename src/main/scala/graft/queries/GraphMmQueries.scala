@@ -14,23 +14,24 @@ object GraphMmQueries extends QueryPack {
 
   val queries: Map[String, QueryFn] = Map(
     "graph_bfs_levels" -> ((s, d) => {
-      // Mimir BFS-app equivalent: fixed 3-level expansion from the
-      // AMERICA region through nation to customer — each level is one
-      // broadcast/hash join (level-synchronous BFS ≡ iterated joins).
-      val root = T.region(s, d).filter(col("r_name") === "AMERICA")
-        .select(col("r_regionkey"))
-      val l0 = root.select(lit("region").as("node_kind"),
-        col("r_regionkey").cast("long").as("node_key"), lit(0).as("level"))
-      val nations = T.nation(s, d)
-        .join(broadcast(root), col("n_regionkey") === col("r_regionkey"))
-      val l1 = nations.select(lit("nation").as("node_kind"),
-        col("n_nationkey").cast("long").as("node_key"), lit(1).as("level"))
-      val l2 = T.customer(s, d)
-        .join(broadcast(nations.select(col("n_nationkey"))),
-          col("c_nationkey") === col("n_nationkey"))
-        .select(lit("customer").as("node_kind"),
-          col("c_custkey").as("node_key"), lit(2).as("level"))
-      l0.unionAll(l1).unionAll(l2).orderBy("level", "node_kind", "node_key")
+      // Mimir BFS-app equivalent, run through the REAL level-synchronous
+      // BFS operator (graft.ops.BFS): edges are region→nation→customer
+      // with kind-prefixed node ids; iteration stops at fixpoint (3
+      // levels on this DAG — matching the oracle's fixed expansion).
+      val rn = T.nation(s, d).select(
+        concat(lit("region:"), col("n_regionkey")).as("src"),
+        concat(lit("nation:"), col("n_nationkey")).as("dst"))
+      val nc = T.customer(s, d).select(
+        concat(lit("nation:"), col("c_nationkey")).as("src"),
+        concat(lit("customer:"), col("c_custkey")).as("dst"))
+      val roots = T.region(s, d).filter(col("r_name") === "AMERICA")
+        .select(concat(lit("region:"), col("r_regionkey")).as("node"))
+      graft.ops.BFS.levels(rn.unionAll(nc), roots)
+        .select(
+          substring_index(col("node"), ":", 1).as("node_kind"),
+          substring_index(col("node"), ":", -1).cast("long").as("node_key"),
+          col("level"))
+        .orderBy("level", "node_kind", "node_key")
     }),
 
     "multimodal_join" -> ((s, d) => {

@@ -40,6 +40,15 @@ object ScanQueries extends QueryPack {
         StructField("r_regionkey", IntegerType),
         StructField("r_name", StringType)))
       s.read.schema(schema).json(tmp).orderBy("r_regionkey")
+    }),
+
+    "scan_text_roundtrip" -> ((s, d) => {
+      // Mimir's native source/sink was chunked text files; write the
+      // corpus as raw text, read it back line-oriented.
+      val tmp = Files.createTempDirectory("graft_text_").toString
+      T.documents(s, d).select(col("text")).write
+        .mode(SaveMode.Overwrite).text(tmp)
+      s.read.text(tmp).select(col("value")).orderBy("value")
     })
   )
 
@@ -49,6 +58,8 @@ object ScanQueries extends QueryPack {
     "scan_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_json_roundtrip" ->
-      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "scan_text_roundtrip" ->
+      "SELECT text AS value FROM documents ORDER BY value"
   )
 }

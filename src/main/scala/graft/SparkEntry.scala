@@ -19,6 +19,7 @@ object SparkEntry {
     DedupQueries,
     SimQueries,
     GraphMmQueries,
+    MiscQueries,
     StreamingStatefulQueries,
   )
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -73,6 +73,49 @@ object SimQueries extends QueryPack {
         .orderBy("a", "b")
     }),
 
+    "sim_ann_ivf" -> ((s, d) => {
+      // IVF-style ANN: coarse quantization to the nearest of 10 cell
+      // centroids (the per-label mean vectors — deterministic "k-means"
+      // for the oracle), inverted-list search within the assigned cell,
+      // exact cosine re-rank, top-3 per probe. At scale the cell join
+      // replaces the O(n²) pair space with per-cell blocks, like the
+      // LSH variant but with data-adaptive cells.
+      graft.GraftFunctions.register(s)
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), col("label"), VectorOps.toDouble(col("embedding")).as("v"))
+      // centroid per label, dimension-ordered
+      val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos").agg(avg("x").as("av"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("av")))),
+          _.getField("av")).as("c"))
+        .select(col("label").as("c_label"), col("c"))
+      // assign each vector to its nearest centroid (rounded-L2 argmin,
+      // label tie-break — deterministic in both engines)
+      val d2 = round(
+        expr("graft_dot(v, v)") - lit(2.0) * expr("graft_dot(v, c)")
+          + expr("graft_dot(c, c)"), 6).as("d2")
+      val aw = Window.partitionBy("vec_id").orderBy(col("d2"), col("c_label"))
+      val assigned = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("v"), col("c_label"), d2)
+        .withColumn("arn", row_number().over(aw))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), VectorOps.unit(col("v")).as("u"), col("c_label").as("cell"))
+      val probes = assigned.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("a"), col("u").as("ua"), col("cell"))
+      val cands = assigned
+        .select(col("vec_id").as("b"), col("u").as("ub"), col("cell"))
+      val w = Window.partitionBy("a").orderBy(col("sim").desc, col("b"))
+      probes.join(cands, Seq("cell"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          round(expr("graft_dot(ua, ub)"), 4).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("a", "rank", "b", "sim")
+        .orderBy("a", "rank")
+    }),
+
     "sim_embedding_norms" -> ((s, d) => {
       T.embeddings(s, d)
         .select(col("label"), VectorOps.norm(VectorOps.toDouble(col("embedding"))).as("nrm"))
@@ -114,6 +157,33 @@ object SimQueries extends QueryPack {
          |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin,
 
     "sim_ann_lsh" -> annSql,
+
+    "sim_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, $vd AS v FROM embeddings),
+         |ex AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+         |cent AS (
+         |  SELECT label AS c_label, list(av ORDER BY pos) AS c
+         |  FROM (SELECT label, pos, AVG(x) AS av FROM ex GROUP BY label, pos)
+         |  GROUP BY label),
+         |assigned AS (
+         |  SELECT vec_id, v, c_label AS cell,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS arn
+         |  FROM (SELECT e.vec_id, e.v, cent.c_label,
+         |               ROUND(list_dot_product(e.v, e.v)
+         |                     - 2.0 * list_dot_product(e.v, cent.c)
+         |                     + list_dot_product(cent.c, cent.c), 6) AS d2
+         |        FROM e CROSS JOIN cent)),
+         |cells AS (SELECT vec_id, v, cell FROM assigned WHERE arn = 1),
+         |pairs AS (
+         |  SELECT p.vec_id AS a, c.vec_id AS b,
+         |         ROUND(list_cosine_similarity(p.v, c.v), 4) AS sim
+         |  FROM cells p JOIN cells c ON p.cell = c.cell AND p.vec_id <> c.vec_id
+         |  WHERE p.vec_id < 100),
+         |ranked AS (
+         |  SELECT a, b, sim,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b) AS INT) AS rank
+         |  FROM pairs)
+         |SELECT a, rank, b, sim FROM ranked WHERE rank <= 3 ORDER BY a, rank""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings)

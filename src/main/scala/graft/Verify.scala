@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // default INT96 timestamp output is kept deliberately: it
+      // serializes naive wall-clock values, matching the oracle's naive
+      // TIMESTAMPs when the driver re-reads the dumps (TIMESTAMP_MICROS
+      // would tag isAdjustedToUTC=true and read back tz-aware).
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

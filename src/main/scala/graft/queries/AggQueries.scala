@@ -64,8 +64,8 @@ object AggQueries extends QueryPack {
       T.orders(s, d)
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          grouping(col("o_orderstatus")).as("g_status"),
-          grouping(col("o_orderpriority")).as("g_prio"))
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -77,8 +77,8 @@ object AggQueries extends QueryPack {
       T.lineitem(s, d)
         .cube("l_returnflag", "l_linestatus")
         .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"),
-          grouping(col("l_returnflag")).as("g_rf"),
-          grouping(col("l_linestatus")).as("g_ls"))
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),

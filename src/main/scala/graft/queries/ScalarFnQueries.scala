@@ -128,7 +128,7 @@ object ScalarFnQueries extends QueryPack {
         |       CAST(QUARTER(o_orderdate) AS INT) AS qtr,
         |       CAST(MONTH(o_orderdate) AS INT) AS mo,
         |       CAST(ISODOW(o_orderdate) AS INT) AS dow_iso,
-        |       DATE_TRUNC('month', o_orderdate) AS month_start,
+        |       CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
         |       CAST(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
         |       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m
         |FROM orders ORDER BY o_orderkey""".stripMargin,

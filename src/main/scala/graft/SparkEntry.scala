@@ -20,6 +20,7 @@ object SparkEntry {
     SimQueries,
     GraphMmQueries,
     MiscQueries,
+    ScaleQueries,
     StreamingStatefulQueries,
   )
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys (SURVEY.md §7.4.5): a hot key that
+  * would land a whole shuffle partition on one task is split across
+  * `salts` sub-partitions; the build side is replicated once per salt.
+  *
+  * The salt on the probe side must spread ROWS of the same key, so it
+  * hashes the probe's full row id-ish columns (deterministic — no
+  * rand()). Result is row-identical to a plain join: each probe row
+  * meets each matching build row exactly once (the build row carrying
+  * the probe's salt).
+  *
+  * AQE's skew-join split handles sort-merge skew automatically at
+  * runtime; explicit salting remains the tool when AQE can't see the
+  * skew (e.g. aggregation-after-join pipelines or non-SMJ plans).
+  */
+object SkewJoin {
+
+  def saltedEquiJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String, salts: Int, probeSpread: Seq[String]): DataFrame = {
+    val spreadCols: Seq[Column] = probeSpread.map(col)
+    val salted = probe.withColumn("__salt",
+      pmod(hash(spreadCols: _*), lit(salts)))
+    val replicated = build.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated,
+        salted("__salt") === replicated("__salt") &&
+          col(probeKey) === col(buildKey))
+      .drop("__salt")
+  }
+}

@@ -24,7 +24,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             # compare at µs granularity (Spark writes µs)
             s = pd.to_datetime(s).dt.floor("us")
         elif pd.api.types.is_float_dtype(s):
-            s = s.round(6)
+            s = s.round(9)
         elif pd.api.types.is_integer_dtype(s):
             s = s.astype("Int64")
         elif s.dtype == object:
@@ -67,7 +67,7 @@ def main():
             if pd.api.types.is_float_dtype(e) or pd.api.types.is_float_dtype(a):
                 ef = pd.to_numeric(e, errors="coerce").astype(float)
                 af = pd.to_numeric(a, errors="coerce").astype(float)
-                neq = ~((ef.isna() & af.isna()) | (abs(ef - af) <= 1e-6))
+                neq = ~((ef.isna() & af.isna()) | (abs(ef - af) <= 1e-9))
             else:
                 neq = ~((e.isna() & a.isna()) | (e.astype(str) == a.astype(str)))
             if neq.any():

@@ -14,8 +14,23 @@ object StreamingStatefulQueries extends QueryPack {
   val queries: Map[String, QueryFn] = Map(
     "stream_watermark_late" -> ((s, d) => StreamingJobs.watermarkLate(s, d)),
     "stream_dedup_stateful" -> ((s, d) => StreamingJobs.dedupStateful(s, d)),
-    "stream_stateful_count" -> ((s, d) => StreamingJobs.statefulCount(s, d))
+    "stream_stateful_count" -> ((s, d) => StreamingJobs.statefulCount(s, d)),
+    "stream_stream_join" -> ((s, d) => StreamingJobs.streamStreamJoin(s, d))
   )
 
-  val oracleSql: Map[String, String] = Map.empty
+  /** The inner stream–stream join IS oracled: inner joins emit matches
+    * as soon as both sides arrive (no watermark wait), and the in-order
+    * replay keeps every needed click in state (10-min join window <
+    * 30-min watermark), so the result equals the batch interval join
+    * exactly. The other three rows stay TEST-only (trigger-dependent).
+    */
+  val oracleSql: Map[String, String] = Map(
+    "stream_stream_join" ->
+      """SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTES AND c.ts < p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+  )
 }

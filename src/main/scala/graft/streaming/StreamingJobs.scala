@@ -125,6 +125,32 @@ object StreamingJobs {
     out.orderBy("event_type")
   }
 
+  /** stream–stream interval join: purchases joined to the same user's
+    * clicks within the preceding 10 minutes. Both sides are watermarked
+    * so Spark can bound the join state; the time-range predicate gives
+    * the state eviction condition. Counted per user for a stable
+    * summary (the batch interval join is the semantic reference,
+    * asserted in ScalaTest).
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = runToCompletion(spark, sfDir, "ss_join", { src =>
+      val ev = src.toDF()
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "30 minutes")
+      buys.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") < col("p_ts"))
+    }, OutputMode.Append())
+    out.groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   case class UserState(n: Long, lastSeenUs: Long)
   case class UserCount(user_id: Long, n: Long, last_seen_us: Long)
 

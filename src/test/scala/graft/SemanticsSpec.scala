@@ -53,6 +53,20 @@ class SemanticsSpec extends SparkSpec {
       s"streaming dedup counts $streamed != batch counts $batch")
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = SparkEntry.queries("stream_stream_join")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = T.events(spark, sf)
+    val batch = ev.as("p").filter(col("p.event_type") === "purchase")
+      .join(ev.as("c").filter(col("c.event_type") === "click"),
+        col("p.user_id") === col("c.user_id") &&
+          col("c.ts") >= col("p.ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c.ts") < col("p.ts"))
+      .groupBy(col("p.user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming stateful per-user counts equal batch counts") {
     val streamed = SparkEntry.queries("stream_stateful_count")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -15,7 +15,8 @@ object StreamingStatefulQueries extends QueryPack {
     "stream_watermark_late" -> ((s, d) => StreamingJobs.watermarkLate(s, d)),
     "stream_dedup_stateful" -> ((s, d) => StreamingJobs.dedupStateful(s, d)),
     "stream_stateful_count" -> ((s, d) => StreamingJobs.statefulCount(s, d)),
-    "stream_stream_join" -> ((s, d) => StreamingJobs.streamStreamJoin(s, d))
+    "stream_stream_join" -> ((s, d) => StreamingJobs.streamStreamJoin(s, d)),
+    "stream_tws_agg" -> ((s, d) => StreamingJobs.transformWithStateAgg(s, d))
   )
 
   /** The inner stream–stream join IS oracled: inner joins emit matches
@@ -31,6 +32,14 @@ object StreamingStatefulQueries extends QueryPack {
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 10 MINUTES AND c.ts < p.ts
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
-        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+
+    // transformWithState running aggregate: the final state equals the
+    // batch aggregate (counts/sums fold the same rows), so it hash-
+    // matches a plain GROUP BY oracle despite streaming execution.
+    "stream_tws_agg" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS sv
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -151,6 +151,72 @@ object StreamingJobs {
       .orderBy("user_id")
   }
 
+  case class TypeAgg(event_type: String, n: Long, sv: Double)
+
+  /** Spark 4 `transformWithState` variant of arbitrary state: a
+    * StatefulProcessor with a typed ValueState keeps running
+    * (count, Σvalue) per event_type and emits the updated aggregate
+    * every batch. Same operator family as mapGroupsWithState but with
+    * composable state handles (the forward-looking API).
+    */
+  private class TypeAggProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, TypeAgg] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      state = getHandle.getValueState[(Long, Double)]("agg",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeAgg] = {
+      val prev = Option(state.get()).getOrElse((0L, 0.0))
+      val next = rows.foldLeft(prev) { case ((n, sv), e) => (n + 1L, sv + e.value) }
+      state.update(next)
+      Iterator(TypeAgg(key, next._1, next._2))
+    }
+  }
+
+  /** running per-type aggregates via the transformWithState API; the
+    * final per-type row (max count) is the steady state.
+    */
+  def transformWithStateAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store provider —
+    // which is also the provider a 100 TB deployment runs for
+    // larger-than-memory state. Scoped to this query, then restored.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = runToCompletion(spark, sfDir, "tws_agg", { src =>
+        src.toDS()
+          .groupByKey(_.event_type)
+          .transformWithState(new TypeAggProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+          .toDF()
+      }, OutputMode.Update())
+      // final state per type = the update with the largest count
+      // (counts are strictly monotone per update)
+      out.groupBy("event_type")
+        .agg(max(struct(col("n"), col("sv"))).as("m"))
+        .select(col("event_type"), col("m.n").as("n"),
+          round(col("m.sv"), 2).as("sv"))
+        .orderBy("event_type")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   case class UserState(n: Long, lastSeenUs: Long)
   case class UserCount(user_id: Long, n: Long, last_seen_us: Long)
 

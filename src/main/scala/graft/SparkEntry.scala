@@ -20,6 +20,7 @@ object SparkEntry {
     SimQueries,
     GraphMmQueries,
     MiscQueries,
+    ExtQueries,
     ScaleQueries,
     StreamingStatefulQueries,
   )

@@ -1,0 +1,239 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables => T}
+
+/** Round-1 breadth extensions (SURVEY.md §2B additions):
+  *
+  *   - ORC source/sink roundtrip (the other columnar format Spark ships)
+  *   - scalar + correlated subqueries (Catalyst decorrelation:
+  *     RewriteCorrelatedScalarSubquery turns them into aggregate+join —
+  *     the shape that scales, vs a per-row re-scan)
+  *   - pivot (conditional aggregation; one shuffle, map-side partials)
+  *   - higher-order array lambdas (filter/transform/aggregate/exists —
+  *     all codegen-free but expression-tree-native, no UDF)
+  *   - corr/covar bivariate stats (single-pass partial+final aggregation)
+  *   - levenshtein edit distance
+  *   - time-series hourly gap-fill (sequence+explode grid, left join —
+  *     the grid is tiny (types × hours) so Spark broadcasts it)
+  *   - 7-day moving revenue window (exact DECIMAL window sum)
+  *   - deterministic hash sampling (portable md5-derived bucket: the
+  *     scale-out way to sample reproducibly across engines/runs,
+  *     unlike rand()-based TABLESAMPLE)
+  *   - Spark 4 VARIANT JSON path (parse_json/variant_get) checked
+  *     against DuckDB's json_extract
+  */
+object ExtQueries extends QueryPack {
+
+  /** Portable engine-independent 60-bit hash of a string (SURVEY §7.4):
+    * Spark `conv(substring(md5(x),1,15),16,10)` equals DuckDB
+    * `CAST('0x'||substring(md5(x),1,15) AS BIGINT)`.
+    */
+  private def md5Bucket(colSql: String, buckets: Int): String =
+    s"CAST(conv(substring(md5($colSql), 1, 15), 16, 10) AS BIGINT) % $buckets"
+
+  val queries: Map[String, QueryFn] = Map(
+    "scan_orc_roundtrip" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft_orc_").toString
+      T.supplier(s, d).write.mode(SaveMode.Overwrite).orc(tmp)
+      s.read.orc(tmp).orderBy("s_suppkey")
+    }),
+
+    "subquery_scalar" -> ((s, d) => {
+      T.orders(s, d).createOrReplaceTempView("ext_orders")
+      s.sql("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+              |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+              |FROM ext_orders
+              |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM ext_orders)
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    "subquery_correlated" -> ((s, d) => {
+      // correlated scalar subquery; Catalyst decorrelates to an
+      // aggregate-then-join — one shuffle on the correlation key.
+      T.customer(s, d).createOrReplaceTempView("ext_customer")
+      s.sql("""SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_above,
+              |       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS bal_above
+              |FROM ext_customer c
+              |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM ext_customer c2
+              |                   WHERE c2.c_nationkey = c.c_nationkey)
+              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+    }),
+
+    "agg_pivot" -> ((s, d) => {
+      // explicit pivot values => no extra distinct-values job at scale
+      val p = T.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .count()
+      p.select(col("o_orderstatus"),
+          coalesce(col("`1-URGENT`"), lit(0L)).as("p1_urgent"),
+          coalesce(col("`2-HIGH`"), lit(0L)).as("p2_high"),
+          coalesce(col("`3-MEDIUM`"), lit(0L)).as("p3_medium"),
+          coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("p4_notspec"),
+          coalesce(col("`5-LOW`"), lit(0L)).as("p5_low"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "fn_higher_order" -> ((s, d) => {
+      T.documents(s, d)
+        .withColumn("tokens", split(col("text"), " "))
+        .select(col("doc_id"),
+          expr("CAST(size(filter(tokens, x -> length(x) > 3)) AS BIGINT)").as("n_long"),
+          expr("aggregate(transform(tokens, x -> CAST(length(x) AS BIGINT)), 0L, (a, x) -> a + x)").as("sum_len"),
+          expr("exists(tokens, x -> x = 'the')").as("has_the"))
+        .orderBy("doc_id")
+    }),
+
+    "agg_corr" -> ((s, d) => {
+      T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("r"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_s"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("cov_p"))
+        .orderBy("l_returnflag")
+    }),
+
+    "fn_levenshtein" -> ((s, d) => {
+      T.part(s, d)
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), lit("forest green")).as("lev_fixed"),
+          levenshtein(col("p_name"), col("p_brand")).as("lev_brand"))
+        .orderBy("p_partkey")
+    }),
+
+    "ts_gapfill" -> ((s, d) => {
+      // hourly grid per event_type spanning [min,max] hour, zero-filled.
+      // The grid (types × hours) is tiny relative to the fact side at any
+      // scale, so the join broadcasts; counts aggregate before joining.
+      val ev = T.events(s, d)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      val counts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+      val grid = ev.groupBy("event_type")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      grid.join(counts, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("event_type", "h")
+    }),
+
+    "win_moving_sum" -> ((s, d) => {
+      // daily revenue + 7-day trailing window, all in exact DECIMAL
+      val daily = T.orders(s, d)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("rev_dec"))
+      val w = Window.orderBy("d").rowsBetween(-6, 0)
+      daily.select(col("d"),
+          col("rev_dec").cast("double").as("rev"),
+          sum(col("rev_dec")).over(w).cast("double").as("mv7"))
+        .orderBy("d")
+    }),
+
+    "sample_hash" -> ((s, d) => {
+      // reproducible 5% sample: portable md5 bucket of the key — the
+      // deterministic, engine-independent alternative to TABLESAMPLE
+      T.orders(s, d)
+        .filter(expr(md5Bucket("CAST(o_orderkey AS STRING)", 20) + " = 0"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "fn_variant" -> ((s, d) => {
+      // Spark 4 VARIANT: parse once, typed path extraction — the open
+      // JSON column pattern for semi-structured data at scale
+      T.events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_val"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k_val").as("sum_k"))
+        .orderBy("event_type")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "scan_orc_roundtrip" ->
+      "SELECT * FROM supplier ORDER BY s_suppkey",
+
+    "subquery_scalar" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "subquery_correlated" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_above,
+        |       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS bal_above
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT o_orderstatus,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS p1_urgent,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS p2_high,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS p3_medium,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_notspec,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS p5_low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "fn_higher_order" ->
+      """SELECT doc_id,
+        |       CAST(length(list_filter(string_split(text, ' '), x -> length(x) > 3)) AS BIGINT) AS n_long,
+        |       CAST(list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'sum') AS BIGINT) AS sum_len,
+        |       list_contains(string_split(text, ' '), 'the') AS has_the
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "agg_corr" ->
+      """SELECT l_returnflag,
+        |       ROUND(corr(l_quantity, l_extendedprice), 4) AS r,
+        |       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_s,
+        |       ROUND(covar_pop(l_quantity, l_extendedprice), 2) AS cov_p
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "fn_levenshtein" ->
+      """SELECT p_partkey,
+        |       levenshtein(p_name, 'forest green') AS lev_fixed,
+        |       levenshtein(p_name, p_brand) AS lev_brand
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "ts_gapfill" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |     s AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM c GROUP BY 1),
+        |     g AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM s)
+        |SELECT g.event_type, g.h, CAST(COALESCE(cnt, 0) AS BIGINT) AS n
+        |FROM g LEFT JOIN c USING (event_type, h)
+        |ORDER BY g.event_type, g.h""".stripMargin,
+
+    "win_moving_sum" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+        |  FROM orders GROUP BY 1)
+        |SELECT d, CAST(rev_dec AS DOUBLE) AS rev,
+        |       CAST(SUM(rev_dec) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv7
+        |FROM daily ORDER BY d""".stripMargin,
+
+    "sample_hash" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 20 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "fn_variant" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

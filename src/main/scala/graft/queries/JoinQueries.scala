@@ -136,6 +136,29 @@ object JoinQueries extends QueryPack {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
+    }),
+
+    "join_interval_bucketed" -> ((s, d) => {
+      // Same semantics as join_interval, restructured for scale: bucket
+      // timestamps into 10-minute cells and join on (user, cell) with the
+      // left side duplicated into its own cell and the next one — every
+      // qualifying pair (b.ts in (a.ts, a.ts+10m]) lands in exactly one
+      // of the two cells, so the equi-join is exact after the range
+      // filter. Turns a per-user range cross-join (O(k²) per user, skew
+      // hostage) into a keyed hash join whose buckets stay small no
+      // matter how active a user is.
+      val ev = T.events(s, d).select(col("user_id"), col("ts"),
+        floor(unix_micros(col("ts")) / lit(600000000L)).as("cell"))
+      val a = ev.select(col("user_id"), col("ts").as("a_ts"),
+          explode(array(col("cell"), col("cell") + 1)).as("jcell"))
+      val b = ev.select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+          col("cell").as("b_cell"))
+      a.join(b, col("user_id") === col("b_user") && col("jcell") === col("b_cell") &&
+          col("a_ts") < col("b_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
     })
   )
 
@@ -218,6 +241,13 @@ object JoinQueries extends QueryPack {
         |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
 
     "join_interval" ->
+      """SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.ts < b.ts AND b.ts <= a.ts + INTERVAL 10 MINUTES
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+
+    "join_interval_bucketed" ->
       """SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id

@@ -75,4 +75,12 @@ class SemanticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed == batch)
   }
+
+  test("bucketed interval join ≡ naive range self-join, pair for pair") {
+    val naive = SparkEntry.queries("join_interval")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucketed = SparkEntry.queries("join_interval_bucketed")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bucketed == naive)
+  }
 }

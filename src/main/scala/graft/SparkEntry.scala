@@ -21,6 +21,7 @@ object SparkEntry {
     GraphMmQueries,
     MiscQueries,
     ExtQueries,
+    Ext2Queries,
     ScaleQueries,
     StreamingStatefulQueries,
   )

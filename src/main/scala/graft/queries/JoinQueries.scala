@@ -45,7 +45,9 @@ object JoinQueries extends QueryPack {
         .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
           round(col("l_extendedprice"), 2).as("price"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is not unique — price completes the
+        // order over everything emitted, so remaining ties are identical rows
+        .orderBy("l_orderkey", "l_linenumber", "price")
     }),
 
     "join_left_outer" -> ((s, d) => {
@@ -185,7 +187,7 @@ object JoinQueries extends QueryPack {
       """SELECT l_orderkey, l_linenumber, o_custkey,
         |       ROUND(l_extendedprice, 2) AS price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, price""".stripMargin,
 
     "join_left_outer" ->
       """SELECT c_custkey,

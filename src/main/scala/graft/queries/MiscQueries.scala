@@ -53,7 +53,9 @@ object MiscQueries extends QueryPack {
           (col("l_orderkey").bitwiseXOR(col("l_suppkey"))).as("b_xor"),
           shiftleft(col("l_linenumber").cast("long"), 3).as("b_shl"),
           shiftright(col("l_orderkey"), 2).as("b_shr"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // b_and/b_xor break the non-unique (orderkey, linenumber) ties;
+        // every other output is a function of the sort keys
+        .orderBy("l_orderkey", "l_linenumber", "b_and", "b_xor")
     }),
 
     "sink_partitioned_pruning" -> ((s, d) => {
@@ -100,7 +102,7 @@ object MiscQueries extends QueryPack {
         |       xor(l_orderkey, l_suppkey) AS b_xor,
         |       CAST(l_linenumber AS BIGINT) << 3 AS b_shl,
         |       l_orderkey >> 2 AS b_shr
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, b_and, b_xor""".stripMargin,
 
     "sink_partitioned_pruning" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,

@@ -18,7 +18,9 @@ object ProjectFilterQueries extends QueryPack {
           col("l_orderkey"), col("l_linenumber"),
           expr(graft.Sql.lineNet).as("net"),
           expr(graft.Sql.qtyTax).as("qty_tax"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // net/qty_tax break the non-unique (orderkey, linenumber) ties
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("net"), col("qty_tax"))
     }),
 
     "filter_pred" -> ((s, d) => {
@@ -48,7 +50,7 @@ object ProjectFilterQueries extends QueryPack {
       s"""SELECT l_orderkey, l_linenumber,
         |       ${graft.Sql.lineNet} AS net,
         |       ${graft.Sql.qtyTax} AS qty_tax
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, net, qty_tax""".stripMargin,
 
     "filter_pred" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority

@@ -56,7 +56,9 @@ object ScalarFnQueries extends QueryPack {
         pmod(col("l_orderkey"), lit(7)).as("key_mod"),
         signum(col("l_discount") - 0.05).cast("int").as("sgn"),
         round(abs(col("l_discount") - 0.05), 4).as("absd"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // sqrt_p/qty_sq/absd/tax_f break the non-unique (orderkey,
+        // linenumber) ties; the rest are functions of these
+        .orderBy("l_orderkey", "l_linenumber", "sqrt_p", "qty_sq", "absd", "tax_f")
     }),
 
     "fn_case_null" -> ((s, d) => {
@@ -144,7 +146,7 @@ object ScalarFnQueries extends QueryPack {
         |       ((l_orderkey % 7) + 7) % 7 AS key_mod,
         |       CAST(SIGN(l_discount - 0.05) AS INT) AS sgn,
         |       ROUND(ABS(l_discount - 0.05), 4) AS absd
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, sqrt_p, qty_sq, absd, tax_f""".stripMargin,
 
     "fn_case_null" ->
       """SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'hot'

@@ -18,7 +18,11 @@ object ScanQueries extends QueryPack {
 
   val queries: Map[String, QueryFn] = Map(
     "scan_parquet" -> ((s, d) => {
-      T.lineitem(s, d).orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus
+      // (~20% of pairs duplicated); l_partkey+l_suppkey+l_quantity
+      // complete the total order at every SF
+      T.lineitem(s, d).orderBy("l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "l_quantity")
     }),
 
     "scan_csv_roundtrip" -> ((s, d) => {
@@ -54,7 +58,7 @@ object ScanQueries extends QueryPack {
 
   val oracleSql: Map[String, String] = Map(
     "scan_parquet" ->
-      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity",
     "scan_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_json_roundtrip" ->

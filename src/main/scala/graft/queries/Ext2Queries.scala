@@ -92,6 +92,20 @@ object Ext2Queries extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber", "measure", "v")
     }),
 
+    "fn_array_setops" -> ((s, d) => {
+      // set-semantics array ops; results sorted so element order is
+      // engine-independent (Spark keeps first-occurrence order, DuckDB's
+      // list_distinct doesn't guarantee one)
+      val probe = array(lit("the"), lit("data"))
+      T.documents(s, d)
+        .withColumn("head5", slice(split(col("text"), " "), 1, 5))
+        .select(col("doc_id"),
+          sort_array(array_union(col("head5"), probe)).as("u"),
+          sort_array(array_intersect(col("head5"), probe)).as("i"),
+          sort_array(array_except(col("head5"), probe)).as("e"))
+        .orderBy("doc_id")
+    }),
+
     "agg_histogram" -> ((s, d) => {
       T.orders(s, d)
         .groupBy(expr("CAST(FLOOR(o_totalprice / 60000) AS BIGINT)").as("bucket"))
@@ -152,6 +166,13 @@ object Ext2Queries extends QueryPack {
         |FROM lineitem
         |CROSS JOIN (SELECT unnest(['l_quantity','l_discount','l_tax']) AS measure) k
         |ORDER BY l_orderkey, l_linenumber, k.measure, v""".stripMargin,
+
+    "fn_array_setops" ->
+      """SELECT doc_id,
+        |       list_sort(list_distinct(list_concat(string_split(text,' ')[1:5], ['the','data']))) AS u,
+        |       list_sort(list_distinct(list_filter(string_split(text,' ')[1:5], x -> list_contains(['the','data'], x)))) AS i,
+        |       list_sort(list_distinct(list_filter(string_split(text,' ')[1:5], x -> NOT list_contains(['the','data'], x)))) AS e
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "agg_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice / 60000) AS BIGINT) AS bucket,

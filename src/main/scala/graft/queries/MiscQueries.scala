@@ -35,6 +35,21 @@ object MiscQueries extends QueryPack {
         .orderBy("c_nationkey")
     }),
 
+    // TEST-only (no oracle): approx_percentile is a KLL/GK-style sketch —
+    // the 100 TB path where exact percentile's full sort is not viable.
+    // SemanticsSpec pins it to ≤1% rank error vs the exact quantile.
+    "agg_approx_quantile" -> ((s, d) => {
+      T.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile_approx(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("q"))
+        .select(col("o_orderstatus"),
+          round(element_at(col("q"), 1), 2).as("p50"),
+          round(element_at(col("q"), 2), 2).as("p90"),
+          round(element_at(col("q"), 3), 2).as("p99"))
+        .orderBy("o_orderstatus")
+    }),
+
     "win_cume_pctrank" -> ((s, d) => {
       val w = Window.partitionBy("o_orderstatus")
         .orderBy(col("o_totalprice"), col("o_orderkey"))

@@ -76,6 +76,19 @@ class SemanticsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("approx quantile sketch within 1% relative error of exact percentiles") {
+    val approx = SparkEntry.queries("agg_approx_quantile")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = SparkEntry.queries("agg_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    exact.foreach { case (k, (e50, e90, e99)) =>
+      val (a50, a90, a99) = approx(k)
+      Seq((a50, e50), (a90, e90), (a99, e99)).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e <= 0.01, s"$k: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("bucketed interval join ≡ naive range self-join, pair for pair") {
     val naive = SparkEntry.queries("join_interval")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -121,7 +121,7 @@ object StreamingJobs {
         .withWatermark("ts", "30 minutes")
         .dropDuplicatesWithinWatermark(Seq("event_id"))
         .groupBy("event_type").agg(count(lit(1)).as("n")),
-      OutputMode.Complete(), reorder = reinject)
+      OutputMode.Complete(), chunks = 3, reorder = reinject)
     out.orderBy("event_type")
   }
 
@@ -145,7 +145,10 @@ object StreamingJobs {
         col("p_user") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
           col("c_ts") < col("p_ts"))
-    }, OutputMode.Append())
+      // 2 chunks: state still crosses a batch boundary, but fewer
+      // micro-batches = fewer state-store commits; fewer watermark
+      // advances can only DROP less, so batch-equality is preserved
+    }, OutputMode.Append(), chunks = 2)
     out.groupBy(col("p_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("user_id")
@@ -201,7 +204,7 @@ object StreamingJobs {
             org.apache.spark.sql.streaming.TimeMode.None(),
             OutputMode.Update())
           .toDF()
-      }, OutputMode.Update())
+      }, OutputMode.Update(), chunks = 2)
       // final state per type = the update with the largest count
       // (counts are strictly monotone per update)
       out.groupBy("event_type")
@@ -238,7 +241,7 @@ object StreamingJobs {
             state.update(next)
             UserCount(user, next.n, next.lastSeenUs)
         }.toDF()
-    }, OutputMode.Update())
+    }, OutputMode.Update(), chunks = 2)
     // memory sink keeps one row per update; the final state per user is
     // the max count (counts are monotone).
     out.groupBy("user_id")

@@ -92,6 +92,16 @@ object Ext2Queries extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber", "measure", "v")
     }),
 
+    "fn_date_extra" -> ((s, d) => {
+      T.orders(s, d)
+        .select(col("o_orderkey"),
+          last_day(col("o_orderdate")).as("ld"),
+          weekofyear(col("o_orderdate")).as("w"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          unix_timestamp(col("o_orderdate")).as("es"))
+        .orderBy("o_orderkey")
+    }),
+
     "fn_array_setops" -> ((s, d) => {
       // set-semantics array ops; results sorted so element order is
       // engine-independent (Spark keeps first-occurrence order, DuckDB's
@@ -166,6 +176,14 @@ object Ext2Queries extends QueryPack {
         |FROM lineitem
         |CROSS JOIN (SELECT unnest(['l_quantity','l_discount','l_tax']) AS measure) k
         |ORDER BY l_orderkey, l_linenumber, k.measure, v""".stripMargin,
+
+    "fn_date_extra" ->
+      """SELECT o_orderkey,
+        |       last_day(o_orderdate) AS ld,
+        |       CAST(weekofyear(o_orderdate) AS INT) AS w,
+        |       CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS es
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "fn_array_setops" ->
       """SELECT doc_id,

@@ -27,6 +27,30 @@ object TextQueries extends QueryPack {
     "zh" -> Seq("join", "small", "row"))
 
   val queries: Map[String, QueryFn] = Map(
+    "text_tfidf" -> ((s, d) => {
+      // top-3 tf-idf terms per doc: tf and df aggregate map-side before
+      // their (small, term-keyed) join; N arrives via a 1-row broadcast
+      // cross join, never a driver-side collect. Ranking uses the
+      // ROUNDED score so both engines rank identical values.
+      import org.apache.spark.sql.expressions.Window
+      val docs = T.documents(s, d)
+      val tok = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log(col("n").cast("double") / col("df")), 4))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "term", "tf", "score")
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
+    }),
+
     "text_wordcount" -> ((s, d) => {
       // Mimir's flagship app: map(tokenize) → combine → reduce(sum).
       // explode + hash-agg gets map-side partial aggregation for free.
@@ -148,6 +172,27 @@ object TextQueries extends QueryPack {
     "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
 
   val oracleSql: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok WHERE term <> '' GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, COUNT(DISTINCT doc_id) AS df
+        |  FROM tok WHERE term <> '' GROUP BY 1
+        |), n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df), 4) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |            ORDER BY score DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, tf, score FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, score DESC, term""".stripMargin,
+
     "text_wordcount" ->
       """SELECT word, CAST(COUNT(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

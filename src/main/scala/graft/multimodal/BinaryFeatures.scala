@@ -47,6 +47,34 @@ object BinaryFeatures {
     }
   }
 
+  case class FrameSample(doc_id: Long, frame_idx: Long, fr_bytes: Int, fr_crc: Long)
+
+  /** Frame sampling over an opaque binary payload — the video-decode
+    * shape: split the payload into fixed-size frames, keep every
+    * `stride`-th one, emit per-frame metadata. The per-frame "decode"
+    * is the same stubbed fold as [[decodeStub]]; a real build swaps in
+    * the codec at the marked line and the pipeline shape (partitioning,
+    * batch iteration, output schema) is unchanged.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameLen: Int, stride: Int): Dataset[FrameSample] = {
+    implicit val enc = Encoders.product[FrameSample]
+    media.mapPartitions { rows =>
+      // real pipeline: open the demuxer/codec HERE, once per task.
+      rows.flatMap { r =>
+        val n = r.payload.length
+        val nFrames = (n + frameLen - 1) / frameLen
+        Iterator.range(0, nFrames).filter(_ % stride == 0).map { fi =>
+          val start = fi * frameLen
+          val end = math.min(start + frameLen, n)
+          var crc = 0L
+          var i = start
+          while (i < end) { crc = (crc * 31 + (r.payload(i) & 0xff)) % CrcMod; i += 1 }
+          FrameSample(r.doc_id, fi.toLong, end - start, crc)
+        }
+      }
+    }
+  }
+
   /** documents.text treated as an opaque binary payload. */
   def documentsAsMedia(docs: DataFrame): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]

@@ -61,6 +61,17 @@ object GraphMmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    "multimodal_framesample" -> ((s, d) => {
+      // frame-sampled "video" decode: 16-byte frames, every 4th kept;
+      // the probe cap bounds output while the per-partition iteration
+      // is the real any-scale path.
+      val media = BinaryFeatures.documentsAsMedia(
+        T.documents(s, d).filter(col("doc_id") < 100))
+      BinaryFeatures.sampleFrames(media, frameLen = 16, stride = 4)
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     "mr_wordcount" -> ((s, d) => {
       // wordcount through the Mimir-style MapReduce facade (§2A):
       // map(tokenize) → map-side combine → reduce(sum).
@@ -112,6 +123,23 @@ object GraphMmQueries extends QueryPack {
         |                               c -> CAST(unicode(c) AS BIGINT))),
         |              (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS crc_mod
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "multimodal_framesample" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, CAST(ceil(LENGTH(text) / 16.0) AS BIGINT))) AS frame_idx,
+        |         text
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, frame_idx,
+        |       CAST(LENGTH(substring(text, CAST(frame_idx * 16 + 1 AS INT), 16)) AS INT) AS fr_bytes,
+        |       CAST(list_reduce(
+        |              list_prepend(CAST(0 AS BIGINT),
+        |                list_transform(
+        |                  regexp_extract_all(substring(text, CAST(frame_idx * 16 + 1 AS INT), 16), '.', 0),
+        |                  c -> CAST(unicode(c) AS BIGINT))),
+        |              (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fr_crc
+        |FROM f WHERE frame_idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "mr_wordcount" ->
       """SELECT word, CAST(COUNT(*) AS BIGINT) AS n

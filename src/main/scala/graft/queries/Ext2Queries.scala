@@ -53,9 +53,13 @@ object Ext2Queries extends QueryPack {
     }),
 
     "fn_regex" -> ((s, d) => {
+      // array output flattened to a space-joined string: the driver's
+      // comparator hashes scalar cells only (round-1 FAIL was its pandas
+      // factorizer dying on array columns), and ' '-joining is lossless
+      // here because the extracted words are [a-z]+ (no spaces).
       T.part(s, d)
         .select(col("p_partkey"),
-          expr("regexp_extract_all(p_name, '[a-z]+', 0)").as("words"),
+          array_join(expr("regexp_extract_all(p_name, '[a-z]+', 0)"), " ").as("words"),
           regexp_replace(col("p_name"), " ", "_").as("snake"),
           col("p_name").rlike("^[a-f]").as("starts_af"))
         .orderBy("p_partkey")
@@ -105,14 +109,16 @@ object Ext2Queries extends QueryPack {
     "fn_array_setops" -> ((s, d) => {
       // set-semantics array ops; results sorted so element order is
       // engine-independent (Spark keeps first-occurrence order, DuckDB's
-      // list_distinct doesn't guarantee one)
+      // list_distinct doesn't guarantee one), then space-joined to a
+      // scalar string because the driver comparator can't hash array
+      // cells (round-1 FAIL; tokens contain no spaces, so lossless).
       val probe = array(lit("the"), lit("data"))
       T.documents(s, d)
         .withColumn("head5", slice(split(col("text"), " "), 1, 5))
         .select(col("doc_id"),
-          sort_array(array_union(col("head5"), probe)).as("u"),
-          sort_array(array_intersect(col("head5"), probe)).as("i"),
-          sort_array(array_except(col("head5"), probe)).as("e"))
+          array_join(sort_array(array_union(col("head5"), probe)), " ").as("u"),
+          array_join(sort_array(array_intersect(col("head5"), probe)), " ").as("i"),
+          array_join(sort_array(array_except(col("head5"), probe)), " ").as("e"))
         .orderBy("doc_id")
     }),
 
@@ -149,7 +155,7 @@ object Ext2Queries extends QueryPack {
 
     "fn_regex" ->
       """SELECT p_partkey,
-        |       regexp_extract_all(p_name, '[a-z]+') AS words,
+        |       array_to_string(regexp_extract_all(p_name, '[a-z]+'), ' ') AS words,
         |       regexp_replace(p_name, ' ', '_', 'g') AS snake,
         |       regexp_matches(p_name, '^[a-f]') AS starts_af
         |FROM part ORDER BY p_partkey""".stripMargin,
@@ -187,9 +193,9 @@ object Ext2Queries extends QueryPack {
 
     "fn_array_setops" ->
       """SELECT doc_id,
-        |       list_sort(list_distinct(list_concat(string_split(text,' ')[1:5], ['the','data']))) AS u,
-        |       list_sort(list_distinct(list_filter(string_split(text,' ')[1:5], x -> list_contains(['the','data'], x)))) AS i,
-        |       list_sort(list_distinct(list_filter(string_split(text,' ')[1:5], x -> NOT list_contains(['the','data'], x)))) AS e
+        |       COALESCE(array_to_string(list_sort(list_distinct(list_concat(string_split(text,' ')[1:5], ['the','data']))), ' '), '') AS u,
+        |       COALESCE(array_to_string(list_sort(list_distinct(list_filter(string_split(text,' ')[1:5], x -> list_contains(['the','data'], x)))), ' '), '') AS i,
+        |       COALESCE(array_to_string(list_sort(list_distinct(list_filter(string_split(text,' ')[1:5], x -> NOT list_contains(['the','data'], x)))), ' '), '') AS e
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "agg_histogram" ->

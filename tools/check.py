@@ -28,8 +28,14 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(s):
             s = s.astype("Int64")
         elif s.dtype == object:
-            s = s.apply(lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
-                        else (tuple(v) if isinstance(v, list) else v))
+            # The REAL driver comparator crashes on array-valued cells
+            # (round-1 fn_regex/fn_array_setops FAIL: pandas factorize on
+            # numpy arrays). Mirror that: any array cell is a hard error
+            # so the local gate can't green-light what the driver rejects.
+            if s.map(lambda v: hasattr(v, "tolist") or isinstance(v, (list, tuple))).any():
+                raise TypeError(f"array-valued cells in column {c!r} — "
+                                "driver comparator cannot hash these; "
+                                "stringify (array_join) in the query")
         out[c] = s
     return pd.DataFrame(out)
 

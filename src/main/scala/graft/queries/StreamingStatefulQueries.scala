@@ -37,9 +37,13 @@ object StreamingStatefulQueries extends QueryPack {
     // transformWithState running aggregate: the final state equals the
     // batch aggregate (counts/sums fold the same rows), so it hash-
     // matches a plain GROUP BY oracle despite streaming execution.
+    // Both engines sum `value` as EXACT 2-dp decimal (streaming side:
+    // Long cents in state) — a double fold accumulated in per-batch
+    // order vs DuckDB's scan order could flip a 2-dp round on a
+    // half-cent boundary.
     "stream_tws_agg" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |       ROUND(SUM(value), 2) AS sv
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sv
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -155,6 +155,11 @@ object StreamingJobs {
   }
 
   case class TypeAgg(event_type: String, n: Long, sv: Double)
+  // `value` is 2-dp money stored as doubles; the state accumulates EXACT
+  // Long cents (rint recovers the intended 2-dp decimal from the nearest
+  // double) so the running sum is order-independent — a raw double fold
+  // could drift vs the oracle's decimal SUM on half-cent boundaries.
+  private def cents(v: Double): Long = math.rint(v * 100.0).toLong
 
   /** Spark 4 `transformWithState` variant of arbitrary state: a
     * StatefulProcessor with a typed ValueState keeps running
@@ -178,9 +183,12 @@ object StreamingJobs {
     override def handleInputRows(key: String, rows: Iterator[Event],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeAgg] = {
       val prev = Option(state.get()).getOrElse((0L, 0.0))
-      val next = rows.foldLeft(prev) { case ((n, sv), e) => (n + 1L, sv + e.value) }
+      // second slot holds Long cents widened to double (exact ≤ 2^53)
+      val next = rows.foldLeft(prev) { case ((n, sc), e) =>
+        (n + 1L, sc + cents(e.value).toDouble)
+      }
       state.update(next)
-      Iterator(TypeAgg(key, next._1, next._2))
+      Iterator(TypeAgg(key, next._1, next._2 / 100.0))
     }
   }
 
@@ -236,7 +244,11 @@ object StreamingJobs {
           (user: Long, evs: Iterator[Event], state: GroupState[UserState]) =>
             val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue))
             val next = evs.foldLeft(prev) { (st, e) =>
-              UserState(st.n + 1L, math.max(st.lastSeenUs, e.ts.getTime * 1000L))
+              // getTime is ms-truncated; getNanos carries the full
+              // fractional second, so add back the sub-ms microseconds
+              // (events.ts is µs-precision after the nanos→µs read).
+              val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+              UserState(st.n + 1L, math.max(st.lastSeenUs, us))
             }
             state.update(next)
             UserCount(user, next.n, next.lastSeenUs)

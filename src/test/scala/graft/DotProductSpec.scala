@@ -30,6 +30,24 @@ class DotProductSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("graft_dot matches the HOF fold off the happy path: null elements and length mismatch → NULL") {
+    GraftFunctions.register(spark)
+    // null element: zip_with product poisons the aggregate fold to NULL
+    val cases = Seq(
+      "SELECT graft_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d)) AS d",
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d)) AS d", // len mismatch
+      "SELECT graft_dot(array(1.0d), array(1.0d, 2.0d)) AS d")
+    cases.foreach { q =>
+      val fast = spark.sql(q).collect()(0)
+      assert(fast.isNullAt(0), s"graft_dot not NULL for: $q")
+      // reference semantics: same query through the zip_with+aggregate fold
+      val ref = spark.sql(q.replace("graft_dot(",
+        "aggregate(zip_with(").replace(") AS d",
+        ", (x, y) -> x * y), 0.0d, (acc, x) -> acc + x) AS d")).collect()(0)
+      assert(ref.isNullAt(0), s"HOF fold not NULL for: $q")
+    }
+  }
+
   test("graft_dot reachable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -16,9 +16,12 @@ import graft.{Tables => T}
   * Each job replays the `events` table through a MemoryStream in
   * deterministic event-id-ordered chunks, with processAllAvailable()
   * after each chunk so micro-batch boundaries — and therefore watermark
-  * advancement — are reproducible. The replay `collect()` is harness
-  * plumbing, not the operator: in production the source is Kafka/files
-  * and the same query graph runs unchanged.
+  * advancement — are reproducible. The replay is harness plumbing, not
+  * the operator (in production the source is Kafka/files and the same
+  * query graph runs unchanged), and it is driver-memory-bounded: chunks
+  * stream through `toLocalIterator` (one range-partition resident at a
+  * time, never the whole table) and the reorder transforms below buffer
+  * only the small held-back/reinjected slices (≤ 1/10 of one chunk).
   *
   * State design for scale: keys are user_id / event_id hashes (uniform),
   * state is O(1) per key, and watermarks bound state retention — the
@@ -29,21 +32,26 @@ object StreamingJobs {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  /** events as a deterministic in-order chunk sequence. */
+  /** events as a deterministic in-order chunk ITERATOR. `orderBy` range-
+    * partitions and `toLocalIterator` fetches partitions one at a time
+    * in index order, so the driver holds one partition, not the table —
+    * at sf≥1 the old `collect()` replay OOM'd before the query started.
+    */
   private def eventChunks(spark: SparkSession, sfDir: String, nChunks: Int)
-      : Seq[Seq[Event]] = {
+      : Iterator[Seq[Event]] = {
     import spark.implicits._
-    val evs = T.events(spark, sfDir)
+    import scala.jdk.CollectionConverters._
+    val ds = T.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .orderBy("event_id").as[Event].collect().toSeq
-    val per = math.max(1, math.ceil(evs.size.toDouble / nChunks).toInt)
-    evs.grouped(per).toSeq
+      .orderBy("event_id").as[Event]
+    val per = math.max(1, math.ceil(ds.count().toDouble / nChunks).toInt)
+    ds.toLocalIterator().asScala.grouped(per).map(_.toSeq)
   }
 
   private def runToCompletion(spark: SparkSession, sfDir: String,
       sinkName: String, build: MemoryStream[Event] => DataFrame,
       outputMode: OutputMode, chunks: Int = 4,
-      reorder: Seq[Seq[Event]] => Seq[Seq[Event]] = identity): DataFrame = {
+      reorder: Iterator[Seq[Event]] => Iterator[Seq[Event]] = identity): DataFrame = {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val source = MemoryStream[Event]
@@ -80,18 +88,25 @@ object StreamingJobs {
     * window so Append mode emits them all before the query stops.
     */
   def watermarkLate(spark: SparkSession, sfDir: String): DataFrame = {
-    val delayLate: Seq[Seq[Event]] => Seq[Seq[Event]] = { chunks =>
-      val idx = chunks.zipWithIndex
-      val maxTs = chunks.flatten.map(_.ts.getTime).max
-      val flush = Event(-1L, new Timestamp(maxTs + 7L * 24 * 3600 * 1000),
-        -1L, "___flush", 0.0)
-      idx.map { case (c, i) =>
+    // streaming transform: only the held-back %40 slices (≤ 2 chunks'
+    // worth, 2.5% of rows) are buffered; the running max ts feeds the
+    // terminal flush lazily (the ++ right side is built after the main
+    // iterator is exhausted).
+    val delayLate: Iterator[Seq[Event]] => Iterator[Seq[Event]] = { chunks =>
+      val held = scala.collection.mutable.Queue.empty[Seq[Event]]
+      var maxTs = Long.MinValue
+      val main = chunks.map { c =>
+        maxTs = math.max(maxTs, c.iterator.map(_.ts.getTime).max)
         val kept = c.filterNot(e => e.event_id % 40 == 0)
-        val arriving = idx.filter { case (_, j) => j + 2 == i }
-          .flatMap(_._1.filter(e => e.event_id % 40 == 0))
+        held.enqueue(c.filter(e => e.event_id % 40 == 0))
+        // the group held at chunk i-2 arrives now
+        val arriving = if (held.size > 2) held.dequeue() else Nil
         kept ++ arriving
-      } :+ (idx.takeRight(2).flatMap(_._1.filter(e => e.event_id % 40 == 0))
-        :+ flush) :+ Seq(flush)
+      }
+      def flush = Event(-1L, new Timestamp(maxTs + 7L * 24 * 3600 * 1000),
+        -1L, "___flush", 0.0)
+      main ++ Iterator.single(held.dequeueAll(_ => true).flatten.toSeq :+ flush) ++
+        Iterator.single(Seq(flush))
     }
     val out = runToCompletion(spark, sfDir, "wm_late", src =>
       src.toDF()
@@ -109,11 +124,13 @@ object StreamingJobs {
     * duplicates must not survive.
     */
   def dedupStateful(spark: SparkSession, sfDir: String): DataFrame = {
-    val reinject: Seq[Seq[Event]] => Seq[Seq[Event]] = { chunks =>
-      chunks.zipWithIndex.map { case (c, i) =>
-        val dups = if (i == 0) Nil
-          else chunks(i - 1).filter(e => e.event_id % 10 == 0)
-        c ++ dups
+    // streaming transform: buffers only the previous chunk's %10 slice
+    val reinject: Iterator[Seq[Event]] => Iterator[Seq[Event]] = { chunks =>
+      var prevDups: Seq[Event] = Nil
+      chunks.map { c =>
+        val out = c ++ prevDups
+        prevDups = c.filter(e => e.event_id % 10 == 0)
+        out
       }
     }
     val out = runToCompletion(spark, sfDir, "dedup_stream", src =>

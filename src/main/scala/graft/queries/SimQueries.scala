@@ -62,14 +62,10 @@ object SimQueries extends QueryPack {
 
     "dedup_embedding" -> ((s, d) => {
       // embedding-cosine near-dup pairs (threshold tuned to the corpus).
-      val e = T.embeddings(s, d)
-        .select(col("vec_id"), VectorOps.unit(VectorOps.toDouble(col("embedding"))).as("v"))
-      val a = e.select(col("vec_id").as("a"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("b"), col("v").as("vb"))
-      a.join(b, col("a") < col("b"))
-        .select(col("a"), col("b"),
-          round(graft.GraftFunctions.dotCol(s, col("va"), col("vb")), 4).as("sim"))
-        .filter(col("sim") >= 0.35)
+      // Exact result through the triangle-inequality cell blocking —
+      // recall 1.0 by construction, no all-pairs cross join (see
+      // ops/MetricBlocking.scala; oracle stays the brute-force SQL).
+      graft.ops.MetricBlocking.nearDupPairs(s, T.embeddings(s, d), 0.35)
         .orderBy("a", "b")
     }),
 

@@ -73,4 +73,52 @@ class OpsSpec extends SparkSpec {
       .collect().toMap
     assert(out == Map("a" -> 3, "b" -> 5))
   }
+
+  test("MetricBlocking dedup_embedding: candidate recall 1.0 on the fixture (== brute force)") {
+    val blocked = SparkEntry.queries("dedup_embedding")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), graft.ops.VectorOps.unit(
+        graft.ops.VectorOps.toDouble(col("embedding"))).as("v"))
+    val brute = e.select(col("vec_id").as("a"), col("v").as("va"))
+      .join(e.select(col("vec_id").as("b"), col("v").as("vb")), col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(GraftFunctions.dotCol(spark, col("va"), col("vb")), 4).as("sim"))
+      .filter(col("sim") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked == brute,
+      s"blocked != brute: missing=${brute -- blocked} extra=${blocked -- brute}")
+  }
+
+  test("MetricBlocking prunes on a clustered corpus (and still finds every pair)") {
+    import spark.implicits._
+    // 4 tight clusters around orthogonal axes: radii ~11°, inter-cell
+    // angle 90° > r_i + r_j + acos(0.8) — only the diagonal cell pairs
+    // are admissible, so pruning must drop 12 of 16 ordered pairs.
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val rows = for (c <- 0 until 4; i <- 0 until 25) yield {
+      val base = Array.fill(dim)(0.0f); base(c) = 1.0f
+      val noisy = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (c.toLong * 100 + i, c.toLong, noisy)
+    }
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val e = emb.select(col("vec_id"), col("label"),
+      graft.ops.VectorOps.toDouble(col("embedding")).as("v"))
+    val (_, cells) = graft.ops.MetricBlocking.assignAndStats(spark, e)
+    val adm = graft.ops.MetricBlocking
+      .admissiblePairs(spark, cells, math.acos(0.8 - 1e-4)).collect()
+    assert(adm.length == 4, s"expected only diagonal cell pairs, got ${adm.length}")
+    // completeness on the clustered corpus: blocked == brute at t=0.8
+    val blocked = graft.ops.MetricBlocking.nearDupPairs(spark, emb, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val u = e.select(col("vec_id"), graft.ops.VectorOps.unit(col("v")).as("uv"))
+    val brute = u.select(col("vec_id").as("a"), col("uv").as("ua"))
+      .join(u.select(col("vec_id").as("b"), col("uv").as("ub")), col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(GraftFunctions.dotCol(spark, col("ua"), col("ub")), 4).as("sim"))
+      .filter(col("sim") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute && brute.nonEmpty)
+  }
 }

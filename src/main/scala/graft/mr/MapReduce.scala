@@ -39,6 +39,44 @@ object MapReduce {
     kvs.groupByKey(_._1).reduceGroups((a, b) => (a._1, f(a._2, b._2)))
       .map { case (_, v) => v }
 
+  /** Mimir `src/hashbucket.h` hook (⚠UNV): the user-replaceable
+    * partitioner `hash(key) % nprocs`. Spark shape: an explicit
+    * hash-exchange on an arbitrary user key expression — downstream
+    * per-partition work (scan/output) then sees Mimir's bucket layout.
+    */
+  def partitionBy[T](ds: Dataset[T], numParts: Int,
+      keyExpr: org.apache.spark.sql.Column): Dataset[T] =
+    ds.repartition(numParts, keyExpr)
+
+  /** Mimir `user_combine` hook with the full non-associative contract
+    * (createCombiner/mergeValue/mergeCombiners). Mimir runs the combine
+    * page-locally before the alltoallv; the Spark shape is the same:
+    * an explicit per-partition combine (mapPartitions over a hash map —
+    * bounded by per-partition DISTINCT keys, the same bound Mimir's
+    * page combiner assumes) followed by a shuffle that merges combiners
+    * with mergeCombiners only. mergeValue never crosses a partition, so
+    * non-associative value folds keep their per-partition order
+    * semantics — this is the piece `reduceByKey` (associative-only)
+    * could not express for a 1:1 Mimir port.
+    */
+  def combineByKey[K: Encoder, V, C](kvs: Dataset[(K, V)])(
+      createCombiner: V => C, mergeValue: (C, V) => C, mergeCombiners: (C, C) => C)(
+      implicit kc: Encoder[(K, C)]): Dataset[(K, C)] = {
+    val partial = kvs.mapPartitions { it =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[K, C]
+      it.foreach { case (k, v) =>
+        m.update(k, m.get(k) match {
+          case Some(c) => mergeValue(c, v)
+          case None => createCombiner(v)
+        })
+      }
+      m.iterator
+    }
+    partial.groupByKey(_._1)
+      .reduceGroups((a, b) => (a._1, mergeCombiners(a._2, b._2)))
+      .map { case (_, kc0) => kc0 }
+  }
+
   /** Mimir `ctx.insert(k,v)`: inject app-side KV records. */
   def insert[K, V](spark: org.apache.spark.sql.SparkSession, kvs: Seq[(K, V)])(
       implicit kv: Encoder[(K, V)]): Dataset[(K, V)] = {

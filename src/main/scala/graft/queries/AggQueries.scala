@@ -12,6 +12,15 @@ import graft.{QueryPack, Tables => T}
   * Grouping keys that can be NULL are coalesced to the sentinel 'ALL'
   * so result ordering needs no cross-engine NULLS FIRST/LAST alignment.
   */
+/** agg_spatial_octree refinement parameters, shared by the Spark loop
+  * and the generated DuckDB oracle. */
+object OctreeParams {
+  /** octants with more points than this split (until MaxDepth). */
+  val SplitThreshold = 32
+  /** depth bound: 2^3d octants max; the loop unrolls to a fixed plan. */
+  val MaxDepth = 4
+}
+
 object AggQueries extends QueryPack {
 
   val queries: Map[String, QueryFn] = Map(
@@ -110,6 +119,39 @@ object AggQueries extends QueryPack {
         .orderBy("o_orderstatus")
     }),
 
+    "agg_spatial_octree" -> ((s, d) => {
+      // ITERATIVE octree refinement (Mimir examples/octree*.cpp ⚠UNV:
+      // refine until octant count ≤ threshold) — the depth loop
+      // agg_spatial_bin's fixed-depth binning lacked. Driver-side loop
+      // like ops/BFS: each level is one hash aggregate over the points
+      // still inside a hot (count > T) octant, with the hot-cell list
+      // broadcast back as a semi-join filter. Leaves = octants with
+      // n ≤ T at their depth, or any octant surviving to MaxDepth.
+      import OctreeParams._
+      def bin(c: org.apache.spark.sql.Column, dep: Int) =
+        least(greatest(floor((c + lit(0.5)) * (1L << dep)).cast("long"), lit(0L)),
+          lit((1L << dep) - 1))
+      val pts = T.embeddings(s, d).select(
+        (0 until 3).map(i => element_at(col("embedding"), i + 1)
+          .cast("double").as(s"x$i")): _*)
+      var active = pts
+      var leaves = List.empty[org.apache.spark.sql.DataFrame]
+      for (dep <- 1 to MaxDepth) {
+        val binned = active.select(bin(col("x0"), dep).as("cx"),
+          bin(col("x1"), dep).as("cy"), bin(col("x2"), dep).as("cz"),
+          col("x0"), col("x1"), col("x2"))
+        val counts = binned.groupBy("cx", "cy", "cz").agg(count(lit(1)).as("n"))
+        val leaf = if (dep == MaxDepth) counts else counts.filter(col("n") <= SplitThreshold)
+        leaves ::= leaf.select(lit(dep).as("depth"), col("cx"), col("cy"), col("cz"), col("n"))
+        if (dep < MaxDepth) {
+          val hot = counts.filter(col("n") > SplitThreshold).select("cx", "cy", "cz")
+          active = binned.join(broadcast(hot), Seq("cx", "cy", "cz"))
+            .select("x0", "x1", "x2")
+        }
+      }
+      leaves.reduce(_ unionAll _).orderBy("depth", "cx", "cy", "cz")
+    }),
+
     "agg_spatial_bin" -> ((s, d) => {
       // Octree-app equivalent (SURVEY.md §2A): depth-3 grid (8 bins/dim)
       // over the first 3 embedding dims in [-0.5, 0.5] → 9-bit cell id,
@@ -137,7 +179,34 @@ object AggQueries extends QueryPack {
        |GROUP BY cell HAVING COUNT(*) >= 2 ORDER BY cell""".stripMargin
   }
 
+  /** the Spark driver loop, unrolled to MaxDepth chained CTEs: level d
+    * groups the points that survived every hot (n > T) ancestor. */
+  private val octreeSql: String = {
+    import OctreeParams._
+    def b(dep: Int, dim: Int) =
+      s"LEAST(GREATEST(CAST(FLOOR((CAST(embedding[$dim] AS DOUBLE) + 0.5) * ${1L << dep}) AS BIGINT), 0), ${(1L << dep) - 1})"
+    val pCols = (1 to MaxDepth).flatMap(dp =>
+      Seq(s"${b(dp, 1)} AS b${dp}x", s"${b(dp, 2)} AS b${dp}y", s"${b(dp, 3)} AS b${dp}z"))
+      .mkString(", ")
+    val sb = new StringBuilder(s"WITH p1 AS (SELECT $pCols FROM embeddings)")
+    for (dp <- 1 to MaxDepth) {
+      sb.append(s", c$dp AS (SELECT b${dp}x AS cx, b${dp}y AS cy, b${dp}z AS cz," +
+        s" CAST(COUNT(*) AS BIGINT) AS n FROM p$dp GROUP BY 1, 2, 3)")
+      if (dp < MaxDepth)
+        sb.append(s", p${dp + 1} AS (SELECT p$dp.* FROM p$dp JOIN c$dp" +
+          s" ON p$dp.b${dp}x = c$dp.cx AND p$dp.b${dp}y = c$dp.cy AND p$dp.b${dp}z = c$dp.cz" +
+          s" WHERE c$dp.n > $SplitThreshold)")
+    }
+    val selects = (1 to MaxDepth).map { dp =>
+      val w = if (dp < MaxDepth) s" WHERE n <= $SplitThreshold" else ""
+      s"SELECT $dp AS depth, cx, cy, cz, n FROM c$dp$w"
+    }.mkString(" UNION ALL ")
+    sb.append(s" $selects ORDER BY depth, cx, cy, cz").toString
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "agg_spatial_octree" -> octreeSql,
+
     "agg_group_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
         |       ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -29,6 +29,37 @@ class BfsMrSpec extends SparkSpec {
     assert(got.length == 1 && got(0).getString(0) == "z" && got(0).getInt(1) == 0)
   }
 
+  test("MapReduce partitionBy routes equal keys to one partition under a custom key") {
+    import spark.implicits._
+    val kvs = MapReduce.insert(spark,
+      (1 to 100).map(i => (s"k${i % 7}", i.toLong))).repartition(8)
+    val parted = MapReduce.partitionBy(kvs, 4, col("_1"))
+    assert(parted.rdd.getNumPartitions == 4)
+    // every key's records land in exactly one partition (Mimir's
+    // hashbucket contract: reduce sees all records of a key rank-local)
+    val spread = parted.mapPartitions(it => Iterator(it.map(_._1).toSet))
+      .collect().flatMap(s => s.map(_ -> 1)).groupBy(_._1).map(_._2.length)
+    assert(spread.forall(_ == 1))
+  }
+
+  test("MapReduce combineByKey honors the createCombiner/mergeValue/mergeCombiners contract") {
+    import spark.implicits._
+    // non-associative value fold: collect values into a list combiner —
+    // mergeValue appends, mergeCombiners concatenates. Count-per-key and
+    // sum survive regardless of partitioning.
+    val kvs = MapReduce.insert(spark,
+      (1 to 50).map(i => (s"k${i % 3}", i.toLong))).repartition(7)
+    val combined = MapReduce.combineByKey(kvs)(
+      v => List(v), (c: List[Long], v) => v :: c, (a: List[Long], b: List[Long]) => a ++ b)
+      .collect().toMap
+    val expect = (1 to 50).map(i => (s"k${i % 3}", i.toLong))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    assert(combined.keySet == expect.keySet)
+    combined.foreach { case (k, c) =>
+      assert(c.sorted == expect(k).map(identity).sorted.toList)
+    }
+  }
+
   test("MapReduce insert/scan/output round the full Mimir algebra") {
     import spark.implicits._
     val kvs = MapReduce.insert(spark, Seq(("k1", 1L), ("k2", 2L), ("k1", 3L)))

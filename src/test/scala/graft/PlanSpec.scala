@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec, SortMergeJoinExec}
+
+/** Physical-plan invariants for the flagship scale claims. The comments
+  * in the query packs assert broadcast choices, co-location, and
+  * partition pruning — this suite pins them against regression, because
+  * a silently changed plan is exactly the kind of 100×-scale breakage
+  * sf0.001 correctness tests cannot catch.
+  *
+  * AQE is disabled per-plan so the full physical tree (exchanges
+  * included) is inspectable via typed collect; AQE can only REMOVE
+  * exchanges at runtime, so asserting on the static plan is the
+  * conservative side.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("join_5way_flagship: both dimensions broadcast, aggregation is partial+final, no cartesian") {
+    val p = planOf("join_5way_flagship")
+    val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.length >= 2, s"expected ≥2 BroadcastHashJoin, got ${bhj.length}")
+    val aggs = p.collect { case a: HashAggregateExec => a }
+    assert(aggs.length >= 2, "expected partial + final hash aggregation")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("join_bucketed_colocated: the fact⋈fact join reads buckets with no shuffle beneath it") {
+    // at sf0.001 the planner would broadcast the small side, which hides
+    // the claim under test — disable broadcast so the plan must choose
+    // between shuffling and reading co-located buckets
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = try planOf("join_bucketed_colocated")
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val smj = p.collect { case j: SortMergeJoinExec => j }
+    assert(smj.length == 1, s"expected one sort-merge join, got ${smj.length}")
+    val shufflesUnderJoin = smj.head.collect { case e: ShuffleExchangeExec => e }
+    assert(shufflesUnderJoin.isEmpty,
+      "bucketed co-located join must not shuffle either side")
+    // above the join only the final groupBy hash exchange and the
+    // ORDER BY range exchange remain
+    val all = p.collect { case e: ShuffleExchangeExec => e }
+    assert(all.length <= 2, s"expected ≤2 exchanges (agg + sort), got ${all.length}")
+  }
+
+  test("sink_partitioned_pruning: the readback scan carries PartitionFilters") {
+    val p = planOf("sink_partitioned_pruning")
+    val scans = p.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      "status filter must prune hive partitions, not scan+filter")
+  }
+
+  test("pair-join family plans contain no CartesianProduct") {
+    // every similarity / dedup / range-pair query must block, broadcast,
+    // or bucket — a cartesian node means an O(n²) plan came back
+    val family = Seq("dedup_embedding", "dedup_jaccard_pairs", "dedup_minhash_lsh",
+      "sim_ann_lsh", "sim_ann_ivf", "join_theta_range", "join_asof",
+      "join_interval_bucketed", "join_skew_salted")
+    family.foreach { name =>
+      val cart = planOf(name).collect { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, s"$name has a CartesianProduct node")
+    }
+  }
+
+  test("agg_group_pricing: filter and column pruning reach the parquet scan") {
+    val p = planOf("agg_group_pricing")
+    val scan = p.collect { case s: FileSourceScanExec => s }.head
+    assert(scan.dataFilters.nonEmpty, "shipdate filter must push to the scan")
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(!readCols.contains("l_comment") && readCols.size <= 8,
+      s"scan reads more columns than the query needs: $readCols")
+  }
+}

@@ -35,11 +35,15 @@ object VectorOps {
       lit(0.0), _ + _)
 
   /** Deterministic random-hyperplane LSH bucket (numPlanes sign bits).
-    * Plane j has integer coefficients c(j,i) = ((i*31 + j*17) mod 7) - 3
-    * — reproducible in plain SQL for the oracle.
+    * Plane j has integer coefficients c(j,i) = ((i*31 + j*13) mod 17) - 8
+    * — reproducible in plain SQL for the oracle. The modulus must exceed
+    * the plane count: round 1 used mod 7 with stride 17 ≡ 3, which is
+    * period 7 in j, so planes 7+ DUPLICATED plane j-7 (an 8-bit bucket
+    * had only 7 distinct bits). mod 17 / stride 13 keeps all j < 17
+    * distinct.
     */
   def lshCoefs(plane: Int, dim: Int): Seq[Int] =
-    (0 until dim).map(i => ((i * 31 + plane * 17) % 7) - 3)
+    (0 until dim).map(i => ((i * 31 + plane * 13) % 17) - 8)
 
   def lshBucket(v: Column, numPlanes: Int, dim: Int): Column =
     (0 until numPlanes).map { j =>

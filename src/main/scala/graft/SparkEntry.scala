@@ -22,6 +22,7 @@ object SparkEntry {
     MiscQueries,
     ExtQueries,
     Ext2Queries,
+    Ext3Queries,
     ScaleQueries,
     StreamingStatefulQueries,
   )

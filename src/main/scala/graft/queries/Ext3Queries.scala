@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables => T}
+import graft.ops.TextOps
+
+/** Round-2 breadth extensions:
+  *
+  *   - sessionization (30-min-gap windows — the batch form of
+  *     session_window, and the canonical training-data event grouping)
+  *   - deterministic per-group mode (window argmax with an explicit
+  *     tie-break — built-in `mode()` is tie-arbitrary in BOTH engines,
+  *     so the contract is the count-desc/value-asc rule itself)
+  *   - stratified sampling by portable hash (per-label deterministic
+  *     subsample — the training-mix primitive; md5-derived bucket, so
+  *     the oracle reproduces the exact membership)
+  *   - EXISTS / NOT EXISTS correlated subqueries (Catalyst decorrelates
+  *     to semi/anti joins — the declarative form of join_semi/join_anti)
+  */
+object Ext3Queries extends QueryPack {
+
+  /** session gap: events ≥ this many µs apart start a new session. */
+  private val SessionGapUs = 1800000000L // 30 min
+
+  val queries: Map[String, QueryFn] = Map(
+    "win_sessionize" -> ((s, d) => {
+      // µs arithmetic (unix_micros ≡ epoch_us) — second-granularity
+      // casts would truncate the sub-second gaps the corpus carries
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = lag(unix_micros(col("ts")), 1).over(w)
+      val isNew = when(prev.isNull ||
+        (unix_micros(col("ts")) - prev > SessionGapUs), 1).otherwise(0)
+      T.events(s, d).select("event_id", "ts", "user_id")
+        .withColumn("is_new", isNew)
+        .withColumn("sid", sum(col("is_new")).over(wRun))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n"), min("ts").as("t0"), max("ts").as("t1"))
+        .orderBy("user_id", "sid")
+    }),
+
+    "agg_mode" -> ((s, d) => {
+      val counts = T.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("n").desc, col("o_orderpriority"))
+      counts.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "sample_stratified" -> ((s, d) => {
+      // ~20% per-label sample: membership decided by a portable 16-bit
+      // md5 bucket of the id, so the sample is identical on any engine,
+      // any partitioning, any run — summarized per stratum with an
+      // id-sum checksum that pins exact membership, not just counts.
+      T.embeddings(s, d)
+        .filter(pmod(TextOps.md5Short(col("vec_id").cast("string")), lit(10)) < 2)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("id_sum"))
+        .orderBy("label")
+    }),
+
+    "join_exists_subquery" -> ((s, d) => {
+      // correlated EXISTS + NOT EXISTS; Catalyst decorrelates to a left
+      // semi join and a left anti join on o_custkey — same physical
+      // shape as join_semi/join_anti, reached from the subquery surface
+      T.customer(s, d).createOrReplaceTempView("ext3_customer")
+      T.orders(s, d).createOrReplaceTempView("ext3_orders")
+      s.sql("""SELECT c_custkey, c_name FROM ext3_customer c
+              |WHERE EXISTS (SELECT 1 FROM ext3_orders o
+              |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+              |  AND NOT EXISTS (SELECT 1 FROM ext3_orders o
+              |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 50000)
+              |ORDER BY c_custkey""".stripMargin)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "win_sessionize" ->
+      s"""WITH x AS (
+         |  SELECT user_id, event_id, ts,
+         |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $SessionGapUs
+         |              THEN 1 ELSE 0 END AS is_new
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT user_id, ts,
+         |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                           ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM x)
+         |SELECT user_id, CAST(sid AS BIGINT) AS sid, CAST(COUNT(*) AS BIGINT) AS n,
+         |       MIN(ts) AS t0, MAX(ts) AS t1
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT o_orderstatus, o_orderpriority, n,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY n DESC, o_orderpriority) AS rk
+        |  FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+        |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "sample_stratified" -> {
+      val h = TextOps.md5ShortSql("CAST(vec_id AS VARCHAR)")
+      s"""SELECT label, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |       CAST(SUM(vec_id) AS BIGINT) AS id_sum
+         |FROM embeddings WHERE ($h % 10) < 2
+         |GROUP BY label ORDER BY label""".stripMargin
+    },
+
+    "join_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 50000)
+        |ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -122,11 +122,16 @@ object AggQueries extends QueryPack {
     "agg_spatial_octree" -> ((s, d) => {
       // ITERATIVE octree refinement (Mimir examples/octree*.cpp ⚠UNV:
       // refine until octant count ≤ threshold) — the depth loop
-      // agg_spatial_bin's fixed-depth binning lacked. Driver-side loop
-      // like ops/BFS: each level is one hash aggregate over the points
-      // still inside a hot (count > T) octant, with the hot-cell list
-      // broadcast back as a semi-join filter. Leaves = octants with
-      // n ≤ T at their depth, or any octant surviving to MaxDepth.
+      // agg_spatial_bin's fixed-depth binning lacked.
+      //
+      // Clamped floor binning nests exactly (bin_{d+1} >> 1 == bin_d),
+      // so a depth-d octant's count over ALL points equals its count
+      // over the points of its hot ancestors — the points therefore
+      // shuffle ONCE (explode to (depth, cell), one hash aggregate) and
+      // the refine loop runs over the tiny per-cell count table:
+      // leaves at depth d = cells ≤ T whose whole ancestor chain was
+      // hot, via broadcast parent joins (shiftright = parent cell).
+      // A naive per-level loop re-scanned the points MaxDepth times.
       import OctreeParams._
       def bin(c: org.apache.spark.sql.Column, dep: Int) =
         least(greatest(floor((c + lit(0.5)) * (1L << dep)).cast("long"), lit(0L)),
@@ -134,22 +139,30 @@ object AggQueries extends QueryPack {
       val pts = T.embeddings(s, d).select(
         (0 until 3).map(i => element_at(col("embedding"), i + 1)
           .cast("double").as(s"x$i")): _*)
-      var active = pts
-      var leaves = List.empty[org.apache.spark.sql.DataFrame]
-      for (dep <- 1 to MaxDepth) {
-        val binned = active.select(bin(col("x0"), dep).as("cx"),
-          bin(col("x1"), dep).as("cy"), bin(col("x2"), dep).as("cz"),
-          col("x0"), col("x1"), col("x2"))
-        val counts = binned.groupBy("cx", "cy", "cz").agg(count(lit(1)).as("n"))
-        val leaf = if (dep == MaxDepth) counts else counts.filter(col("n") <= SplitThreshold)
-        leaves ::= leaf.select(lit(dep).as("depth"), col("cx"), col("cy"), col("cz"), col("n"))
-        if (dep < MaxDepth) {
-          val hot = counts.filter(col("n") > SplitThreshold).select("cx", "cy", "cz")
-          active = binned.join(broadcast(hot), Seq("cx", "cy", "cz"))
-            .select("x0", "x1", "x2")
-        }
+      val levelStructs = (1 to MaxDepth).map(dep => struct(lit(dep).as("depth"),
+        bin(col("x0"), dep).as("cx"), bin(col("x1"), dep).as("cy"),
+        bin(col("x2"), dep).as("cz")))
+      val counts = pts.select(explode(array(levelStructs: _*)).as("c"))
+        .groupBy(col("c.depth").as("depth"), col("c.cx").as("cx"),
+          col("c.cy").as("cy"), col("c.cz").as("cz"))
+        .agg(count(lit(1)).as("n"))
+      var hot = counts.filter(col("depth") === 1 && col("n") > SplitThreshold)
+      var leaves = List(counts.filter(col("depth") === 1 && col("n") <= SplitThreshold))
+      for (dep <- 2 to MaxDepth) {
+        val parents = hot.select(col("cx").as("px"), col("cy").as("py"), col("cz").as("pz"))
+        val cand = counts.filter(col("depth") === dep)
+          .join(broadcast(parents),
+            shiftright(col("cx"), 1) === col("px") &&
+              shiftright(col("cy"), 1) === col("py") &&
+              shiftright(col("cz"), 1) === col("pz"))
+          .select("depth", "cx", "cy", "cz", "n")
+        leaves ::= (if (dep == MaxDepth) cand
+          else cand.filter(col("n") <= SplitThreshold))
+        hot = cand.filter(col("n") > SplitThreshold)
       }
-      leaves.reduce(_ unionAll _).orderBy("depth", "cx", "cy", "cz")
+      leaves.reduce(_ unionAll _)
+        .select("depth", "cx", "cy", "cz", "n")
+        .orderBy("depth", "cx", "cy", "cz")
     }),
 
     "agg_spatial_bin" -> ((s, d) => {

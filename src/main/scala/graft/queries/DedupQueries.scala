@@ -107,6 +107,18 @@ object DedupQueries extends QueryPack {
         .orderBy("simhash")
     }),
 
+    "dedup_cluster_cc" -> ((s, d) => {
+      // near-dup pairs → duplicate CLUSTERS: connected components of
+      // the capped-Jaccard pair graph (min-label propagation, iterated
+      // like ops/BFS). This is the step that turns pair mining into an
+      // actionable keep/drop list: every clustered doc maps to its
+      // cluster's minimum doc_id as the surviving representative.
+      val pairs = queries("dedup_jaccard_pairs")(s, d).select("a", "b")
+      graft.ops.ConnectedComponents.labels(pairs)
+        .select(col("v").as("doc_id"), col("rep"))
+        .orderBy("doc_id")
+    }),
+
     // TEST-only (no oracle): MinHash-LSH banding is probabilistic;
     // ScalaTest asserts candidate recall ⊇ high-Jaccard pairs + exact
     // verification equality on the fixture corpus.
@@ -135,6 +147,25 @@ object DedupQueries extends QueryPack {
   private val shingle3 =
     "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
 
+  /** capped-Jaccard CTE chain ending in `j(a, b, j)` — shared by the
+    * pair oracle and the cluster (connected-components) oracle. */
+  private lazy val jaccardCtes =
+    s"""s AS (
+       |  SELECT doc_id, list_distinct($shingle3) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+       |inv0 AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+       |keep AS (SELECT sg FROM inv0 GROUP BY sg HAVING COUNT(*) <= $HotShingleDfCap),
+       |inv AS (SELECT doc_id, sg FROM inv0 JOIN keep USING (sg)),
+       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM inv GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n
+       |  FROM inv x JOIN inv y ON x.sg = y.sg AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT a, b, ROUND(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 4) AS j
+       |  FROM inter JOIN sz sa ON inter.a = sa.doc_id
+       |             JOIN sz sb ON inter.b = sb.doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT h, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS rep_doc
@@ -145,22 +176,20 @@ object DedupQueries extends QueryPack {
         |GROUP BY h HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
 
     "dedup_jaccard_pairs" ->
-      s"""WITH s AS (
-         |  SELECT doc_id, list_distinct($shingle3) AS sh
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
-         |inv0 AS (SELECT doc_id, unnest(sh) AS sg FROM s),
-         |keep AS (SELECT sg FROM inv0 GROUP BY sg HAVING COUNT(*) <= $HotShingleDfCap),
-         |inv AS (SELECT doc_id, sg FROM inv0 JOIN keep USING (sg)),
-         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM inv GROUP BY doc_id),
-         |inter AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n
-         |  FROM inv x JOIN inv y ON x.sg = y.sg AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2),
-         |j AS (
-         |  SELECT a, b, ROUND(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 4) AS j
-         |  FROM inter JOIN sz sa ON inter.a = sa.doc_id
-         |             JOIN sz sb ON inter.b = sb.doc_id)
-         |SELECT a, b, j FROM j WHERE j >= 0.5 ORDER BY a, b""".stripMargin,
+      s"WITH $jaccardCtes\nSELECT a, b, j FROM j WHERE j >= 0.5 ORDER BY a, b",
+
+    // same capped-Jaccard pair graph, closed transitively: reachability
+    // via a recursive CTE, then MIN reachable id per vertex — exactly
+    // the min-label fixpoint the Spark loop converges to
+    "dedup_cluster_cc" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |pr AS (SELECT a, b FROM j WHERE j >= 0.5),
+         |ed AS (SELECT a AS s2, b AS t2 FROM pr UNION SELECT b, a FROM pr
+         |       UNION SELECT a, a FROM pr UNION SELECT b, b FROM pr),
+         |reach AS (SELECT s2, t2 FROM ed
+         |          UNION SELECT r.s2, ed.t2 FROM reach r JOIN ed ON r.t2 = ed.s2)
+         |SELECT s2 AS doc_id, MIN(t2) AS rep FROM reach GROUP BY s2
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" -> {
       val h = TextOps.md5ShortSql("w")

@@ -64,6 +64,20 @@ object Ext3Queries extends QueryPack {
         .orderBy("label")
     }),
 
+    "win_ignore_nulls" -> ((s, d) => {
+      // carry-forward of the last purchase value per user (IGNORE NULLS
+      // over a trailing frame) — the gap-filling idiom for sparse
+      // per-entity signals. Frame excludes the current row so a
+      // purchase sees the PREVIOUS purchase, not itself.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      T.events(s, d)
+        .withColumn("pv", when(col("event_type") === "purchase", col("value")))
+        .select(col("user_id"), col("event_id"),
+          last(col("pv"), ignoreNulls = true).over(w).as("prev_purchase"))
+        .orderBy("user_id", "event_id")
+    }),
+
     "join_exists_subquery" -> ((s, d) => {
       // correlated EXISTS + NOT EXISTS; Catalyst decorrelates to a left
       // semi join and a left anti join on o_custkey — same physical
@@ -115,6 +129,13 @@ object Ext3Queries extends QueryPack {
          |FROM embeddings WHERE ($h % 10) < 2
          |GROUP BY label ORDER BY label""".stripMargin
     },
+
+    "win_ignore_nulls" ->
+      """SELECT user_id, event_id,
+        |       LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
 
     "join_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c

@@ -23,26 +23,60 @@ object ConnectedComponents {
     *         to the minimum vertex id reachable from it
     */
   def labels(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var rep = edges.select(col("u")).distinct()
-      .select(col("u").as("v"), col("u").as("rep"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
-    var round = 0
-    while (changed > 0 && round < maxRounds) {
-      round += 1
-      val msgs = edges.join(rep.select(col("v").as("u"), col("rep")), "u")
-        .select(col("v"), col("rep"))
-      val next = rep.unionAll(msgs).groupBy("v").agg(min("rep").as("rep"))
+    val spark = pairs.sparkSession
+    // the label table is |V| rows — per-round cost at the session's 32
+    // shuffle partitions is pure task-scheduling floor. Pin the loop to
+    // a few partitions (actions below materialize under it), restored
+    // after; the returned frame is persisted, so consumers re-read the
+    // cached partitions rather than re-planning under the low setting.
+    val key = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      // both directions PLUS self-loops in one explode: the (possibly
+      // expensive) pair-mining lineage is consumed exactly once — a
+      // union of two selects re-ran it per branch (measured: the
+      // Jaccard pipeline executed twice inside the first job). With
+      // self-loops in the edge list, "min over in-neighbors" already
+      // includes the vertex's own label, so init and rounds are each a
+      // single join/aggregate.
+      val edges = pairs.select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")),
+          struct(col("a").as("u"), col("a").as("v")),
+          struct(col("b").as("u"), col("b").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(rep.select(col("v"), col("rep").as("prev")), "v")
-        .filter(col("rep") < col("prev")).count() // materializes `next`
-      rep.unpersist()
-      rep = next
-    }
-    edges.unpersist()
-    rep
+      // round 0 folded into init: rep(v) = min(v, neighbors(v))
+      var rep = edges.groupBy(col("u")).agg(min(col("v")).as("rep"))
+        .select(col("u").as("v"), col("rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // Convergence check: labels only DECREASE, so Σlabels is strictly
+      // decreasing until the fixpoint — one aggregate per round, no
+      // join against the previous labels. The init aggregate also
+      // materializes edges+rep, so a clique-shaped graph (the common
+      // dup-cluster topology; min-neighbor init already solves it)
+      // finishes after ONE confirming round. Per-round cost here is
+      // fixed job overhead, not data (measured): keep rounds to plain
+      // hooking — l(v) ← min(l(v), l(neighbors)) — which is 2 stages;
+      // worst-case rounds = component diameter, with maxRounds as the
+      // safety net.
+      var prevSum = rep.agg(sum("rep")).head().getLong(0)
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        round += 1
+        val next = edges.join(rep.select(col("v").as("u"), col("rep")), "u")
+          .groupBy("v").agg(min("rep").as("rep"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val s = next.agg(sum("rep")).head().getLong(0) // materializes `next`
+        rep.unpersist()
+        rep = next
+        converged = s == prevSum
+        prevSum = s
+      }
+      edges.unpersist()
+      rep
+    } finally spark.conf.set(key, prevParts)
   }
 }

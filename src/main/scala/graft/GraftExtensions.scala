@@ -13,6 +13,8 @@ import graft.expr.DotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotDescriptor)
+    ext.injectFunction(GraftFunctions.bloomAggDescriptor)
+    ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
   }
 }
 
@@ -22,17 +24,51 @@ object GraftFunctions {
     DotProduct(args.head, args(1))
   }
 
+  /** Spark's Bloom-filter aggregate/probe pair exists in catalyst (it
+    * powers runtime row-group filtering) but is NOT in the public
+    * FunctionRegistry — surface it for the join-pruning pattern a
+    * 100 TB build side wants (ship a ~100 KB filter, not a shuffle).
+    */
+  private def buildBloomAgg(args: Seq[Expression]): Expression = {
+    require(args.length == 3, "graft_bloom_agg(col, estItems, numBits)")
+    new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      args.head, args(1), args(2)).toAggregateExpression()
+  }
+
+  private def buildBloomContains(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "graft_might_contain(bloom, value)")
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      args.head, args(1))
+  }
+
   val dotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       build)
 
+  val bloomAggDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",
+        "graft_bloom_agg"),
+      buildBloomAgg)
+
+  val bloomContainsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
+        "graft_might_contain"),
+      buildBloomContains)
+
   /** Idempotent per-session registration, for sessions created without
     * the extensions conf (e.g. the driver's own harness session).
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_dot", build, "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot", build, "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_agg", buildBloomAgg, "built-in")
+    reg.createOrReplaceTempFunction("graft_might_contain", buildBloomContains, "built-in")
+  }
 
   /** graft_dot as a Column for the DataFrame DSL (routes through the
     * registry so both DSL and SQL share one implementation).

@@ -23,6 +23,7 @@ object SparkEntry {
     ExtQueries,
     Ext2Queries,
     Ext3Queries,
+    SketchQueries,
     ScaleQueries,
     StreamingStatefulQueries,
   )

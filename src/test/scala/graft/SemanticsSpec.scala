@@ -76,6 +76,52 @@ class SemanticsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("bloom filter has zero false negatives and bounded false-positive rate") {
+    val flags = SparkEntry.queries("agg_bloom_filter")(spark, sf)
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    // ground truth: customers with ≥1 order vs without
+    val c = T.customer(spark, sf).select(col("c_custkey"))
+    val withOrders = c.join(T.orders(spark, sf)
+      .select(col("o_custkey").as("c_custkey")).distinct(), "c_custkey").count()
+    val without = c.count() - withOrders
+    // no false negatives: every key that was inserted must probe true
+    assert(flags.getOrElse(true, 0L) >= withOrders,
+      s"bloom filter dropped inserted keys: $flags vs $withOrders")
+    // false positives = (true-flagged) - (actually present), bounded
+    val fp = flags.getOrElse(true, 0L) - withOrders
+    assert(without == 0 || fp.toDouble / without <= 0.05,
+      s"bloom FPR ${fp.toDouble / without} above 5%")
+    // every customer has orders in this corpus, so measure FPR against
+    // keys KNOWN absent (shifted far outside the key range)
+    GraftFunctions.register(spark)
+    val absentTrue = spark.sql(
+      """SELECT CAST(COUNT(*) AS BIGINT) FROM (
+        |  SELECT graft_might_contain(
+        |    (SELECT graft_bloom_agg(o_custkey, CAST(50000 AS LONG),
+        |                            CAST(400000 AS LONG)) FROM sk_orders),
+        |    c_custkey + 1000000000) AS maybe
+        |  FROM sk_customer) WHERE maybe""".stripMargin).collect()(0).getLong(0)
+    val total = T.customer(spark, sf).count()
+    assert(absentTrue.toDouble / total <= 0.05,
+      s"bloom FPR on absent keys ${absentTrue.toDouble / total} above 5%")
+  }
+
+  test("approx_top_k contains the true heavy hitters with near-exact counts") {
+    val approx = SparkEntry.queries("agg_approx_topk")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = T.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w")).filter(col("w") =!= "")
+      .groupBy("w").count().orderBy(col("count").desc, col("w")).limit(5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (w, n) =>
+      assert(approx.contains(w), s"approx_top_k missed heavy hitter $w")
+      // CMS-backed estimate only over-counts, and with 1000 tracked
+      // items on this vocab it should be ≤ 1% off
+      assert(approx(w) >= n && approx(w) <= (n * 1.01).toLong + 1,
+        s"$w: approx ${approx(w)} vs exact $n")
+    }
+  }
+
   test("approx quantile sketch within 1% relative error of exact percentiles") {
     val approx = SparkEntry.queries("agg_approx_quantile")(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap

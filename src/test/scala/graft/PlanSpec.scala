@@ -71,6 +71,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("agg_spatial_octree: every point scan is pruned to the embedding column") {
+    // static plans duplicate the counts subtree per refine branch (AQE
+    // reuses the identical shuffle stages at runtime — measured 27%
+    // drop from the single-shuffle rewrite); what IS statically
+    // guaranteed: no scan reads more than the one column the binning
+    // needs, and nothing joins the raw point set (cells only)
+    val p = planOf("agg_spatial_octree")
+    val scans = p.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSeq == Seq("embedding"),
+        s"scan reads ${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("agg_group_pricing: filter and column pruning reach the parquet scan") {
     val p = planOf("agg_group_pricing")
     val scan = p.collect { case s: FileSourceScanExec => s }.head

@@ -78,6 +78,24 @@ object Ext3Queries extends QueryPack {
         .orderBy("user_id", "event_id")
     }),
 
+    "quality_constraints" -> ((s, d) => {
+      // one-pass data-quality audit (the dbt-test shape a pipeline runs
+      // before training ingestion): null counts, range violations, and
+      // a referential-orphan count via left-anti join — each constraint
+      // a map-side conditional sum, one row out.
+      val o = T.orders(s, d)
+      val checks = o.agg(
+        count(lit(1)).as("rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos_price"),
+        sum(when(col("o_orderdate") > lit("1999-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("future_orders"))
+      val orphans = o.join(T.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_orders"))
+      checks.crossJoin(orphans)
+    }),
+
     "join_exists_subquery" -> ((s, d) => {
       // correlated EXISTS + NOT EXISTS; Catalyst decorrelates to a left
       // semi join and a left anti join on o_custkey — same physical
@@ -136,6 +154,16 @@ object Ext3Queries extends QueryPack {
         |         OVER (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "quality_constraints" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS rows,
+        |       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+        |       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
+        |       CAST(SUM(CASE WHEN o_orderdate > TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS future_orders,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        |        WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                          WHERE c.c_custkey = o.o_custkey)) AS orphan_orders
+        |FROM orders""".stripMargin,
 
     "join_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c

@@ -78,6 +78,41 @@ object Ext3Queries extends QueryPack {
         .orderBy("user_id", "event_id")
     }),
 
+    "agg_entropy" -> ((s, d) => {
+      // Shannon entropy of each cohort's event-type mix — the
+      // distribution-diversity metric a training-mix pipeline tracks.
+      // ln of identical rationals differs across engines only in the
+      // last ulp, far below the 4-dp round.
+      val c = T.events(s, d)
+        .groupBy(pmod(col("user_id"), lit(10)).as("cohort"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val t = c.groupBy("cohort").agg(sum("n").as("tot"))
+      c.join(t, "cohort")
+        .withColumn("p", col("n").cast("double") / col("tot"))
+        .groupBy("cohort")
+        .agg(round(-sum(col("p") * log(col("p"))), 4).as("entropy"),
+          sum("n").as("n"))
+        .orderBy("cohort")
+    }),
+
+    "win_funnel" -> ((s, d) => {
+      // staged conversion funnel: first view, then first click strictly
+      // after it, then first purchase strictly after that, counted per
+      // stage — time-ordered MIN chains, exact at µs precision.
+      val ev = T.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = ev.filter(col("event_type") === "click").as("e")
+        .join(v, "user_id").filter(col("e.ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = ev.filter(col("event_type") === "purchase").as("e")
+        .join(c, "user_id").filter(col("e.ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    }),
+
     "quality_constraints" -> ((s, d) => {
       // one-pass data-quality audit (the dbt-test shape a pipeline runs
       // before training ingestion): null counts, range violations, and
@@ -154,6 +189,30 @@ object Ext3Queries extends QueryPack {
         |         OVER (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "agg_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id % 10 AS cohort, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT cohort, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.cohort,
+        |       ROUND(-SUM((CAST(n AS DOUBLE) / tot) * LN(CAST(n AS DOUBLE) / tot)), 4) AS entropy,
+        |       CAST(SUM(n) AS BIGINT) AS n
+        |FROM c JOIN t ON c.cohort = t.cohort
+        |GROUP BY c.cohort ORDER BY c.cohort""".stripMargin,
+
+    "win_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        |      WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase""".stripMargin,
 
     "quality_constraints" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS rows,

@@ -46,6 +46,39 @@ object ScanQueries extends QueryPack {
       s.read.schema(schema).json(tmp).orderBy("r_regionkey")
     }),
 
+    "scan_badrecords" -> ((s, d) => {
+      // malformed-input tolerance (Mimir's text sources parse in user
+      // code; a relational ingest needs an engine answer): inject a
+      // known count of arity/type-corrupt lines into a CSV, read it
+      // back PERMISSIVE with a corrupt-record column, and report the
+      // clean/corrupt split. A corrupt line must never abort the scan
+      // NOR silently join the clean rows.
+      val tmp = Files.createTempDirectory("graft_bad_").toString
+      val clean = T.nation(s, d).select(concat_ws(",",
+        col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+      val corrupt = s.range(5).select(
+        concat(lit("oops"), col("id"), lit(",x")).as("value"))
+      clean.unionAll(corrupt).write.mode(SaveMode.Overwrite).text(tmp)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType),
+        StructField("_bad", StringType)))
+      // Spark refuses plans that read ONLY the corrupt-record column
+      // (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — classify through a data
+      // column as well: a corrupt line parses to null n_nationkey AND
+      // a non-null _bad payload.
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(tmp)
+        .agg(
+          sum(when(col("n_nationkey").isNotNull && col("_bad").isNull, 1L)
+            .otherwise(0L)).as("n_clean"),
+          sum(when(col("n_nationkey").isNull || col("_bad").isNotNull, 1L)
+            .otherwise(0L)).as("n_corrupt"))
+    }),
+
     "scan_text_roundtrip" -> ((s, d) => {
       // Mimir's native source/sink was chunked text files; write the
       // corpus as raw text, read it back line-oriented.
@@ -64,6 +97,10 @@ object ScanQueries extends QueryPack {
     "scan_json_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "scan_text_roundtrip" ->
-      "SELECT text AS value FROM documents ORDER BY value"
+      "SELECT text AS value FROM documents ORDER BY value",
+    // the injected-corruption count is part of the declared semantics
+    "scan_badrecords" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_clean,
+        |       CAST(5 AS BIGINT) AS n_corrupt FROM nation""".stripMargin
   )
 }

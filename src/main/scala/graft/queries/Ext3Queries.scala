@@ -78,6 +78,27 @@ object Ext3Queries extends QueryPack {
         .orderBy("user_id", "event_id")
     }),
 
+    "text_bigram_lm" -> ((s, d) => {
+      // bigram language-model scoring with Laplace smoothing — the
+      // perplexity-proxy quality filter: score(doc) = avg over its
+      // bigrams of ln((C(w1w2)+1)/(C(w1)+V)). Corpus stats are two
+      // hash aggregates; V is a 1-row broadcast; per-doc scoring is
+      // two equi-joins. ln of identical rationals differs across
+      // engines ≤1 ulp/term, invisible at the 4-dp round.
+      val docs = T.documents(s, d)
+      val toks = TextOps.tokens(col("text"))
+      val docBi = docs.select(col("doc_id"), explode(TextOps.shingles(toks, 2)).as("b"))
+        .withColumn("w1", substring_index(col("b"), " ", 1))
+      val c2 = docBi.groupBy("b").agg(count(lit(1)).as("c2"))
+      val c1 = docs.select(explode(toks).as("w1")).groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = c1.agg(count(lit(1)).as("vsz"))
+      docBi.join(c2, "b").join(c1, "w1").crossJoin(broadcast(v))
+        .withColumn("lp", log((col("c2") + 1).cast("double") / (col("c1") + col("vsz"))))
+        .groupBy("doc_id")
+        .agg(round(avg("lp"), 4).as("avg_lp"), count(lit(1)).as("n_bigrams"))
+        .orderBy("doc_id")
+    }),
+
     "agg_entropy" -> ((s, d) => {
       // Shannon entropy of each cohort's event-type mix — the
       // distribution-diversity metric a training-mix pipeline tracks.
@@ -189,6 +210,23 @@ object Ext3Queries extends QueryPack {
         |         OVER (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "text_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (SELECT doc_id,
+        |              unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+        |       FROM d),
+        |bi2 AS (SELECT doc_id, b, string_split(b, ' ')[1] AS w1 FROM bi),
+        |c2 AS (SELECT b, COUNT(*) AS c2 FROM bi2 GROUP BY b),
+        |c1 AS (SELECT w1, COUNT(*) AS c1
+        |       FROM (SELECT unnest(string_split(text, ' ')) AS w1 FROM documents)
+        |       GROUP BY w1),
+        |v AS (SELECT COUNT(*) AS vsz FROM c1)
+        |SELECT doc_id,
+        |       ROUND(AVG(LN((c2 + 1.0) / (c1 + vsz))), 4) AS avg_lp,
+        |       CAST(COUNT(*) AS BIGINT) AS n_bigrams
+        |FROM bi2 JOIN c2 USING (b) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "agg_entropy" ->
       """WITH c AS (

@@ -16,7 +16,8 @@ object StreamingStatefulQueries extends QueryPack {
     "stream_dedup_stateful" -> ((s, d) => StreamingJobs.dedupStateful(s, d)),
     "stream_stateful_count" -> ((s, d) => StreamingJobs.statefulCount(s, d)),
     "stream_stream_join" -> ((s, d) => StreamingJobs.streamStreamJoin(s, d)),
-    "stream_tws_agg" -> ((s, d) => StreamingJobs.transformWithStateAgg(s, d))
+    "stream_tws_agg" -> ((s, d) => StreamingJobs.transformWithStateAgg(s, d)),
+    "stream_foreachbatch_sink" -> ((s, d) => StreamingJobs.foreachBatchSink(s, d))
   )
 
   /** The inner stream–stream join IS oracled: inner joins emit matches
@@ -44,6 +45,14 @@ object StreamingStatefulQueries extends QueryPack {
     "stream_tws_agg" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sv
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Append-mode watermark emission over an in-order replay emits every
+    // finalized window exactly once, so the external parquet sink's
+    // union-of-batches equals the batch tumbling aggregate.
+    "stream_foreachbatch_sink" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
   )
 }

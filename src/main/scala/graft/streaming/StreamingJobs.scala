@@ -245,6 +245,59 @@ object StreamingJobs {
     }
   }
 
+  /** streaming → EXTERNAL sink through foreachBatch: the watermarked
+    * 1-h tumbling aggregate emitted per micro-batch into an append-only
+    * parquet directory, then read back. Append mode emits each window
+    * exactly once (when the watermark finalizes it), so the sink's
+    * union-of-batches equals the batch aggregate — which is the oracle.
+    * In production foreachBatch gets exactly-once by writing to a
+    * per-batchId location (idempotent replay after failure); the replay
+    * here is single-run so a plain append shows the same data path.
+    * The in-order replay plus a terminal flush event (advances the
+    * watermark past every real window) guarantees nothing is dropped
+    * and nothing is left unemitted.
+    */
+  def foreachBatchSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val outDir = Files.createTempDirectory("graft_fb_sink").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_fb").toString
+    val source = MemoryStream[Event]
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = source.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outDir)
+      }
+      .start()
+    try {
+      var maxTs = Long.MinValue
+      for (chunk <- eventChunks(spark, sfDir, 2)) {
+        maxTs = math.max(maxTs, chunk.iterator.map(_.ts.getTime).max)
+        source.addData(chunk)
+        q.processAllAvailable()
+      }
+      val flush = Event(-1L, new Timestamp(maxTs + 7L * 24 * 3600 * 1000),
+        -1L, "___flush", 0.0)
+      source.addData(Seq(flush))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    spark.read.parquet(outDir)
+      .filter(col("event_type") =!= "___flush")
+      .select("ws", "event_type", "n")
+      .orderBy("ws", "event_type")
+  }
+
   case class UserState(n: Long, lastSeenUs: Long)
   case class UserCount(user_id: Long, n: Long, last_seen_us: Long)
 

@@ -3,32 +3,43 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR
-  * and prints ONE complete JSON line (the driver's BENCH_r{N} capture).
+  * and prints ONE compact JSON line (the driver's BENCH_r{N} capture).
   *
-  * Hygiene learned from round 1: the r01 capture was head-truncated and
-  * a thrown query was recorded as a fast timing. So (a) the JSON line is
-  * compact (3-dp times) and printed LAST, (b) failed queries are
-  * recorded as value -1 AND listed in "failed", (c) the full result is
-  * also written to /root/repo/bench_prev.json, which the NEXT run reads
-  * to emit a "vs_prev" per-query delta section for regression diffing.
+  * Hygiene learned from rounds 1-2: the r01 capture was head-truncated
+  * and the r02 per-query map (125 keys) outgrew the driver's tail
+  * buffer, so BENCH_r02.parsed came back null. So (a) the COMPLETE
+  * result — every per-query time and every vs_prev delta — is written
+  * to /root/repo/bench_prev.json, which the next run reads for
+  * regression diffing, and (b) the printed line is a SHORT summary that
+  * always fits the capture: total, key/failed counts, the 10 slowest
+  * queries, the 10 largest |vs_prev| movers, and the path to the full
+  * file. (c) failed queries are recorded as value -1 AND listed in
+  * "failed"; (d) "prev_loaded" flags whether the previous baseline
+  * parsed, so a silently-broken vs_prev is visible in the capture.
   */
 object Bench {
   private val PrevPath = "/root/repo/bench_prev.json"
 
-  /** minimal parser for the "queries":{"k":v,...} section we wrote. */
-  private def readPrev(): Map[String, Double] =
+  /** minimal parser for the "queries":{"k":v,...} section we wrote;
+    * second element = whether a non-empty baseline actually loaded.
+    */
+  private def readPrev(): (Map[String, Double], Boolean) =
     try {
       val txt = new String(Files.readAllBytes(Paths.get(PrevPath)), "UTF-8")
       val m = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-      m.map(_.group(1).split(",").flatMap { kv =>
+      val parsed = m.map(_.group(1).split(",").flatMap { kv =>
         kv.split(":") match {
           case Array(k, v) => Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
           case _ => None
         }
-      }.toMap).getOrElse(Map.empty)
-    } catch { case _: Throwable => Map.empty }
+      }.toMap).getOrElse(Map.empty[String, Double])
+      (parsed, parsed.nonEmpty)
+    } catch { case _: Throwable => (Map.empty, false) }
 
   private def f3(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  private def jmap(kvs: Seq[(String, Double)]): String =
+    kvs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,18 +63,24 @@ object Bench {
         catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val prev = readPrev()
+    val (prev, prevLoaded) = readPrev()
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) f3(v) else "-1") }.mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val vsPrev = results.collect { case (k, v, true) if prev.get(k).exists(_ >= 0) =>
-      "\"" + k + "\":" + f3(v - prev(k)) }.mkString("{", ",", "}")
+    val deltas = results.collect { case (k, v, true) if prev.get(k).exists(_ >= 0) =>
+      k -> (v - prev(k)) }
+    val vsPrev = jmap(deltas)
     val total = results.filter(_._3).map(_._2).sum
-    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"vs_prev":$vsPrev,"sf":"$sfDir"}"""
-    try Files.write(Paths.get(PrevPath), json.getBytes("UTF-8"))
+    // the COMPLETE record — every key, every delta — for the next run
+    // and for humans; the printed line only summarizes it.
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"vs_prev":$vsPrev,"prev_loaded":$prevLoaded,"sf":"$sfDir"}"""
+    try Files.write(Paths.get(PrevPath), full.getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    val slow10 = results.filter(_._3).sortBy(-_._2).take(10).map(r => r._1 -> r._2)
+    val move10 = deltas.sortBy { case (_, d) => -math.abs(d) }.take(10)
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_keys":${results.length},"n_failed":${results.count(!_._3)},"failed":$failed,"prev_loaded":$prevLoaded,"queries":${jmap(slow10)},"vs_prev":${jmap(move10)},"full":"$PrevPath"}"""
     spark.stop()
     // printed last so log noise can't interleave into the capture
-    println(json)
+    println(line)
   }
 }

@@ -17,6 +17,8 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** @param pairs DataFrame with two long columns `a`, `b` (one row per
     *              undirected edge)
     * @return DataFrame (v, rep): every vertex of the pair graph mapped
@@ -61,7 +63,11 @@ object ConnectedComponents {
       // hooking — l(v) ← min(l(v), l(neighbors)) — which is 2 stages;
       // worst-case rounds = component diameter, with maxRounds as the
       // safety net.
-      var prevSum = rep.agg(sum("rep")).head().getLong(0)
+      // SUM over zero rows is NULL — coalesce so an edgeless pair graph
+      // returns its (empty) label table instead of throwing.
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum("rep"), lit(0L))).head().getLong(0)
+      var prevSum = labelSum(rep)
       var round = 0
       var converged = false
       while (!converged && round < maxRounds) {
@@ -69,14 +75,26 @@ object ConnectedComponents {
         val next = edges.join(rep.select(col("v").as("u"), col("rep")), "u")
           .groupBy("v").agg(min("rep").as("rep"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val s = next.agg(sum("rep")).head().getLong(0) // materializes `next`
+        val s = labelSum(next) // materializes `next`
         rep.unpersist()
         rep = next
         converged = s == prevSum
         prevSum = s
       }
+      if (!converged)
+        log.warn(s"ConnectedComponents: maxRounds=$maxRounds reached without " +
+          "convergence — labels are a partial closure (component diameter " +
+          "exceeds the round cap); raise maxRounds for deep chain graphs")
       edges.unpersist()
-      rep
+      // hand back RDD-backed blocks instead of the CacheManager entry:
+      // cached Datasets live until an explicit unpersist (a per-call leak
+      // for a query-shaped API with no unpersist hook), while local-
+      // checkpoint blocks are released by the ContextCleaner once the
+      // returned frame is unreferenced. The copy reads the still-cached
+      // `rep`, so materialization is a pass over cache, not a recompute.
+      val out = rep.localCheckpoint(true)
+      rep.unpersist()
+      out
     } finally spark.conf.set(key, prevParts)
   }
 }

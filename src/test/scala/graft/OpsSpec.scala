@@ -90,6 +90,27 @@ class OpsSpec extends SparkSpec {
       s"blocked != brute: missing=${brute -- blocked} extra=${blocked -- brute}")
   }
 
+  test("MetricBlocking similarityJoin: two-table recall 1.0 on the fixture (== brute force)") {
+    // contamination-check shape: probe half × reference half of the
+    // embeddings fixture; exact equality against the brute-force join
+    // (recall AND precision — the blocking must neither drop nor add)
+    val emb = Tables.embeddings(spark, sf)
+    val probe = emb.filter(col("vec_id") < 250)
+    val ref = emb.filter(col("vec_id") >= 250)
+    val got = graft.ops.MetricBlocking.similarityJoin(spark, probe, ref, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def u(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      graft.ops.VectorOps.unit(graft.ops.VectorOps.toDouble(col("embedding"))).as("v"))
+    val brute = u(probe).select(col("vec_id").as("a"), col("v").as("va"))
+      .crossJoin(u(ref).select(col("vec_id").as("b"), col("v").as("vb")))
+      .select(col("a"), col("b"),
+        round(GraftFunctions.dotCol(spark, col("va"), col("vb")), 4).as("sim"))
+      .filter(col("sim") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute && brute.nonEmpty,
+      s"two-table blocked != brute: missing=${brute -- got} extra=${got -- brute}")
+  }
+
   test("MetricBlocking prunes on a clustered corpus (and still finds every pair)") {
     import spark.implicits._
     // 4 tight clusters around orthogonal axes: radii ~11°, inter-cell

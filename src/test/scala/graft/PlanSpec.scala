@@ -18,11 +18,20 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianPro
   */
 class PlanSpec extends SparkSpec {
 
-  private def planOf(name: String): SparkPlan = {
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
-    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  /** mutate a conf key for the duration of `body`, restoring the value
+    * the session actually had (not a hardcoded default — hardcoding
+    * silently re-configures later tests if the session default drifts).
+    */
+  private def withConf[A](key: String, value: String)(body: => A): A = {
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, value)
+    try body finally spark.conf.set(key, prev)
   }
+
+  private def planOf(name: String): SparkPlan =
+    withConf("spark.sql.adaptive.enabled", "false") {
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    }
 
   test("join_5way_flagship: both dimensions broadcast, aggregation is partial+final, no cartesian") {
     val p = planOf("join_5way_flagship")
@@ -37,9 +46,9 @@ class PlanSpec extends SparkSpec {
     // at sf0.001 the planner would broadcast the small side, which hides
     // the claim under test — disable broadcast so the plan must choose
     // between shuffling and reading co-located buckets
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val p = try planOf("join_bucketed_colocated")
-      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val p = withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      planOf("join_bucketed_colocated")
+    }
     val smj = p.collect { case j: SortMergeJoinExec => j }
     assert(smj.length == 1, s"expected one sort-merge join, got ${smj.length}")
     val shufflesUnderJoin = smj.head.collect { case e: ShuffleExchangeExec => e }

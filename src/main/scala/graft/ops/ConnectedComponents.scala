@@ -19,6 +19,14 @@ object ConnectedComponents {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** one hooking round — l(v) ← min over in-neighbors u of l(u): a
+    * single equi-join on vertex id plus a min-aggregate, nothing else
+    * (no window, no sort, no cartesian; PlanSpec pins this shape).
+    */
+  private[graft] def propagateRound(edges: DataFrame, rep: DataFrame): DataFrame =
+    edges.join(rep.select(col("v").as("u"), col("rep")), "u")
+      .groupBy("v").agg(min("rep").as("rep"))
+
   /** @param pairs DataFrame with two long columns `a`, `b` (one row per
     *              undirected edge)
     * @return DataFrame (v, rep): every vertex of the pair graph mapped
@@ -72,8 +80,7 @@ object ConnectedComponents {
       var converged = false
       while (!converged && round < maxRounds) {
         round += 1
-        val next = edges.join(rep.select(col("v").as("u"), col("rep")), "u")
-          .groupBy("v").agg(min("rep").as("rep"))
+        val next = propagateRound(edges, rep)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val s = labelSum(next) // materializes `next`
         rep.unpersist()

@@ -82,39 +82,77 @@ object StreamingJobs {
   }
 
   /** 1-h tumbling counts with a 10-min watermark; events that arrive
-    * after the watermark passed their window are DROPPED. The replay
-    * holds back every 40th event by two chunks to manufacture late data,
-    * and a terminal flush event advances the watermark past every real
-    * window so Append mode emits them all before the query stops.
+    * after the watermark passed their window are DROPPED. Every 40th
+    * event is shifted two chunks later to manufacture late data, and a
+    * terminal flush event advances the watermark past every real window
+    * so Append mode emits them all before the query stops.
+    *
+    * Replayed through the production FILE source, not MemoryStream: the
+    * chunks are staged as `chunk=`-partitioned parquet by EXECUTORS
+    * (the lateness shift is a column expression, not driver buffering),
+    * then moved into the watched directory one chunk at a time — the
+    * driver touches file NAMES only, never rows, so its memory is flat
+    * in sf and the exercised source is the one a production deployment
+    * runs (`readStream.schema(...).parquet(dir)`). Each move +
+    * processAllAvailable pair is one deterministic micro-batch.
     */
   def watermarkLate(spark: SparkSession, sfDir: String): DataFrame = {
-    // streaming transform: only the held-back %40 slices (≤ 2 chunks'
-    // worth, 2.5% of rows) are buffered; the running max ts feeds the
-    // terminal flush lazily (the ++ right side is built after the main
-    // iterator is exhausted).
-    val delayLate: Iterator[Seq[Event]] => Iterator[Seq[Event]] = { chunks =>
-      val held = scala.collection.mutable.Queue.empty[Seq[Event]]
-      var maxTs = Long.MinValue
-      val main = chunks.map { c =>
-        maxTs = math.max(maxTs, c.iterator.map(_.ts.getTime).max)
-        val kept = c.filterNot(e => e.event_id % 40 == 0)
-        held.enqueue(c.filter(e => e.event_id % 40 == 0))
-        // the group held at chunk i-2 arrives now
-        val arriving = if (held.size > 2) held.dequeue() else Nil
-        kept ++ arriving
-      }
-      def flush = Event(-1L, new Timestamp(maxTs + 7L * 24 * 3600 * 1000),
-        -1L, "___flush", 0.0)
-      main ++ Iterator.single(held.dequeueAll(_ => true).flatten.toSeq :+ flush) ++
-        Iterator.single(Seq(flush))
-    }
-    val out = runToCompletion(spark, sfDir, "wm_late", src =>
-      src.toDF()
+    import spark.implicits._
+    val nChunks = 4
+    val stage = Files.createTempDirectory("graft_fswm_stage").resolve("p").toString
+    val watch = Files.createTempDirectory("graft_fswm_watch")
+    val ckpt = Files.createTempDirectory("graft_ckpt_fswm").toString
+    val ev = T.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    // bounds only — one aggregate row crosses to the driver
+    val b = ev.agg(count(lit(1)).as("n"), max(col("ts")).as("maxTs")).head()
+    val per = math.max(1L, math.ceil(b.getLong(0).toDouble / nChunks).toLong)
+    val flushTs = new Timestamp(b.getTimestamp(1).getTime + 7L * 24 * 3600 * 1000)
+    // event_id is a dense time-ordered sequence (TESTDATA.md), so the id
+    // range bucket IS the arrival chunk; the %40 slice of chunk i
+    // arrives with chunk i+2 (capped into the first flush chunk), same
+    // lateness schedule the round-1/2 MemoryStream replay produced.
+    val base = floor(col("event_id") / lit(per.toDouble)).cast("long")
+    val chunk = when(col("event_id") % 40 === 0,
+      least(base + 2, lit(nChunks.toLong))).otherwise(base)
+    val flushRows = Seq(
+      (-1L, flushTs, -1L, "___flush", 0.0, nChunks.toLong),
+      (-2L, flushTs, -1L, "___flush", 0.0, nChunks + 1L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "chunk")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      ev.withColumn("chunk", chunk).unionByName(flushRows)
+        .repartition(col("chunk"))
+        .write.partitionBy("chunk").parquet(stage)
+      val q = spark.readStream.schema(ev.schema).parquet(watch.toString)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n")),
-      OutputMode.Append(), reorder = delayLate)
-    out.select(col("w.start").as("ws"), col("event_type"), col("n"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("wm_late")
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        for (c <- 0L to nChunks + 1L) {
+          val dir = java.nio.file.Paths.get(stage, s"chunk=$c")
+          if (Files.exists(dir)) {
+            val files = Files.list(dir).iterator()
+            var i = 0
+            while (files.hasNext) {
+              val f = files.next()
+              if (f.getFileName.toString.endsWith(".parquet")) {
+                Files.move(f, watch.resolve(s"c${c}_$i.parquet"))
+                i += 1
+              }
+            }
+          }
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table("wm_late")
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
       .filter(col("event_type") =!= "___flush")
       .orderBy("ws", "event_type")
   }

@@ -72,8 +72,8 @@ class PlanSpec extends SparkSpec {
     // every similarity / dedup / range-pair query must block, broadcast,
     // or bucket — a cartesian node means an O(n²) plan came back
     val family = Seq("dedup_embedding", "dedup_jaccard_pairs", "dedup_minhash_lsh",
-      "sim_ann_lsh", "sim_ann_ivf", "join_theta_range", "join_asof",
-      "join_interval_bucketed", "join_skew_salted")
+      "sim_ann_lsh", "sim_ann_ivf", "sim_similarity_join", "join_theta_range",
+      "join_asof", "join_interval_bucketed", "join_skew_salted")
     family.foreach { name =>
       val cart = planOf(name).collect { case c: CartesianProductExec => c }
       assert(cart.isEmpty, s"$name has a CartesianProduct node")
@@ -94,6 +94,40 @@ class PlanSpec extends SparkSpec {
         s"scan reads ${s.requiredSchema.fieldNames.mkString(",")}")
     }
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("centroid assignment is windowless: the argmin is an inline array fold") {
+    // round-2's weak mark: row_number() over the n×k centroid crossJoin
+    // sort-shuffled n^1.5 rows. The argmin is now array_min over one
+    // broadcast centroid row, so the ONLY window allowed in sim_ann_ivf
+    // is the final top-k re-rank, and the MetricBlocking family
+    // (dedup_embedding, sim_similarity_join) must have none at all.
+    def windows(name: String) =
+      planOf(name).collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows("sim_ann_ivf").length == 1,
+      s"sim_ann_ivf: expected only the top-k re-rank window")
+    assert(windows("dedup_embedding").isEmpty, "dedup_embedding grew a window")
+    assert(windows("sim_similarity_join").isEmpty, "sim_similarity_join grew a window")
+  }
+
+  test("connected-components round: one equi-join + one aggregate, nothing else") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 2L), (3L, 3L)).toDF("u", "v")
+    val rep = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("v", "rep")
+    val p = withConf("spark.sql.adaptive.enabled", "false") {
+      graft.ops.ConnectedComponents.propagateRound(edges, rep)
+        .queryExecution.executedPlan
+    }
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty)
+    val joins = p.collect {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.length == 1, s"expected exactly one equi-join, got ${joins.length}")
+    assert(p.collect { case a: HashAggregateExec => a }.length >= 2,
+      "min-aggregate must run partial (map-side) + final")
   }
 
   test("agg_group_pricing: filter and column pruning reach the parquet scan") {

@@ -25,6 +25,7 @@ object SparkEntry {
     Ext3Queries,
     SketchQueries,
     ScaleQueries,
+    PipelineQueries,
     StreamingStatefulQueries,
   )
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

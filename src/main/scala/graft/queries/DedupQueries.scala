@@ -143,6 +143,24 @@ object DedupQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    "dedup_keeplist" -> ((s, d) => {
+      // APPLY the dedup: cluster labels → keep each cluster's min-id
+      // representative, drop the other members; per-lang accounting of
+      // the surviving corpus. This is the keep/drop list a pipeline
+      // materializes after pair mining + clustering — labels (tiny: one
+      // row per CLUSTERED doc) left-join the corpus, so unclustered
+      // docs are kept by default and the corpus is read once.
+      val labels = graft.ops.ConnectedComponents.labels(minedPairs(s, d).select("a", "b"))
+        .select(col("v").as("doc_id"), col("rep"))
+      T.documents(s, d).join(labels, Seq("doc_id"), "left")
+        .withColumn("kept", col("rep").isNull || col("rep") === col("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          sum((!col("kept")).cast("long")).as("n_dropped"))
+        .orderBy("lang")
+    }),
+
     // TEST-only (no oracle): MinHash-LSH banding is probabilistic;
     // ScalaTest asserts candidate recall ⊇ high-Jaccard pairs + exact
     // verification equality on the fixture corpus.
@@ -214,6 +232,24 @@ object DedupQueries extends QueryPack {
          |          UNION SELECT r.s2, ed.t2 FROM reach r JOIN ed ON r.t2 = ed.s2)
          |SELECT s2 AS doc_id, MIN(t2) AS rep FROM reach GROUP BY s2
          |ORDER BY doc_id""".stripMargin,
+
+    // same pair graph + transitive closure as the cluster oracle, then
+    // the keep/drop accounting joined back to the corpus
+    "dedup_keeplist" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |pr AS (SELECT a, b FROM j WHERE j >= 0.5),
+         |ed AS (SELECT a AS s2, b AS t2 FROM pr UNION SELECT b, a FROM pr
+         |       UNION SELECT a, a FROM pr UNION SELECT b, b FROM pr),
+         |reach AS (SELECT s2, t2 FROM ed
+         |          UNION SELECT r.s2, ed.t2 FROM reach r JOIN ed ON r.t2 = ed.s2),
+         |lab AS (SELECT s2 AS doc_id, MIN(t2) AS rep FROM reach GROUP BY s2)
+         |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN lab.rep IS NULL OR lab.rep = d.doc_id
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(SUM(CASE WHEN lab.rep IS NOT NULL AND lab.rep <> d.doc_id
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_simhash" -> {
       val h = TextOps.md5ShortSql("w")

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables => T}
+import graft.ops.TextOps
+
+/** SURVEY.md §2B round-3 training-pipeline additions — the curation
+  * steps a 100 TB pretraining corpus actually runs between ingest and
+  * tokenization: benchmark decontamination, repetition-based quality
+  * filtering (the Gopher-rule family), and data-mixture token
+  * accounting. All explode/groupBy/broadcast plans, zero UDFs, each
+  * oracled brute-force in DuckDB.
+  */
+object PipelineQueries extends QueryPack {
+
+  /** docs with id below this form the "benchmark" (eval) slice. */
+  private val BenchCut = 50
+
+  val queries: Map[String, QueryFn] = Map(
+    "text_contamination" -> ((s, d) => {
+      // benchmark decontamination: a corpus doc is contaminated if it
+      // shares any 5-gram with the benchmark slice. The benchmark's
+      // distinct 5-grams are tiny relative to the corpus (eval sets are
+      // small by nature) → broadcast; the corpus shingle stream then
+      // takes ONE pass — a broadcast left-join marker and a per-doc
+      // aggregate, so gram total and hit count fall out of the same
+      // shuffle. At 100 TB this is a map-side probe of a shared dict.
+      val sh = T.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(
+          TextOps.shingles(TextOps.tokens(col("text")), 5))).as("g"))
+      val bench = sh.filter(col("doc_id") < BenchCut)
+        .select("g").distinct().withColumn("hit", lit(1))
+      sh.filter(col("doc_id") >= BenchCut)
+        .join(broadcast(bench), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contam"))
+        .filter(col("n_contam") > 0)
+        .withColumn("contam_frac", round(col("n_contam") / col("n_grams"), 4))
+        .select("doc_id", "n_contam", "contam_frac")
+        .orderBy("doc_id")
+    }),
+
+    "text_repetition" -> ((s, d) => {
+      // Gopher-style repetition filters: flag docs whose most frequent
+      // bigram exceeds 8% of all bigrams, or with ≥5% duplicate
+      // trigrams. Two explode→groupBy(doc_id) aggregates joined on
+      // doc_id (both hash-partition on the same key); thresholds apply
+      // to the ROUNDED 4-dp fractions on both engines.
+      val base = T.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+      val top = base
+        .select(col("doc_id"), explode(TextOps.shingles(col("t"), 2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(round(max("n") / sum("n"), 4).as("top_bigram_frac"))
+      val dup = base
+        .select(col("doc_id"), explode(TextOps.shingles(col("t"), 3)).as("g"))
+        .groupBy("doc_id")
+        .agg(round(lit(1.0) - countDistinct("g") / count(lit(1)), 4)
+          .as("dup_trigram_frac"))
+      top.join(dup, "doc_id")
+        .filter(col("top_bigram_frac") >= 0.08 || col("dup_trigram_frac") >= 0.05)
+        .orderBy("doc_id")
+    }),
+
+    "text_token_budget" -> ((s, d) => {
+      // data-mixture accounting: BPE-ish token totals per (lang,
+      // source) with corpus share and cumulative share in descending-
+      // contribution order — the table a mixture plan reads to set
+      // sampling weights. The window is over the AGGREGATED mixture
+      // table (|langs| × |sources| rows), so the single-partition sort
+      // is a few dozen rows at any corpus scale.
+      val per = T.documents(s, d)
+        .withColumn("n_bpe",
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+        .groupBy("lang", "source").agg(sum("n_bpe").as("toks"))
+      val tot = per.agg(sum("toks").as("tot"))
+      val w = Window.orderBy(col("toks").desc, col("lang"), col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.crossJoin(broadcast(tot))
+        .withColumn("share", round(col("toks") / col("tot"), 4))
+        .withColumn("cum_share", round(sum("toks").over(w) / col("tot"), 4))
+        .select("lang", "source", "toks", "share", "cum_share")
+        .orderBy(col("toks").desc, col("lang"), col("source"))
+    })
+  )
+
+  /** DuckDB k-gram fragment over token list `t` (k adjacent tokens). */
+  private def gramSql(k: Int): String = {
+    val terms = (0 until k).map(o => s"t[i+$o]").mkString(" || ' ' || ")
+    s"list_transform(range(1, len(t) - ${k - 2}), i -> $terms)"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "text_contamination" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(${gramSql(5)})) AS g FROM t),
+         |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < $BenchCut),
+         |agg AS (
+         |  SELECT s.doc_id, COUNT(*) AS n_grams, COUNT(b.g) AS n_contam
+         |  FROM sh s LEFT JOIN bench b ON s.g = b.g
+         |  WHERE s.doc_id >= $BenchCut GROUP BY 1)
+         |SELECT doc_id, CAST(n_contam AS BIGINT) AS n_contam,
+         |       ROUND(CAST(n_contam AS DOUBLE) / n_grams, 4) AS contam_frac
+         |FROM agg WHERE n_contam > 0 ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, t FROM
+         |    (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |  WHERE len(t) >= 3),
+         |bc AS (
+         |  SELECT doc_id, g, COUNT(*) AS n
+         |  FROM (SELECT doc_id, unnest(${gramSql(2)}) AS g FROM t) GROUP BY 1, 2),
+         |bf AS (SELECT doc_id, ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 4)
+         |         AS top_bigram_frac FROM bc GROUP BY 1),
+         |tf AS (
+         |  SELECT doc_id, ROUND(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 4)
+         |    AS dup_trigram_frac
+         |  FROM (SELECT doc_id, unnest(${gramSql(3)}) AS g FROM t) GROUP BY 1)
+         |SELECT bf.doc_id, top_bigram_frac, dup_trigram_frac
+         |FROM bf JOIN tf USING (doc_id)
+         |WHERE top_bigram_frac >= 0.08 OR dup_trigram_frac >= 0.05
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_token_budget" ->
+      """WITH per AS (
+        |  SELECT lang, source,
+        |         CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(toks) AS DOUBLE) AS tot FROM per)
+        |SELECT lang, source, toks, ROUND(toks / tot, 4) AS share,
+        |       ROUND(SUM(toks) OVER (ORDER BY toks DESC, lang, source
+        |         ROWS UNBOUNDED PRECEDING) / tot, 4) AS cum_share
+        |FROM per, tot ORDER BY toks DESC, lang, source""".stripMargin
+  )
+}

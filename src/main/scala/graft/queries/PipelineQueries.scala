@@ -65,6 +65,22 @@ object PipelineQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    "sample_quality_weighted" -> ((s, d) => {
+      // quality-weighted subsampling: each doc survives with
+      // probability p = min(1, n_chars/1500) — longer docs kept
+      // preferentially, the acceptance drawn from the doc's own
+      // portable md5 bucket so BOTH engines (and every retry at any
+      // scale) select the identical sample with zero coordination.
+      // Reported as per-lang kept/total accounting.
+      val p = least(lit(1.0), col("n_chars") / lit(1500.0))
+      val bucket = TextOps.md5Long(col("doc_id").cast("string")) % 10000
+      T.documents(s, d)
+        .withColumn("kept", (bucket.cast("double") < p * 10000).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"))
+        .orderBy("lang")
+    }),
+
     "text_token_budget" -> ((s, d) => {
       // data-mixture accounting: BPE-ish token totals per (lang,
       // source) with corpus share and cumulative share in descending-
@@ -124,6 +140,15 @@ object PipelineQueries extends QueryPack {
          |FROM bf JOIN tf USING (doc_id)
          |WHERE top_bigram_frac >= 0.08 OR dup_trigram_frac >= 0.05
          |ORDER BY doc_id""".stripMargin,
+
+    "sample_quality_weighted" -> {
+      val h = graft.ops.TextOps.md5LongSql("CAST(doc_id AS VARCHAR)")
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN CAST(($h % 10000) AS DOUBLE)
+         |                       < LEAST(1.0, CAST(n_chars AS DOUBLE) / 1500.0) * 10000
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     "text_token_budget" ->
       """WITH per AS (

@@ -25,6 +25,33 @@ object ScaleQueries extends QueryPack {
         .orderBy("o_orderstatus")
     }),
 
+    "join_bloom_pruned" -> ((s, d) => {
+      // Bloom-pruned join: the probe side (lineitem) is pre-filtered by
+      // a ~100 KB Bloom filter of the SELECTIVE build side's keys
+      // before the join shuffle — at 100 TB this drops ~all
+      // non-matching probe rows at the scan, shipping a filter instead
+      // of shuffling the rows it would discard. False positives are
+      // removed by the join itself, so the RESULT equals the plain
+      // join — which is the oracle (same contract as join_skew_salted:
+      // the technique changes the plan, never the answer). Spark's AQE
+      // runtime filters apply this pattern automatically in some plans;
+      // here it is explicit and composable (graft_bloom_agg ships as a
+      // scalar-subquery constant).
+      graft.GraftFunctions.register(s)
+      T.orders(s, d).filter(col("o_totalprice") > 400000)
+        .createOrReplaceTempView("bp_orders")
+      T.lineitem(s, d).createOrReplaceTempView("bp_lineitem")
+      s.sql("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+              |       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+              |FROM (SELECT l_orderkey, l_quantity FROM bp_lineitem
+              |      WHERE graft_might_contain(
+              |        (SELECT graft_bloom_agg(o_orderkey, CAST(100000 AS LONG),
+              |                                CAST(800000 AS LONG)) FROM bp_orders),
+              |        l_orderkey)) l
+              |JOIN bp_orders o ON l.l_orderkey = o.o_orderkey
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     "join_bucketed_colocated" -> ((s, d) => {
       // bucket both fact tables by the join key: the join then reads
       // co-located buckets with NO shuffle exchange on either side —
@@ -67,6 +94,14 @@ object ScaleQueries extends QueryPack {
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         |       ROUND(SUM(l_extendedprice), 2) AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the PLAIN join — the bloom prune must not change the answer
+    "join_bloom_pruned" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -130,6 +130,31 @@ class PlanSpec extends SparkSpec {
       "min-aggregate must run partial (map-side) + final")
   }
 
+  test("text_contamination: the benchmark gram dict joins by broadcast") {
+    // the benchmark slice is small by nature — its distinct 5-grams
+    // must ship as a broadcast, never shuffle the corpus gram stream
+    // against them
+    val p = planOf("text_contamination")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "benchmark gram dict must broadcast")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("join_bloom_pruned: the bloom ships as a scalar subquery, the join stays equi") {
+    // the filter must be a ~100 KB scalar (one aggregate subquery), so
+    // the main plan has the equi-join and NO extra join for the bloom
+    val p = planOf("join_bloom_pruned")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    val joins = p.collect {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.length == 1, s"expected one equi-join, got ${joins.length}")
+    assert(p.toString.contains("might_contain"),
+      "probe-side filter must apply the bloom probe")
+  }
+
   test("agg_group_pricing: filter and column pruning reach the parquet scan") {
     val p = planOf("agg_group_pricing")
     val scan = p.collect { case s: FileSourceScanExec => s }.head

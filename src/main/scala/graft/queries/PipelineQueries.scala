@@ -65,6 +65,23 @@ object PipelineQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    "text_dup_spans" -> ((s, d) => {
+      // cross-document duplicated-span audit (the memorization-risk
+      // signal substring dedup acts on): per doc, how many of its
+      // 10-gram spans appear in other docs too, and the widest such
+      // span's document count. The span df rides the SAME count-window-
+      // over-hash(g) exchange trick as the Jaccard DF cap — one shuffle
+      // on gram, one on doc_id, no second pass over the corpus.
+      val sh = T.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(
+          TextOps.shingles(TextOps.tokens(col("text")), 10))).as("g"))
+      sh.withColumn("nd", count(lit(1)).over(Window.partitionBy("g")))
+        .filter(col("nd") >= 2)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_grams"), max("nd").as("max_share"))
+        .orderBy("doc_id")
+    }),
+
     "sample_quality_weighted" -> ((s, d) => {
       // quality-weighted subsampling: each doc survives with
       // probability p = min(1, n_chars/1500) — longer docs kept
@@ -140,6 +157,14 @@ object PipelineQueries extends QueryPack {
          |FROM bf JOIN tf USING (doc_id)
          |WHERE top_bigram_frac >= 0.08 OR dup_trigram_frac >= 0.05
          |ORDER BY doc_id""".stripMargin,
+
+    "text_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(${gramSql(10)})) AS g FROM t),
+         |nd AS (SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS nd FROM sh)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+         |       CAST(MAX(nd) AS BIGINT) AS max_share
+         |FROM nd WHERE nd >= 2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "sample_quality_weighted" -> {
       val h = graft.ops.TextOps.md5LongSql("CAST(doc_id AS VARCHAR)")

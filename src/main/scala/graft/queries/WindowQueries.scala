@@ -73,6 +73,22 @@ object WindowQueries extends QueryPack {
           first_value(col("o_orderkey")).over(w).as("first_k"),
           last_value(col("o_orderkey")).over(w).as("last_k"))
         .orderBy("o_orderkey")
+    }),
+
+    "win_gaps_islands" -> ((s, d) => {
+      // gaps-and-islands: longest streak of consecutive ACTIVE DAYS per
+      // user. Classic rewrite: within a user's distinct-day sequence,
+      // (day - row_number days) is constant across a consecutive run,
+      // so the run collapses under a groupBy — one window over the
+      // per-user day list (tiny after distinct), no self-join.
+      val days = T.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("dy")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("dy")
+      days.withColumn("grp", date_sub(col("dy"), row_number().over(w)))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(sum("len").as("n_days"), max("len").as("max_streak"))
+        .orderBy("user_id")
     })
   )
 
@@ -121,6 +137,17 @@ object WindowQueries extends QueryPack {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "win_gaps_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dy FROM events),
+        |isl AS (
+        |  SELECT user_id, dy,
+        |         dy - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dy) AS INT) AS grp
+        |  FROM days),
+        |st AS (SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
+        |       CAST(MAX(len) AS BIGINT) AS max_streak
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

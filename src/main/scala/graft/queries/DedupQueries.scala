@@ -26,21 +26,35 @@ object DedupQueries extends QueryPack {
     * driver harness) — so the mined (a, b, j) table is memoized and
     * persisted per (session, sf dir): the ~3 s mining pipeline runs
     * once and the second consumer reads cached partitions. The entry
-    * lives for the session by design (it is the shared artifact, not a
-    * per-call temp); its size is the near-dup pair list — tiny relative
-    * to the corpus at every scale.
+    * lives for the SESSION by design (it is the shared artifact, not a
+    * per-call temp) and is evicted when the session's context ends, so
+    * a multi-session JVM never pins stopped sessions or dead plans.
+    * Note for bench readers: whichever of the two keys runs first pays
+    * the mining; per-key vs_prev deltas on this pair reflect cache-hit
+    * order, the pair's SUM is the regression signal.
     */
   private val minedCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String),
       org.apache.spark.sql.DataFrame]()
 
   private def minedPairs(s: org.apache.spark.sql.SparkSession, d: String) =
-    minedCache.computeIfAbsent((s, d), _ => minePairs(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    minedCache.computeIfAbsent((s, d), { _ =>
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          minedCache.remove((s, d))
+      })
+      minePairs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** exact 3-shingle Jaccard ≥ 0.5 pairs (a < b) — see the
-    * dedup_jaccard_pairs entry for the plan rationale. */
-  private def minePairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    * dedup_jaccard_pairs entry for the plan rationale. `private[graft]`
+    * so PlanSpec pins the RAW mining plan: the memoized query key plans
+    * as an InMemoryTableScan whose cached subtree `collect` never
+    * traverses, which would make a no-cartesian pin on the query
+    * vacuous.
+    */
+  private[graft] def minePairs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = T.documents(s, d)
       .select(col("doc_id"), array_distinct(
         TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))

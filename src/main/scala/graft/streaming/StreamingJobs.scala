@@ -137,25 +137,44 @@ object StreamingJobs {
         for (c <- 0L to nChunks + 1L) {
           val dir = java.nio.file.Paths.get(stage, s"chunk=$c")
           if (Files.exists(dir)) {
-            val files = Files.list(dir).iterator()
-            var i = 0
-            while (files.hasNext) {
-              val f = files.next()
-              if (f.getFileName.toString.endsWith(".parquet")) {
-                Files.move(f, watch.resolve(s"c${c}_$i.parquet"))
-                i += 1
+            val listing = Files.list(dir)
+            try {
+              val files = listing.iterator()
+              var i = 0
+              while (files.hasNext) {
+                val f = files.next()
+                if (f.getFileName.toString.endsWith(".parquet")) {
+                  Files.move(f, watch.resolve(s"c${c}_$i.parquet"))
+                  i += 1
+                }
               }
-            }
+            } finally listing.close()
           }
           q.processAllAvailable()
         }
       } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // the memory sink holds the result rows; the staged/watched
+      // parquet copy of events (~the table size) and the checkpoint are
+      // replay scaffolding — delete them or every run leaks a corpus
+      // copy into /tmp
+      Seq(java.nio.file.Paths.get(stage).getParent, watch,
+          java.nio.file.Paths.get(ckpt)).foreach(deleteRecursively)
+    }
     spark.table("wm_late")
       .select(col("w.start").as("ws"), col("event_type"), col("n"))
       .filter(col("event_type") =!= "___flush")
       .orderBy("ws", "event_type")
   }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
 
   /** streaming exact dedup on event_id within the watermark horizon;
     * the replay re-sends every 10th event in the following chunk — the

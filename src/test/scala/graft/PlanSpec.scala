@@ -71,13 +71,21 @@ class PlanSpec extends SparkSpec {
   test("pair-join family plans contain no CartesianProduct") {
     // every similarity / dedup / range-pair query must block, broadcast,
     // or bucket — a cartesian node means an O(n²) plan came back
-    val family = Seq("dedup_embedding", "dedup_jaccard_pairs", "dedup_minhash_lsh",
+    val family = Seq("dedup_embedding", "dedup_minhash_lsh",
       "sim_ann_lsh", "sim_ann_ivf", "sim_similarity_join", "join_theta_range",
       "join_asof", "join_interval_bucketed", "join_skew_salted")
     family.foreach { name =>
       val cart = planOf(name).collect { case c: CartesianProductExec => c }
       assert(cart.isEmpty, s"$name has a CartesianProduct node")
     }
+    // the Jaccard mining is memoized+persisted, so the QUERY plans as an
+    // InMemoryTableScan whose cached subtree `collect` never enters —
+    // pin the RAW mining plan instead, or the check is vacuous
+    val mining = withConf("spark.sql.adaptive.enabled", "false") {
+      graft.queries.DedupQueries.minePairs(spark, sf).queryExecution.executedPlan
+    }
+    assert(mining.collect { case c: CartesianProductExec => c }.isEmpty,
+      "dedup_jaccard_pairs mining has a CartesianProduct node")
   }
 
   test("agg_spatial_octree: every point scan is pruned to the embedding column") {

@@ -98,6 +98,19 @@ object PipelineQueries extends QueryPack {
         .orderBy("lang")
     }),
 
+    "sample_split" -> ((s, d) => {
+      // deterministic train/val/test split (90/5/5) by portable md5
+      // bucket of doc_id — stable under reruns, identical on both
+      // engines and on every executor at any scale, no coordination or
+      // RNG state; per-split × lang accounting (the split-audit table).
+      val b = TextOps.md5Long(col("doc_id").cast("string")) % 100
+      T.documents(s, d)
+        .withColumn("split",
+          when(b < 90, "train").when(b < 95, "val").otherwise("test"))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang")
+    }),
+
     "text_token_budget" -> ((s, d) => {
       // data-mixture accounting: BPE-ish token totals per (lang,
       // source) with corpus share and cumulative share in descending-
@@ -173,6 +186,14 @@ object PipelineQueries extends QueryPack {
          |                       < LEAST(1.0, CAST(n_chars AS DOUBLE) / 1500.0) * 10000
          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "sample_split" -> {
+      val h = graft.ops.TextOps.md5LongSql("CAST(doc_id AS VARCHAR)")
+      s"""SELECT CASE WHEN ($h % 100) < 90 THEN 'train'
+         |            WHEN ($h % 100) < 95 THEN 'val' ELSE 'test' END AS split,
+         |       lang, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
     "text_token_budget" ->

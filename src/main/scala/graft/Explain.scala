@@ -20,7 +20,12 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       println(s"\n===== $n =====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      // the memoized Jaccard query plans as an InMemoryTableScan that
+      // hides the mining subtree — audit the raw mining plan instead
+      if (n == "dedup_jaccard_pairs")
+        graft.queries.DedupQueries.minePairs(spark, sfDir).explain("formatted")
+      else
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

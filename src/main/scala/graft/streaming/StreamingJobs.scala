@@ -77,29 +77,71 @@ object StreamingJobs {
     } finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // the memory sink holds the rows; the checkpoint is per-run
+      // scaffolding that otherwise accumulates under /tmp
+      deleteRecursively(java.nio.file.Paths.get(ckpt))
     }
     spark.table(sinkName)
   }
 
+  /** FILE-source replay plumbing, shared by the jobs that exercise the
+    * production source instead of MemoryStream: executors stage the
+    * chunked table as `chunk=`-partitioned parquet, then the driver
+    * moves file NAMES into the watched directory one chunk per
+    * micro-batch — it never touches rows, so driver memory is flat in
+    * sf and the exercised source is the one a deployment runs
+    * (`readStream.schema(...).parquet(dir)`).
+    */
+  private def stageChunks(rowsWithChunk: DataFrame, tag: String): String = {
+    val stage = Files.createTempDirectory(s"graft_fs_$tag").resolve("p").toString
+    rowsWithChunk.repartition(col("chunk")).write.partitionBy("chunk").parquet(stage)
+    stage
+  }
+
+  /** feed chunks 0..maxChunk into `watch`, one deterministic
+    * micro-batch per move+processAllAvailable pair. */
+  private def feedChunks(stage: String, watch: java.nio.file.Path, maxChunk: Long,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    for (c <- 0L to maxChunk) {
+      val dir = java.nio.file.Paths.get(stage, s"chunk=$c")
+      if (Files.exists(dir)) {
+        val listing = Files.list(dir)
+        try {
+          val files = listing.iterator()
+          var i = 0
+          while (files.hasNext) {
+            val f = files.next()
+            if (f.getFileName.toString.endsWith(".parquet")) {
+              Files.move(f, watch.resolve(s"c${c}_$i.parquet"))
+              i += 1
+            }
+          }
+        } finally listing.close()
+      }
+      q.processAllAvailable()
+    }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (root != null && Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+
   /** 1-h tumbling counts with a 10-min watermark; events that arrive
     * after the watermark passed their window are DROPPED. Every 40th
-    * event is shifted two chunks later to manufacture late data, and a
-    * terminal flush event advances the watermark past every real window
-    * so Append mode emits them all before the query stops.
-    *
-    * Replayed through the production FILE source, not MemoryStream: the
-    * chunks are staged as `chunk=`-partitioned parquet by EXECUTORS
-    * (the lateness shift is a column expression, not driver buffering),
-    * then moved into the watched directory one chunk at a time — the
-    * driver touches file NAMES only, never rows, so its memory is flat
-    * in sf and the exercised source is the one a production deployment
-    * runs (`readStream.schema(...).parquet(dir)`). Each move +
-    * processAllAvailable pair is one deterministic micro-batch.
+    * event is shifted two chunks later to manufacture late data (a
+    * column expression, not driver buffering — event_id is a dense
+    * time-ordered sequence per TESTDATA.md, so the id-range bucket IS
+    * the arrival chunk), and a terminal flush event advances the
+    * watermark past every real window so Append mode emits them all
+    * before the query stops. Replayed through the production file
+    * source via [[stageChunks]]/[[feedChunks]].
     */
   def watermarkLate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val nChunks = 4
-    val stage = Files.createTempDirectory("graft_fswm_stage").resolve("p").toString
     val watch = Files.createTempDirectory("graft_fswm_watch")
     val ckpt = Files.createTempDirectory("graft_ckpt_fswm").toString
     val ev = T.events(spark, sfDir)
@@ -108,10 +150,9 @@ object StreamingJobs {
     val b = ev.agg(count(lit(1)).as("n"), max(col("ts")).as("maxTs")).head()
     val per = math.max(1L, math.ceil(b.getLong(0).toDouble / nChunks).toLong)
     val flushTs = new Timestamp(b.getTimestamp(1).getTime + 7L * 24 * 3600 * 1000)
-    // event_id is a dense time-ordered sequence (TESTDATA.md), so the id
-    // range bucket IS the arrival chunk; the %40 slice of chunk i
-    // arrives with chunk i+2 (capped into the first flush chunk), same
-    // lateness schedule the round-1/2 MemoryStream replay produced.
+    // the %40 slice of chunk i arrives with chunk i+2 (capped into the
+    // first flush chunk) — the same lateness schedule the round-1/2
+    // MemoryStream replay produced
     val base = floor(col("event_id") / lit(per.toDouble)).cast("long")
     val chunk = when(col("event_id") % 40 === 0,
       least(base + 2, lit(nChunks.toLong))).otherwise(base)
@@ -121,10 +162,9 @@ object StreamingJobs {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "chunk")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    var stage: String = null
     try {
-      ev.withColumn("chunk", chunk).unionByName(flushRows)
-        .repartition(col("chunk"))
-        .write.partitionBy("chunk").parquet(stage)
+      stage = stageChunks(ev.withColumn("chunk", chunk).unionByName(flushRows), "wm")
       val q = spark.readStream.schema(ev.schema).parquet(watch.toString)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -133,48 +173,21 @@ object StreamingJobs {
         .outputMode(OutputMode.Append())
         .option("checkpointLocation", ckpt)
         .start()
-      try {
-        for (c <- 0L to nChunks + 1L) {
-          val dir = java.nio.file.Paths.get(stage, s"chunk=$c")
-          if (Files.exists(dir)) {
-            val listing = Files.list(dir)
-            try {
-              val files = listing.iterator()
-              var i = 0
-              while (files.hasNext) {
-                val f = files.next()
-                if (f.getFileName.toString.endsWith(".parquet")) {
-                  Files.move(f, watch.resolve(s"c${c}_$i.parquet"))
-                  i += 1
-                }
-              }
-            } finally listing.close()
-          }
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      try feedChunks(stage, watch, nChunks + 1L, q) finally q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       // the memory sink holds the result rows; the staged/watched
       // parquet copy of events (~the table size) and the checkpoint are
       // replay scaffolding — delete them or every run leaks a corpus
       // copy into /tmp
-      Seq(java.nio.file.Paths.get(stage).getParent, watch,
-          java.nio.file.Paths.get(ckpt)).foreach(deleteRecursively)
+      Seq(Option(stage).map(java.nio.file.Paths.get(_).getParent).orNull,
+        watch, java.nio.file.Paths.get(ckpt)).foreach(deleteRecursively)
     }
     spark.table("wm_late")
       .select(col("w.start").as("ws"), col("event_type"), col("n"))
       .filter(col("event_type") =!= "___flush")
       .orderBy("ws", "event_type")
   }
-
-  private def deleteRecursively(root: java.nio.file.Path): Unit =
-    if (Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(root)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally walk.close()
-    }
 
   /** streaming exact dedup on event_id within the watermark horizon;
     * the replay re-sends every 10th event in the following chunk — the
@@ -316,38 +329,44 @@ object StreamingJobs {
     */
   def foreachBatchSink(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    implicit val sq = spark.sqlContext
+    val nChunks = 2
     val outDir = Files.createTempDirectory("graft_fb_sink").toString
     val ckpt = Files.createTempDirectory("graft_ckpt_fb").toString
-    val source = MemoryStream[Event]
+    val watch = Files.createTempDirectory("graft_fb_watch")
+    val ev = T.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val b = ev.agg(count(lit(1)).as("n"), max(col("ts")).as("maxTs")).head()
+    val per = math.max(1L, math.ceil(b.getLong(0).toDouble / nChunks).toLong)
+    val flushTs = new Timestamp(b.getTimestamp(1).getTime + 7L * 24 * 3600 * 1000)
+    // in-order file-source replay (no lateness here): id-range chunks,
+    // terminal flush chunk so Append emits every window before stop
+    val chunk = floor(col("event_id") / lit(per.toDouble)).cast("long")
+    val flushRows = Seq((-1L, flushTs, -1L, "___flush", 0.0, nChunks.toLong))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "chunk")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = source.toDF()
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("w.start").as("ws"), col("event_type"), col("n"))
-      .writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        df.write.mode("append").parquet(outDir)
-      }
-      .start()
+    var stage: String = null
     try {
-      var maxTs = Long.MinValue
-      for (chunk <- eventChunks(spark, sfDir, 2)) {
-        maxTs = math.max(maxTs, chunk.iterator.map(_.ts.getTime).max)
-        source.addData(chunk)
-        q.processAllAvailable()
-      }
-      val flush = Event(-1L, new Timestamp(maxTs + 7L * 24 * 3600 * 1000),
-        -1L, "___flush", 0.0)
-      source.addData(Seq(flush))
-      q.processAllAvailable()
+      stage = stageChunks(ev.withColumn("chunk", chunk).unionByName(flushRows), "fb")
+      val q = spark.readStream.schema(ev.schema).parquet(watch.toString)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"))
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try feedChunks(stage, watch, nChunks.toLong, q) finally q.stop()
     } finally {
-      q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // outDir is the external sink under test — the returned frame
+      // reads it lazily, so only the replay scaffolding is deleted
+      Seq(Option(stage).map(java.nio.file.Paths.get(_).getParent).orNull,
+        watch, java.nio.file.Paths.get(ckpt)).foreach(deleteRecursively)
     }
     spark.read.parquet(outDir)
       .filter(col("event_type") =!= "___flush")

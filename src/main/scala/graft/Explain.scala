@@ -18,14 +18,21 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // keys whose plan embeds the memoized Jaccard mining: the query
+    // plans as an InMemoryTableScan whose cached subtree formatted-
+    // explain never expands, so the raw mining plan is printed too
+    val miningBacked = Set("dedup_jaccard_pairs", "dedup_cluster_cc", "dedup_keeplist")
     names.foreach { n =>
       println(s"\n===== $n =====")
-      // the memoized Jaccard query plans as an InMemoryTableScan that
-      // hides the mining subtree — audit the raw mining plan instead
       if (n == "dedup_jaccard_pairs")
         graft.queries.DedupQueries.minePairs(spark, sfDir).explain("formatted")
-      else
+      else {
         SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+        if (miningBacked(n)) {
+          println(s"----- $n: raw Jaccard mining subplan (memoized above) -----")
+          graft.queries.DedupQueries.minePairs(spark, sfDir).explain("formatted")
+        }
+      }
     }
     spark.stop()
   }

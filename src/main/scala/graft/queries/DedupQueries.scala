@@ -27,23 +27,33 @@ object DedupQueries extends QueryPack {
     * persisted per (session, sf dir): the ~3 s mining pipeline runs
     * once and the second consumer reads cached partitions. The entry
     * lives for the SESSION by design (it is the shared artifact, not a
-    * per-call temp) and is evicted when the session's context ends, so
-    * a multi-session JVM never pins stopped sessions or dead plans.
-    * Note for bench readers: whichever of the two keys runs first pays
-    * the mining; per-key vs_prev deltas on this pair reflect cache-hit
-    * order, the pair's SUM is the regression signal.
+    * per-call temp) and every entry of a SparkContext is dropped when
+    * that context ends (ONE listener per context, not per entry), so a
+    * JVM that stops and recreates contexts never pins dead plans.
+    * Sessions discarded without stopping their context stay cached by
+    * design — the cache is the session-scoped artifact. Note for bench
+    * readers: whichever of the consuming keys runs first pays the
+    * mining; per-key vs_prev deltas on this family reflect cache-hit
+    * order, the family's SUM is the regression signal.
     */
   private val minedCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String),
       org.apache.spark.sql.DataFrame]()
 
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
+
   private def minedPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     minedCache.computeIfAbsent((s, d), { _ =>
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          minedCache.remove((s, d))
-      })
+      val sc = s.sparkContext
+      if (evictionHooked.add(sc))
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            minedCache.keySet.removeIf(_._1.sparkContext eq sc)
+            evictionHooked.remove(sc)
+          }
+        })
       minePairs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -79,23 +79,74 @@ object StreamingJobs {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       // the memory sink holds the rows; the checkpoint is per-run
       // scaffolding that otherwise accumulates under /tmp
-      deleteRecursively(java.nio.file.Paths.get(ckpt))
+      quietDelete(java.nio.file.Paths.get(ckpt))
     }
     spark.table(sinkName)
   }
 
-  /** FILE-source replay plumbing, shared by the jobs that exercise the
+  /** FILE-source replay harness, shared by the jobs that exercise the
     * production source instead of MemoryStream: executors stage the
     * chunked table as `chunk=`-partitioned parquet, then the driver
     * moves file NAMES into the watched directory one chunk per
     * micro-batch — it never touches rows, so driver memory is flat in
     * sf and the exercised source is the one a deployment runs
     * (`readStream.schema(...).parquet(dir)`).
+    *
+    * Shape held once here for every file-source job: compute bounds →
+    * stage (executors) → start the query over the watch dir → feed
+    * chunks in order → stop → delete the scaffolding (staged copy,
+    * watch dir, checkpoint — quietly: a cleanup IO hiccup must never
+    * mask the job's result or original exception).
+    *
+    * @param mkChunk  arrival chunk from (base id-range bucket, flushTs
+    *                 unused); event_id is a dense time-ordered sequence
+    *                 (TESTDATA.md) so the id bucket IS the arrival order
+    * @param nFlush   how many terminal flush micro-batches to append
+    *                 (flush events advance the watermark past every
+    *                 real window so Append mode emits them all)
+    * @param start    builds AND starts the streaming query from the
+    *                 watch-dir stream and a checkpoint path
     */
+  private def replayFileSource(spark: SparkSession, sfDir: String, tag: String,
+      nChunks: Int, mkChunk: Column => Column, nFlush: Int,
+      start: (DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    import spark.implicits._
+    val watch = Files.createTempDirectory(s"graft_${tag}_watch")
+    val ckpt = Files.createTempDirectory(s"graft_ckpt_$tag").toString
+    val ev = T.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    // bounds only — one aggregate row crosses to the driver
+    val b = ev.agg(count(lit(1)).as("n"), max(col("ts")).as("maxTs")).head()
+    val per = math.max(1L, math.ceil(b.getLong(0).toDouble / nChunks).toLong)
+    val flushTs = new Timestamp(b.getTimestamp(1).getTime + 7L * 24 * 3600 * 1000)
+    val base = floor(col("event_id") / lit(per.toDouble)).cast("long")
+    val flushRows = (0 until nFlush).map(i =>
+        (-(i + 1).toLong, flushTs, -1L, "___flush", 0.0, (nChunks + i).toLong))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "chunk")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    var stage: String = null
+    try {
+      stage = stageChunks(ev.withColumn("chunk", mkChunk(base)).unionByName(flushRows), tag)
+      val q = start(spark.readStream.schema(ev.schema).parquet(watch.toString), ckpt)
+      try feedChunks(stage, watch, nChunks + nFlush - 1L, q) finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      Seq(Option(stage).map(java.nio.file.Paths.get(_).getParent).orNull,
+        watch, java.nio.file.Paths.get(ckpt)).foreach(quietDelete)
+    }
+  }
+
   private def stageChunks(rowsWithChunk: DataFrame, tag: String): String = {
-    val stage = Files.createTempDirectory(s"graft_fs_$tag").resolve("p").toString
-    rowsWithChunk.repartition(col("chunk")).write.partitionBy("chunk").parquet(stage)
-    stage
+    val root = Files.createTempDirectory(s"graft_fs_$tag")
+    val stage = root.resolve("p").toString
+    try {
+      rowsWithChunk.repartition(col("chunk")).write.partitionBy("chunk").parquet(stage)
+      stage
+    } catch {
+      // a failed staging write must not leak its partial output
+      case e: Throwable => quietDelete(root); throw e
+    }
   }
 
   /** feed chunks 0..maxChunk into `watch`, one deterministic
@@ -129,60 +180,36 @@ object StreamingJobs {
       finally walk.close()
     }
 
+  /** scaffolding cleanup never throws: state-store maintenance can
+    * still touch a checkpoint between walk and delete, and a cleanup
+    * failure from a finally block would mask the job's real outcome. */
+  private def quietDelete(root: java.nio.file.Path): Unit =
+    try deleteRecursively(root)
+    catch { case scala.util.control.NonFatal(_) => () }
+
   /** 1-h tumbling counts with a 10-min watermark; events that arrive
     * after the watermark passed their window are DROPPED. Every 40th
     * event is shifted two chunks later to manufacture late data (a
-    * column expression, not driver buffering — event_id is a dense
-    * time-ordered sequence per TESTDATA.md, so the id-range bucket IS
-    * the arrival chunk), and a terminal flush event advances the
-    * watermark past every real window so Append mode emits them all
-    * before the query stops. Replayed through the production file
-    * source via [[stageChunks]]/[[feedChunks]].
+    * column expression, not driver buffering; the %40 slice of chunk i
+    * arrives with chunk i+2, capped into the first flush chunk — the
+    * same lateness schedule the round-1/2 MemoryStream replay
+    * produced). Replayed through the production file source via
+    * [[replayFileSource]].
     */
   def watermarkLate(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val nChunks = 4
-    val watch = Files.createTempDirectory("graft_fswm_watch")
-    val ckpt = Files.createTempDirectory("graft_ckpt_fswm").toString
-    val ev = T.events(spark, sfDir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-    // bounds only — one aggregate row crosses to the driver
-    val b = ev.agg(count(lit(1)).as("n"), max(col("ts")).as("maxTs")).head()
-    val per = math.max(1L, math.ceil(b.getLong(0).toDouble / nChunks).toLong)
-    val flushTs = new Timestamp(b.getTimestamp(1).getTime + 7L * 24 * 3600 * 1000)
-    // the %40 slice of chunk i arrives with chunk i+2 (capped into the
-    // first flush chunk) — the same lateness schedule the round-1/2
-    // MemoryStream replay produced
-    val base = floor(col("event_id") / lit(per.toDouble)).cast("long")
-    val chunk = when(col("event_id") % 40 === 0,
-      least(base + 2, lit(nChunks.toLong))).otherwise(base)
-    val flushRows = Seq(
-      (-1L, flushTs, -1L, "___flush", 0.0, nChunks.toLong),
-      (-2L, flushTs, -1L, "___flush", 0.0, nChunks + 1L))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "chunk")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    var stage: String = null
-    try {
-      stage = stageChunks(ev.withColumn("chunk", chunk).unionByName(flushRows), "wm")
-      val q = spark.readStream.schema(ev.schema).parquet(watch.toString)
+    replayFileSource(spark, sfDir, "wm", nChunks,
+      base => when(col("event_id") % 40 === 0,
+        least(base + 2, lit(nChunks.toLong))).otherwise(base),
+      nFlush = 2,
+      (stream, ckpt) => stream
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .writeStream.format("memory").queryName("wm_late")
         .outputMode(OutputMode.Append())
         .option("checkpointLocation", ckpt)
-        .start()
-      try feedChunks(stage, watch, nChunks + 1L, q) finally q.stop()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      // the memory sink holds the result rows; the staged/watched
-      // parquet copy of events (~the table size) and the checkpoint are
-      // replay scaffolding — delete them or every run leaks a corpus
-      // copy into /tmp
-      Seq(Option(stage).map(java.nio.file.Paths.get(_).getParent).orNull,
-        watch, java.nio.file.Paths.get(ckpt)).foreach(deleteRecursively)
-    }
+        .start())
     spark.table("wm_late")
       .select(col("w.start").as("ws"), col("event_type"), col("n"))
       .filter(col("event_type") =!= "___flush")
@@ -328,50 +355,32 @@ object StreamingJobs {
     * and nothing is left unemitted.
     */
   def foreachBatchSink(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val nChunks = 2
     val outDir = Files.createTempDirectory("graft_fb_sink").toString
-    val ckpt = Files.createTempDirectory("graft_ckpt_fb").toString
-    val watch = Files.createTempDirectory("graft_fb_watch")
-    val ev = T.events(spark, sfDir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-    val b = ev.agg(count(lit(1)).as("n"), max(col("ts")).as("maxTs")).head()
-    val per = math.max(1L, math.ceil(b.getLong(0).toDouble / nChunks).toLong)
-    val flushTs = new Timestamp(b.getTimestamp(1).getTime + 7L * 24 * 3600 * 1000)
-    // in-order file-source replay (no lateness here): id-range chunks,
-    // terminal flush chunk so Append emits every window before stop
-    val chunk = floor(col("event_id") / lit(per.toDouble)).cast("long")
-    val flushRows = Seq((-1L, flushTs, -1L, "___flush", 0.0, nChunks.toLong))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "chunk")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    var stage: String = null
     try {
-      stage = stageChunks(ev.withColumn("chunk", chunk).unionByName(flushRows), "fb")
-      val q = spark.readStream.schema(ev.schema).parquet(watch.toString)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("w.start").as("ws"), col("event_type"), col("n"))
-        .writeStream
-        .outputMode(OutputMode.Append())
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          df.write.mode("append").parquet(outDir)
-        }
-        .start()
-      try feedChunks(stage, watch, nChunks.toLong, q) finally q.stop()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      // outDir is the external sink under test — the returned frame
-      // reads it lazily, so only the replay scaffolding is deleted
-      Seq(Option(stage).map(java.nio.file.Paths.get(_).getParent).orNull,
-        watch, java.nio.file.Paths.get(ckpt)).foreach(deleteRecursively)
-    }
-    spark.read.parquet(outDir)
-      .filter(col("event_type") =!= "___flush")
-      .select("ws", "event_type", "n")
-      .orderBy("ws", "event_type")
+      // in-order file-source replay (no lateness here): id-range
+      // chunks, one terminal flush chunk so Append emits every window
+      replayFileSource(spark, sfDir, "fb", nChunks = 2, base => base, nFlush = 1,
+        (stream, ckpt) => stream
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("ws"), col("event_type"), col("n"))
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode("append").parquet(outDir)
+          }
+          .start())
+      // the window aggregate is tiny — pin it to executor blocks so the
+      // external sink directory can be deleted with the scaffolding
+      // instead of leaking one dir per run for a lazy read-back
+      spark.read.parquet(outDir)
+        .filter(col("event_type") =!= "___flush")
+        .select("ws", "event_type", "n")
+        .orderBy("ws", "event_type")
+        .localCheckpoint(true)
+    } finally quietDelete(java.nio.file.Paths.get(outDir))
   }
 
   case class UserState(n: Long, lastSeenUs: Long)

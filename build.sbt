@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print machine-read JSON lines: bypass sbt's logger so
+// they reach stdout BARE. With the default (logged) strategy every
+// forked line arrives prefixed "[info] ", which broke the driver's
+// bench-line parse in all of rounds 1-3 (BENCH_r*.json "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] at sf0.1 runs 135+ keys in one JVM: 8g left the heap
+  // tight once the streaming keys' state/sinks peaked, and the round-3
+  // driver bench showed GC-shaped inflation on the keys that followed
+  // them. The box has 126 GiB; give the forked driver real headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -49,8 +49,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      // warehouse (bucketed demo tables) + shuffle/spill scratch on the
+      // RAM-backed Tmp base: round 3's driver run showed the IO-heavy
+      // keys inflating 3-11× under data-disk contention (see graft.Tmp)
+      .config("spark.sql.warehouse.dir", Tmp.dir("wh").toString)
+      .config("spark.local.dir", Tmp.dir("local").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: JVM/codegen/parquet-reader paths, so per-query

@@ -17,8 +17,8 @@ object Verify {
       // TIMESTAMPs when the driver re-reads the dumps (TIMESTAMP_MICROS
       // would tag isAdjustedToUTC=true and read back tz-aware).
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .config("spark.sql.warehouse.dir", Tmp.dir("wh").toString)
+      .config("spark.local.dir", Tmp.dir("local").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

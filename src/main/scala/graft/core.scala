@@ -43,6 +43,31 @@ object Sql {
     "CAST(ROUND(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(4,2)), 2) AS DOUBLE)"
 }
 
+/** RAM-backed scratch space for per-run scaffolding (stream checkpoints,
+  * staged replay chunks, roundtrip sinks, bucketed-table warehouses).
+  *
+  * Why: the round-3 driver bench inflated exactly the IO-heavy keys
+  * 3–11× (bucketed writes 4.9→12.1 s, partitioned sink 1.0→3.8 s,
+  * stateful streams 6→36 s) while CPU-only keys stayed flat — classic
+  * data-disk contention in the shared driver environment. Everything
+  * created here is ephemeral demo scaffolding, never a result, so tmpfs
+  * (/dev/shm) is the right medium: scratch IO stops competing with the
+  * parquet scans. Falls back to java.io.tmpdir when /dev/shm is absent
+  * (non-Linux dev boxes).
+  */
+object Tmp {
+  import java.nio.file.{Files, Path, Paths}
+  private lazy val base: Path = {
+    val shm = Paths.get("/dev/shm")
+    val root =
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+      else Paths.get(System.getProperty("java.io.tmpdir"))
+    Files.createDirectories(root.resolve("graft-scratch"))
+  }
+  /** fresh scratch directory (same contract as Files.createTempDirectory). */
+  def dir(prefix: String): Path = Files.createTempDirectory(base, prefix)
+}
+
 /** Table loaders for the driver-generated parquet testdata. */
 object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -76,7 +76,10 @@ object MetricBlocking {
     * assignment-invariant anyway — recall is 1.0 for ANY partition).
     */
   def assignAndStats(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) =
-    assignTo(s, anchors(e), e)
+    // anchors are k rows but cost a full posexplode pass over e — pin
+    // them (localCheckpoint → executor blocks, ContextCleaner-released)
+    // so the centroid aggregate runs once, not once per consumer
+    assignTo(s, anchors(e).localCheckpoint(true), e)
 
   /** assign every vector of `e` to its nearest anchor (max dot, cell
     * tie-break): assignment (vec_id, u, cell, ang) + per-cell stats
@@ -93,6 +96,10 @@ object MetricBlocking {
           ct.getField("cell").as("cell")))))
       .select(col("vec_id"), col("u"), col("best.cell").as("cell"),
         clampAcos(-col("best.ndp")).as("ang"))
+      // the assignment feeds BOTH sides of the blocked pair join AND
+      // the per-cell radius stats: unpinned, the unit-normalize +
+      // broadcast-argmin pipeline re-executed once per consumer
+      .localCheckpoint(true)
     val cells = assigned.groupBy("cell").agg(max("ang").as("r")).join(anchorsDf, "cell")
     (assigned, cells)
   }
@@ -164,7 +171,7 @@ object MetricBlocking {
       threshold: Double): DataFrame = {
     val l = prep(left)
     val r = prep(right)
-    val anch = anchors(r)
+    val anch = anchors(r).localCheckpoint(true)
     val (al, cl) = assignTo(s, anch, l)
     val (ar, cr) = assignTo(s, anch, r)
     blockedPairs(s, al, cl, ar, cr, threshold, lit(true))

@@ -37,7 +37,7 @@ object ExtQueries extends QueryPack {
 
   val queries: Map[String, QueryFn] = Map(
     "scan_orc_roundtrip" -> ((s, d) => {
-      val tmp = Files.createTempDirectory("graft_orc_").toString
+      val tmp = graft.Tmp.dir("orc").toString
       T.supplier(s, d).write.mode(SaveMode.Overwrite).orc(tmp)
       s.read.orc(tmp).orderBy("s_suppkey")
     }),

@@ -77,7 +77,7 @@ object MiscQueries extends QueryPack {
       // hive-style partition layout + pruned readback: the status filter
       // prunes directories (PartitionFilters), never touching other
       // partitions' row groups.
-      val tmp = Files.createTempDirectory("graft_part_").toString
+      val tmp = graft.Tmp.dir("part").toString
       T.orders(s, d).write.mode(SaveMode.Overwrite)
         .partitionBy("o_orderstatus").parquet(tmp)
       s.read.parquet(tmp)

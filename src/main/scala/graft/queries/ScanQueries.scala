@@ -26,7 +26,7 @@ object ScanQueries extends QueryPack {
     }),
 
     "scan_csv_roundtrip" -> ((s, d) => {
-      val tmp = Files.createTempDirectory("graft_csv_").toString
+      val tmp = graft.Tmp.dir("csv").toString
       T.nation(s, d).write.mode(SaveMode.Overwrite)
         .option("header", "true").csv(tmp)
       val schema = StructType(Seq(
@@ -38,7 +38,7 @@ object ScanQueries extends QueryPack {
     }),
 
     "scan_json_roundtrip" -> ((s, d) => {
-      val tmp = Files.createTempDirectory("graft_json_").toString
+      val tmp = graft.Tmp.dir("json").toString
       T.region(s, d).write.mode(SaveMode.Overwrite).json(tmp)
       val schema = StructType(Seq(
         StructField("r_regionkey", IntegerType),
@@ -53,7 +53,7 @@ object ScanQueries extends QueryPack {
       // back PERMISSIVE with a corrupt-record column, and report the
       // clean/corrupt split. A corrupt line must never abort the scan
       // NOR silently join the clean rows.
-      val tmp = Files.createTempDirectory("graft_bad_").toString
+      val tmp = graft.Tmp.dir("bad").toString
       val clean = T.nation(s, d).select(concat_ws(",",
         col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
       val corrupt = s.range(5).select(
@@ -82,7 +82,7 @@ object ScanQueries extends QueryPack {
     "scan_text_roundtrip" -> ((s, d) => {
       // Mimir's native source/sink was chunked text files; write the
       // corpus as raw text, read it back line-oriented.
-      val tmp = Files.createTempDirectory("graft_text_").toString
+      val tmp = graft.Tmp.dir("text").toString
       T.documents(s, d).select(col("text")).write
         .mode(SaveMode.Overwrite).text(tmp)
       s.read.text(tmp).select(col("value")).orderBy("value")

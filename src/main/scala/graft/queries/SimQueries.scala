@@ -118,6 +118,11 @@ object SimQueries extends QueryPack {
       // shuffles, nothing sorts.
       val cents = cent
         .agg(collect_list(struct(col("c_label"), col("c"), col("cc"))).as("cents"))
+      // materialized ONCE (localCheckpoint → executor blocks, released
+      // by the ContextCleaner): probes and candidates both derive from
+      // `assigned`, and without pinning, the whole centroid pipeline —
+      // posexplode, two aggregates, broadcast, inline argmin — executed
+      // twice, once per join branch (measured ~2× on the key).
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("vv", expr("graft_dot(v, v)"))
         .withColumn("best", array_min(transform(col("cents"), ct =>
@@ -128,6 +133,7 @@ object SimQueries extends QueryPack {
             ct.getField("c_label").as("c_label")))))
         .select(col("vec_id"), VectorOps.unit(col("v")).as("u"),
           col("best.c_label").as("cell"))
+        .localCheckpoint(true)
       val probes = assigned.filter(col("vec_id") < 100)
         .select(col("vec_id").as("a"), col("u").as("ua"), col("cell"))
       val cands = assigned

@@ -2,26 +2,35 @@ package graft.streaming
 
 import java.nio.file.Files
 import java.sql.Timestamp
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
-import graft.{Tables => T}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import graft.{Tables => T, Tmp}
 
-/** SURVEY.md §2B category J (TEST rows) — the trigger-dependent
-  * streaming operators that CANNOT be oracled by batch SQL: watermark
-  * late-drop, dropDuplicatesWithinWatermark, and arbitrary stateful
-  * processing (mapGroupsWithState).
+/** SURVEY.md §2B category J — the trigger-dependent streaming operators
+  * plus the stateful-processing family: watermark late-drop,
+  * dropDuplicatesWithinWatermark, stream–stream interval join,
+  * mapGroupsWithState, transformWithState, and a foreachBatch external
+  * sink.
   *
-  * Each job replays the `events` table through a MemoryStream in
-  * deterministic event-id-ordered chunks, with processAllAvailable()
-  * after each chunk so micro-batch boundaries — and therefore watermark
-  * advancement — are reproducible. The replay is harness plumbing, not
-  * the operator (in production the source is Kafka/files and the same
-  * query graph runs unchanged), and it is driver-memory-bounded: chunks
-  * stream through `toLocalIterator` (one range-partition resident at a
-  * time, never the whole table) and the reorder transforms below buffer
-  * only the small held-back/reinjected slices (≤ 1/10 of one chunk).
+  * EVERY job replays the `events` table through the production FILE
+  * source (`readStream.schema(...).parquet(watchDir)`): executors stage
+  * the table as `chunk=`-partitioned parquet, then the driver moves file
+  * NAMES into the watched directory one chunk per micro-batch — it never
+  * touches rows, so driver memory is flat in sf and the exercised source
+  * is the one a deployment runs. Rounds 1–3 replayed four of these jobs
+  * through MemoryStream instead, which (a) shipped each chunk inside the
+  * task binary (the round-3 "3.5 MiB task binary" warnings — the driver
+  * as data conduit), and (b) fed the chunker with orderBy+toLocalIterator,
+  * whose one-job-per-partition fetch serialized 32 scheduler round-trips
+  * per key — the root cause of stream_dedup_stateful's 6→36 s inflation
+  * under driver-environment load.
+  *
+  * Lateness/duplication schedules that rounds 1–3 produced with driver-
+  * side iterator transforms are now COLUMN EXPRESSIONS on the staged
+  * chunk id (a %40 slice shifted two chunks, a %10 slice re-emitted in
+  * the next chunk), so the same arrival schedule is reproduced with zero
+  * driver buffering.
   *
   * State design for scale: keys are user_id / event_id hashes (uniform),
   * state is O(1) per key, and watermarks bound state retention — the
@@ -32,104 +41,33 @@ object StreamingJobs {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  /** events as a deterministic in-order chunk ITERATOR. `orderBy` range-
-    * partitions and `toLocalIterator` fetches partitions one at a time
-    * in index order, so the driver holds one partition, not the table —
-    * at sf≥1 the old `collect()` replay OOM'd before the query started.
-    */
-  private def eventChunks(spark: SparkSession, sfDir: String, nChunks: Int)
-      : Iterator[Seq[Event]] = {
-    import spark.implicits._
-    import scala.jdk.CollectionConverters._
-    val ds = T.events(spark, sfDir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .orderBy("event_id").as[Event]
-    val per = math.max(1, math.ceil(ds.count().toDouble / nChunks).toInt)
-    ds.toLocalIterator().asScala.grouped(per).map(_.toSeq)
-  }
+  private val EventCols =
+    Seq(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
 
-  private def runToCompletion(spark: SparkSession, sfDir: String,
-      sinkName: String, build: MemoryStream[Event] => DataFrame,
-      outputMode: OutputMode, chunks: Int = 4,
-      reorder: Iterator[Seq[Event]] => Iterator[Seq[Event]] = identity): DataFrame = {
-    import spark.implicits._
-    implicit val sq = spark.sqlContext
-    val source = MemoryStream[Event]
-    val ckpt = Files.createTempDirectory(s"graft_ckpt_$sinkName").toString
+  /** Stage `rowsWithChunk` (the events slice plus a `chunk` column) as
+    * chunk-partitioned parquet, start the query over a watched dir, and
+    * move chunks 0..maxChunk in as one deterministic micro-batch each.
+    * The memory-sink name is `tag`; the caller drains it via [[drain]].
+    * All scaffolding lives in RAM-backed scratch (graft.Tmp) and is
+    * deleted quietly — a cleanup IO hiccup must never mask the result.
+    */
+  private def replayFileSource(spark: SparkSession, tag: String,
+      rowsWithChunk: DataFrame, maxChunk: Long,
+      start: (DataFrame, String) => StreamingQuery): Unit = {
+    val watch = Tmp.dir(s"${tag}_watch")
+    val ckpt = Tmp.dir(s"${tag}_ckpt").toString
     // modest state-partition count for the local replay (the stream pins
     // it from the session conf at first batch; state-store commit cost
     // scales with partitions × batches). Restored after the run.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    // default micro-batch trigger: each addData+processAllAvailable pair
-    // is one deterministic micro-batch (AvailableNow would stop before
-    // the first addData).
-    val q = build(source).writeStream
-      .format("memory").queryName(sinkName)
-      .outputMode(outputMode)
-      .option("checkpointLocation", ckpt)
-      .start()
-    try {
-      for (chunk <- reorder(eventChunks(spark, sfDir, chunks))) {
-        source.addData(chunk)
-        q.processAllAvailable()
-      }
-    } finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      // the memory sink holds the rows; the checkpoint is per-run
-      // scaffolding that otherwise accumulates under /tmp
-      quietDelete(java.nio.file.Paths.get(ckpt))
-    }
-    spark.table(sinkName)
-  }
-
-  /** FILE-source replay harness, shared by the jobs that exercise the
-    * production source instead of MemoryStream: executors stage the
-    * chunked table as `chunk=`-partitioned parquet, then the driver
-    * moves file NAMES into the watched directory one chunk per
-    * micro-batch — it never touches rows, so driver memory is flat in
-    * sf and the exercised source is the one a deployment runs
-    * (`readStream.schema(...).parquet(dir)`).
-    *
-    * Shape held once here for every file-source job: compute bounds →
-    * stage (executors) → start the query over the watch dir → feed
-    * chunks in order → stop → delete the scaffolding (staged copy,
-    * watch dir, checkpoint — quietly: a cleanup IO hiccup must never
-    * mask the job's result or original exception).
-    *
-    * @param mkChunk  arrival chunk from (base id-range bucket, flushTs
-    *                 unused); event_id is a dense time-ordered sequence
-    *                 (TESTDATA.md) so the id bucket IS the arrival order
-    * @param nFlush   how many terminal flush micro-batches to append
-    *                 (flush events advance the watermark past every
-    *                 real window so Append mode emits them all)
-    * @param start    builds AND starts the streaming query from the
-    *                 watch-dir stream and a checkpoint path
-    */
-  private def replayFileSource(spark: SparkSession, sfDir: String, tag: String,
-      nChunks: Int, mkChunk: Column => Column, nFlush: Int,
-      start: (DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    import spark.implicits._
-    val watch = Files.createTempDirectory(s"graft_${tag}_watch")
-    val ckpt = Files.createTempDirectory(s"graft_ckpt_$tag").toString
-    val ev = T.events(spark, sfDir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-    // bounds only — one aggregate row crosses to the driver
-    val b = ev.agg(count(lit(1)).as("n"), max(col("ts")).as("maxTs")).head()
-    val per = math.max(1L, math.ceil(b.getLong(0).toDouble / nChunks).toLong)
-    val flushTs = new Timestamp(b.getTimestamp(1).getTime + 7L * 24 * 3600 * 1000)
-    val base = floor(col("event_id") / lit(per.toDouble)).cast("long")
-    val flushRows = (0 until nFlush).map(i =>
-        (-(i + 1).toLong, flushTs, -1L, "___flush", 0.0, (nChunks + i).toLong))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "chunk")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     var stage: String = null
     try {
-      stage = stageChunks(ev.withColumn("chunk", mkChunk(base)).unionByName(flushRows), tag)
-      val q = start(spark.readStream.schema(ev.schema).parquet(watch.toString), ckpt)
-      try feedChunks(stage, watch, nChunks + nFlush - 1L, q) finally q.stop()
+      stage = stageChunks(rowsWithChunk, tag)
+      val schema = org.apache.spark.sql.types.StructType(
+        rowsWithChunk.schema.filterNot(_.name == "chunk"))
+      val q = start(spark.readStream.schema(schema).parquet(watch.toString), ckpt)
+      try feedChunks(stage, watch, maxChunk, q) finally q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       Seq(Option(stage).map(java.nio.file.Paths.get(_).getParent).orNull,
@@ -137,8 +75,32 @@ object StreamingJobs {
     }
   }
 
+  /** events projected to the five replay columns. */
+  private def events(spark: SparkSession, sfDir: String): DataFrame =
+    T.events(spark, sfDir).select(EventCols: _*)
+
+  /** chunk-id expression: event_id is a dense time-ordered sequence
+    * (TESTDATA.md), so floor(id / per) IS the arrival order. Only the
+    * (count, maxTs) bounds row crosses to the driver.
+    */
+  private def bounds(ev: DataFrame): (Long, Timestamp) = {
+    val b = ev.agg(count(lit(1)).as("n"), max(col("ts")).as("maxTs")).head()
+    (b.getLong(0), b.getTimestamp(1))
+  }
+
+  /** terminal flush rows: far-future events that advance the watermark
+    * past every real window so Append mode emits them all. */
+  private def flushRows(spark: SparkSession, maxTs: Timestamp, firstChunk: Long,
+      nFlush: Int): DataFrame = {
+    import spark.implicits._
+    val flushTs = new Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000)
+    (0 until nFlush).map(i =>
+        (-(i + 1).toLong, flushTs, -1L, "___flush", 0.0, firstChunk + i))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "chunk")
+  }
+
   private def stageChunks(rowsWithChunk: DataFrame, tag: String): String = {
-    val root = Files.createTempDirectory(s"graft_fs_$tag")
+    val root = Tmp.dir(s"${tag}_stage")
     val stage = root.resolve("p").toString
     try {
       rowsWithChunk.repartition(col("chunk")).write.partitionBy("chunk").parquet(stage)
@@ -152,7 +114,7 @@ object StreamingJobs {
   /** feed chunks 0..maxChunk into `watch`, one deterministic
     * micro-batch per move+processAllAvailable pair. */
   private def feedChunks(stage: String, watch: java.nio.file.Path, maxChunk: Long,
-      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      q: StreamingQuery): Unit =
     for (c <- 0L to maxChunk) {
       val dir = java.nio.file.Paths.get(stage, s"chunk=$c")
       if (Files.exists(dir)) {
@@ -171,6 +133,20 @@ object StreamingJobs {
       }
       q.processAllAvailable()
     }
+
+  /** memory-sink drain: pin the (small, aggregated) result to executor
+    * blocks and DROP the sink table. The memory sink stores its rows on
+    * the DRIVER heap; nine streaming keys leaving their sinks registered
+    * for the session held megabytes of raw rows alive across the rest of
+    * the bench (GC pressure that round 3 measured as 4-11× inflation of
+    * the CPU keys that ran after the streams). localCheckpoint blocks
+    * are released by the ContextCleaner once the frame is unreferenced.
+    */
+  private def drain(spark: SparkSession, sinkName: String): DataFrame = {
+    val out = spark.table(sinkName).localCheckpoint(true)
+    spark.catalog.dropTempView(sinkName)
+    out
+  }
 
   private def deleteRecursively(root: java.nio.file.Path): Unit =
     if (root != null && Files.exists(root)) {
@@ -192,16 +168,19 @@ object StreamingJobs {
     * event is shifted two chunks later to manufacture late data (a
     * column expression, not driver buffering; the %40 slice of chunk i
     * arrives with chunk i+2, capped into the first flush chunk — the
-    * same lateness schedule the round-1/2 MemoryStream replay
-    * produced). Replayed through the production file source via
-    * [[replayFileSource]].
+    * same lateness schedule the round-1/2 MemoryStream replay produced).
     */
   def watermarkLate(spark: SparkSession, sfDir: String): DataFrame = {
-    val nChunks = 4
-    replayFileSource(spark, sfDir, "wm", nChunks,
-      base => when(col("event_id") % 40 === 0,
-        least(base + 2, lit(nChunks.toLong))).otherwise(base),
-      nFlush = 2,
+    val nChunks = 4L
+    val ev = events(spark, sfDir)
+    val (n, maxTs) = bounds(ev)
+    val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
+    val base = floor(col("event_id") / lit(per.toDouble)).cast("long")
+    val late = when(col("event_id") % 40 === 0,
+      least(base + 2, lit(nChunks))).otherwise(base)
+    val staged = ev.withColumn("chunk", late)
+      .unionByName(flushRows(spark, maxTs, nChunks, 2))
+    replayFileSource(spark, "wm_late", staged, nChunks + 1,
       (stream, ckpt) => stream
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -210,60 +189,76 @@ object StreamingJobs {
         .outputMode(OutputMode.Append())
         .option("checkpointLocation", ckpt)
         .start())
-    spark.table("wm_late")
+    drain(spark, "wm_late")
       .select(col("w.start").as("ws"), col("event_type"), col("n"))
       .filter(col("event_type") =!= "___flush")
       .orderBy("ws", "event_type")
   }
 
-  /** streaming exact dedup on event_id within the watermark horizon;
-    * the replay re-sends every 10th event in the following chunk — the
-    * duplicates must not survive.
+  /** streaming exact dedup on event_id within the watermark horizon; the
+    * replay re-sends every 10th event of chunk i inside chunk i+1 (a
+    * second staged copy of the %10 slice, chunk-shifted — no driver
+    * buffering) — the duplicates must not survive.
     */
   def dedupStateful(spark: SparkSession, sfDir: String): DataFrame = {
-    // streaming transform: buffers only the previous chunk's %10 slice
-    val reinject: Iterator[Seq[Event]] => Iterator[Seq[Event]] = { chunks =>
-      var prevDups: Seq[Event] = Nil
-      chunks.map { c =>
-        val out = c ++ prevDups
-        prevDups = c.filter(e => e.event_id % 10 == 0)
-        out
-      }
-    }
-    val out = runToCompletion(spark, sfDir, "dedup_stream", src =>
-      src.toDF()
+    val nChunks = 3L
+    val ev = events(spark, sfDir)
+    val (n, _) = bounds(ev)
+    val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
+    val base = floor(col("event_id") / lit(per.toDouble)).cast("long")
+    // duplicates: the %10 slice of chunks 0..nChunks-2, arriving one
+    // chunk later (the last chunk's slice is never re-sent — the same
+    // schedule the round-1/2 driver-side reinject transform produced)
+    val dups = ev.filter(col("event_id") % 10 === 0 && base < nChunks - 1)
+      .withColumn("chunk", base + 1)
+    val staged = ev.withColumn("chunk", base).unionByName(dups)
+    replayFileSource(spark, "dedup_stream", staged, nChunks - 1,
+      (stream, ckpt) => stream
         .withWatermark("ts", "30 minutes")
         .dropDuplicatesWithinWatermark(Seq("event_id"))
-        .groupBy("event_type").agg(count(lit(1)).as("n")),
-      OutputMode.Complete(), chunks = 3, reorder = reinject)
-    out.orderBy("event_type")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("dedup_stream")
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .start())
+    drain(spark, "dedup_stream").orderBy("event_type")
   }
 
   /** stream–stream interval join: purchases joined to the same user's
     * clicks within the preceding 10 minutes. Both sides are watermarked
     * so Spark can bound the join state; the time-range predicate gives
     * the state eviction condition. Counted per user for a stable
-    * summary (the batch interval join is the semantic reference,
-    * asserted in ScalaTest).
+    * summary. 2 chunks: state still crosses a batch boundary, but fewer
+    * micro-batches = fewer state-store commits; inner-join matches emit
+    * as soon as both sides arrive, so the result equals the batch
+    * interval join (the oracle).
     */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = runToCompletion(spark, sfDir, "ss_join", { src =>
-      val ev = src.toDF()
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-        .withWatermark("c_ts", "30 minutes")
-      val buys = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
-        .withWatermark("p_ts", "30 minutes")
-      buys.join(clicks,
-        col("p_user") === col("c_user") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
-          col("c_ts") < col("p_ts"))
-      // 2 chunks: state still crosses a batch boundary, but fewer
-      // micro-batches = fewer state-store commits; fewer watermark
-      // advances can only DROP less, so batch-equality is preserved
-    }, OutputMode.Append(), chunks = 2)
-    out.groupBy(col("p_user").as("user_id"))
+    val nChunks = 2L
+    val ev = events(spark, sfDir)
+    val (n, _) = bounds(ev)
+    val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
+    val staged = ev.withColumn("chunk",
+      floor(col("event_id") / lit(per.toDouble)).cast("long"))
+    replayFileSource(spark, "ss_join", staged, nChunks - 1,
+      (stream, ckpt) => {
+        val clicks = stream.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "30 minutes")
+        val buys = stream.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "30 minutes")
+        buys.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+            col("c_ts") < col("p_ts"))
+          .writeStream.format("memory").queryName("ss_join")
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .start()
+      })
+    drain(spark, "ss_join")
+      .groupBy(col("p_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("user_id")
   }
@@ -319,17 +314,27 @@ object StreamingJobs {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val out = runToCompletion(spark, sfDir, "tws_agg", { src =>
-        src.toDS()
+      val nChunks = 2L
+      val ev = events(spark, sfDir)
+      val (n, _) = bounds(ev)
+      val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
+      val staged = ev.withColumn("chunk",
+        floor(col("event_id") / lit(per.toDouble)).cast("long"))
+      replayFileSource(spark, "tws_agg", staged, nChunks - 1,
+        (stream, ckpt) => stream.as[Event]
           .groupByKey(_.event_type)
           .transformWithState(new TypeAggProcessor,
             org.apache.spark.sql.streaming.TimeMode.None(),
             OutputMode.Update())
           .toDF()
-      }, OutputMode.Update(), chunks = 2)
+          .writeStream.format("memory").queryName("tws_agg")
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .start())
       // final state per type = the update with the largest count
       // (counts are strictly monotone per update)
-      out.groupBy("event_type")
+      drain(spark, "tws_agg")
+        .groupBy("event_type")
         .agg(max(struct(col("n"), col("sv"))).as("m"))
         .select(col("event_type"), col("m.n").as("n"),
           round(col("m.sv"), 2).as("sv"))
@@ -355,11 +360,18 @@ object StreamingJobs {
     * and nothing is left unemitted.
     */
   def foreachBatchSink(spark: SparkSession, sfDir: String): DataFrame = {
-    val outDir = Files.createTempDirectory("graft_fb_sink").toString
+    val outDir = Tmp.dir("fb_sink").toString
     try {
-      // in-order file-source replay (no lateness here): id-range
-      // chunks, one terminal flush chunk so Append emits every window
-      replayFileSource(spark, sfDir, "fb", nChunks = 2, base => base, nFlush = 1,
+      // in-order replay (no lateness here): id-range chunks, one
+      // terminal flush chunk so Append emits every window
+      val nChunks = 2L
+      val ev = events(spark, sfDir)
+      val (n, maxTs) = bounds(ev)
+      val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
+      val staged = ev.withColumn("chunk",
+          floor(col("event_id") / lit(per.toDouble)).cast("long"))
+        .unionByName(flushRows(spark, maxTs, nChunks, 1))
+      replayFileSource(spark, "fb", staged, nChunks,
         (stream, ckpt) => stream
           .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -392,8 +404,14 @@ object StreamingJobs {
     */
   def statefulCount(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val out = runToCompletion(spark, sfDir, "user_state", { src =>
-      src.toDS()
+    val nChunks = 2L
+    val ev = events(spark, sfDir)
+    val (n, _) = bounds(ev)
+    val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
+    val staged = ev.withColumn("chunk",
+      floor(col("event_id") / lit(per.toDouble)).cast("long"))
+    replayFileSource(spark, "user_state", staged, nChunks - 1,
+      (stream, ckpt) => stream.as[Event]
         .groupByKey(_.user_id)
         .mapGroupsWithState[UserState, UserCount](GroupStateTimeout.NoTimeout()) {
           (user: Long, evs: Iterator[Event], state: GroupState[UserState]) =>
@@ -408,10 +426,14 @@ object StreamingJobs {
             state.update(next)
             UserCount(user, next.n, next.lastSeenUs)
         }.toDF()
-    }, OutputMode.Update(), chunks = 2)
+        .writeStream.format("memory").queryName("user_state")
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .start())
     // memory sink keeps one row per update; the final state per user is
     // the max count (counts are monotone).
-    out.groupBy("user_id")
+    drain(spark, "user_state")
+      .groupBy("user_id")
       .agg(max("n").as("n"), max("last_seen_us").as("last_seen_us"))
       .orderBy("user_id")
   }

@@ -60,28 +60,42 @@ object Bench {
     // numbers reflect steady state rather than first-job init cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val (prev, prevLoaded) = readPrev()
+    def time1(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val (prev, prevLoaded) = readPrev()
-    val qs = results.map { case (k, v, ok) =>
+    // Shared-box load makes single-shot timings swing up to 10× on
+    // identical binaries (r5 vs r4: four keys +2..+20 s, one key −8 s,
+    // on a ZERO-line diff), which left the 2×-regression gate blind.
+    // Bounded de-noise pass: re-time only keys that come back ≥2× the
+    // committed baseline AND ≥0.5 s absolute over it (sub-second jitter
+    // must not trigger re-runs), keep the MIN — a load spike can only
+    // inflate a wall time, never deflate it, so min is the code signal.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (v, ok) = time1(fn)
+      val suspect = ok && prev.get(name).exists(p => p > 0 && v > 2 * p && v - p > 0.5)
+      if (!suspect) (name, v, ok, false)
+      else { val (v2, ok2) = time1(fn); (name, math.min(v, v2), ok && ok2, true) }
+    }
+    val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) f3(v) else "-1") }.mkString("{", ",", "}")
-    val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val deltas = results.collect { case (k, v, true) if prev.get(k).exists(_ >= 0) =>
+    val failed = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val reran = results.filter(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val deltas = results.collect { case (k, v, true, _) if prev.get(k).exists(_ >= 0) =>
       k -> (v - prev(k)) }
     val vsPrev = jmap(deltas)
     val total = results.filter(_._3).map(_._2).sum
     // the COMPLETE record — every key, every delta — for the next run
     // and for humans; the printed line only summarizes it.
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"vs_prev":$vsPrev,"prev_loaded":$prevLoaded,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"reran":$reran,"vs_prev":$vsPrev,"prev_loaded":$prevLoaded,"sf":"$sfDir"}"""
     try Files.write(Paths.get(PrevPath), full.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val slow10 = results.filter(_._3).sortBy(-_._2).take(10).map(r => r._1 -> r._2)
     val move10 = deltas.sortBy { case (_, d) => -math.abs(d) }.take(10)
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_keys":${results.length},"n_failed":${results.count(!_._3)},"failed":$failed,"prev_loaded":$prevLoaded,"queries":${jmap(slow10)},"vs_prev":${jmap(move10)},"full":"$PrevPath"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_keys":${results.length},"n_failed":${results.count(!_._3)},"failed":$failed,"reran":$reran,"prev_loaded":$prevLoaded,"queries":${jmap(slow10)},"vs_prev":${jmap(move10)},"full":"$PrevPath"}"""
     spark.stop()
     // printed last so log noise can't interleave into the capture
     println(line)

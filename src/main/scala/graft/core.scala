@@ -57,15 +57,41 @@ object Sql {
   */
 object Tmp {
   import java.nio.file.{Files, Path, Paths}
+  private val handed = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
   private lazy val base: Path = {
-    val shm = Paths.get("/dev/shm")
-    val root =
+    // GRAFT_SCRATCH_DIR points scratch (shuffle spill, warehouses,
+    // stream checkpoints) somewhere other than RAM — required for sf≥1
+    // or small-RAM boxes, where tmpfs "disk" spill defeats spilling.
+    val root = sys.env.get("GRAFT_SCRATCH_DIR").map(Paths.get(_)).getOrElse {
+      val shm = Paths.get("/dev/shm")
       if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
       else Paths.get(System.getProperty("java.io.tmpdir"))
-    Files.createDirectories(root.resolve("graft-scratch"))
+    }
+    val b = Files.createDirectories(root.resolve("graft-scratch"))
+    // tmpfs RAM leaked until reboot when long-lived dirs (Bench/Verify
+    // warehouse + local.dir, roundtrip sinks) outlived the run: reclaim
+    // every dir handed out, at exit. Quiet contract — Spark's own
+    // shutdown hooks clean local.dir subtrees concurrently, so races
+    // (file already gone) are expected and harmless.
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      handed.forEach(p => quietDeleteRecursively(p))))
+    b
   }
-  /** fresh scratch directory (same contract as Files.createTempDirectory). */
-  def dir(prefix: String): Path = Files.createTempDirectory(base, prefix)
+  /** fresh scratch directory (same contract as Files.createTempDirectory);
+    * reclaimed at JVM exit if the caller doesn't delete it first. */
+  def dir(prefix: String): Path = {
+    val p = Files.createTempDirectory(base, prefix)
+    handed.add(p)
+    p
+  }
+  /** recursive delete that never throws — cleanup must not mask results. */
+  private[graft] def quietDeleteRecursively(root: Path): Unit =
+    try if (root != null && Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
 }
 
 /** Table loaders for the driver-generated parquet testdata. */

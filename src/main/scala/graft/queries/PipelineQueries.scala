@@ -17,6 +17,32 @@ object PipelineQueries extends QueryPack {
   /** docs with id below this form the "benchmark" (eval) slice. */
   private val BenchCut = 50
 
+  /** PII regexes — the common Java-regex ∩ RE2 subset (no lookaround,
+    * no backrefs), so Spark and DuckDB match identical spans. */
+  private val ReEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val RePhone = "555-[0-9]{4}"
+  private val ReIp = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** documents with deterministic PII appended to the doc_id%7==0 slice
+    * (email + phone + IPv4 derived from doc_id) as column `t2`. */
+  private def piiSeeded(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.documents(s, d).withColumn("t2",
+      when(col("doc_id") % 7 === 0, concat(
+        col("text"), lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".1")))
+        .otherwise(col("text")))
+
+  /** the same seeding in DuckDB SQL (kept textually adjacent to
+    * [[piiSeeded]] — the two must derive identical t2). */
+  private val PiiSeededSql =
+    """SELECT lang, CASE WHEN doc_id % 7 = 0 THEN
+      |  text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' ||
+      |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |  ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+      |ELSE text END AS t2 FROM documents""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "text_contamination" -> ((s, d) => {
       // benchmark decontamination: a corpus doc is contaminated if it
@@ -89,6 +115,39 @@ object PipelineQueries extends QueryPack {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_dup_grams"), max("nd").as("max_share"))
         .orderBy("doc_id")
+    }),
+
+    "text_pii_scrub" -> ((s, d) => {
+      // PII redaction (the curation step between dedup and tokenization):
+      // scrub emails / phone numbers / IPv4s to typed placeholders and
+      // account for what was removed, per lang. The synthetic corpus
+      // contains no natural PII, so a deterministic slice (doc_id%7==0)
+      // gets PII derived from doc_id APPENDED first — computed
+      // identically on both engines from the shared input, so the
+      // scrubber runs against known ground truth at any scale. One
+      // map-side pass: regex count + replace are per-row, the only
+      // shuffle is the per-lang aggregate; n_residual re-probes the
+      // scrubbed text and must be 0 (the self-check both engines hash).
+      val counted = piiSeeded(s, d)
+        .withColumn("n_e", regexp_count(col("t2"), lit(ReEmail)))
+        .withColumn("n_p", regexp_count(col("t2"), lit(RePhone)))
+        .withColumn("n_i", regexp_count(col("t2"), lit(ReIp)))
+        .withColumn("scrubbed",
+          regexp_replace(regexp_replace(regexp_replace(col("t2"),
+            ReEmail, "<EMAIL>"), RePhone, "<PHONE>"), ReIp, "<IP>"))
+      counted.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(((col("n_e") + col("n_p") + col("n_i")) > 0).cast("long"))
+            .as("n_pii_docs"),
+          sum(col("n_e").cast("long")).as("n_email"),
+          sum(col("n_p").cast("long")).as("n_phone"),
+          sum(col("n_i").cast("long")).as("n_ip"),
+          sum(length(col("scrubbed")).cast("long")).as("len_scrubbed"),
+          sum((regexp_count(col("scrubbed"), lit(ReEmail))
+            + regexp_count(col("scrubbed"), lit(RePhone))
+            + regexp_count(col("scrubbed"), lit(ReIp))).cast("long"))
+            .as("n_residual"))
+        .orderBy("lang")
     }),
 
     "sample_quality_weighted" -> ((s, d) => {
@@ -187,6 +246,29 @@ object PipelineQueries extends QueryPack {
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
          |       CAST(MAX(nd) AS BIGINT) AS max_share
          |FROM nd WHERE nd >= 2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_pii_scrub" ->
+      s"""WITH seeded AS ($PiiSeededSql),
+         |c AS (
+         |  SELECT lang, t2,
+         |         len(regexp_extract_all(t2, '$ReEmail')) AS ne,
+         |         len(regexp_extract_all(t2, '$RePhone')) AS np,
+         |         len(regexp_extract_all(t2, '$ReIp')) AS ni,
+         |         regexp_replace(regexp_replace(regexp_replace(t2,
+         |           '$ReEmail', '<EMAIL>', 'g'),
+         |           '$RePhone', '<PHONE>', 'g'),
+         |           '$ReIp', '<IP>', 'g') AS scrubbed
+         |  FROM seeded)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+         |       CAST(SUM(ne) AS BIGINT) AS n_email,
+         |       CAST(SUM(np) AS BIGINT) AS n_phone,
+         |       CAST(SUM(ni) AS BIGINT) AS n_ip,
+         |       CAST(SUM(len(scrubbed)) AS BIGINT) AS len_scrubbed,
+         |       CAST(SUM(len(regexp_extract_all(scrubbed, '$ReEmail'))
+         |              + len(regexp_extract_all(scrubbed, '$RePhone'))
+         |              + len(regexp_extract_all(scrubbed, '$ReIp'))) AS BIGINT) AS n_residual
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
 
     "sample_quality_weighted" -> {
       val h = graft.ops.TextOps.md5LongSql("CAST(doc_id AS VARCHAR)")

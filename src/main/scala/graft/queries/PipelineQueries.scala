@@ -179,6 +179,69 @@ object PipelineQueries extends QueryPack {
         .orderBy("split", "lang")
     }),
 
+    "text_seq_pack" -> ((s, d) => {
+      // sequence packing (concat-and-chunk, the GPT-style pretraining
+      // shape): docs are concatenated in deterministic doc_id order
+      // within a (lang, shard) stream and cut into fixed 2048-token
+      // training windows. Packing is per-shard BY DESIGN — a deployment
+      // sizes shard count ≈ corpus / target-shard-size, so no window
+      // partition outgrows one task at any corpus scale (a global
+      // running sum would serialize; the per-shard one is the industry
+      // per-file packing). Reports stream size, window count, and how
+      // many docs straddle a window boundary (the attention-mask /
+      // doc-separator cost a packing plan watches).
+      val nBpe = size(expr(
+        "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long")
+      val sharded = T.documents(s, d).select(col("doc_id"), col("lang"),
+        (TextOps.md5Long(col("doc_id").cast("string")) % 8).as("shard"),
+        nBpe.as("n_tok"))
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sharded.withColumn("cum", sum("n_tok").over(w))
+        .withColumn("split_doc",
+          (col("n_tok") > 0 &&
+            floor((col("cum") - col("n_tok")) / lit(2048.0)) =!=
+              floor((col("cum") - 1) / lit(2048.0))).cast("long"))
+        .groupBy("lang", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          ceil(sum("n_tok") / lit(2048.0)).cast("long").as("n_windows"),
+          sum("split_doc").as("n_split_docs"))
+        .orderBy("lang", "shard")
+    }),
+
+    "dedup_snapshot_diff" -> ((s, d) => {
+      // incremental-ingest audit: diff the current corpus snapshot
+      // against the previous one by (doc_id, content-hash) — the
+      // bookkeeping an always-on pipeline runs so it re-dedups only
+      // what changed. Snapshots are derived deterministically from the
+      // shared input on BOTH engines: prev = every doc, original text;
+      // curr drops the %11 slice (removed), appends ' rev2' to the %13
+      // slice (changed), and re-ingests the %17 slice under doc_id+1e6
+      // (added). md5 is per-row map-side; the only shuffle is ONE
+      // full-outer hash-partitioned equi-join on doc_id + the tiny
+      // status aggregate — the shape holds at any snapshot size.
+      val docs = T.documents(s, d)
+      val prev = docs.select(col("doc_id"), col("lang").as("p_lang"),
+        md5(col("text")).as("p_h"))
+      val curr = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          md5(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("h"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            md5(col("text")).as("h")))
+        .select(col("doc_id"), col("lang").as("c_lang"), col("h").as("c_h"))
+      prev.join(curr, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("p_h").isNull, "added")
+            .when(col("c_h").isNull, "removed")
+            .when(col("p_h") === col("c_h"), "unchanged")
+            .otherwise("changed"))
+        .withColumn("lang", coalesce(col("c_lang"), col("p_lang")))
+        .groupBy("status", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("status", "lang")
+    }),
+
     "text_token_budget" -> ((s, d) => {
       // data-mixture accounting: BPE-ish token totals per (lang,
       // source) with corpus share and cumulative share in descending-
@@ -286,6 +349,40 @@ object PipelineQueries extends QueryPack {
          |       lang, CAST(COUNT(*) AS BIGINT) AS n
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+
+    "text_seq_pack" -> {
+      val h = graft.ops.TextOps.md5LongSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH per AS (
+         |  SELECT doc_id, lang, ($h % 8) AS shard,
+         |         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT *, SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |            ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM per)
+         |SELECT lang, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(CEIL(SUM(n_tok) / 2048.0) AS BIGINT) AS n_windows,
+         |       CAST(SUM(CASE WHEN n_tok > 0 AND
+         |                  FLOOR((cum - n_tok) / 2048.0) != FLOOR((cum - 1) / 2048.0)
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "dedup_snapshot_diff" ->
+      """WITH prev AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+        |curr AS (
+        |  SELECT doc_id, lang,
+        |         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 11 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, md5(text) FROM documents WHERE doc_id % 17 = 0)
+        |SELECT CASE WHEN p.h IS NULL THEN 'added'
+        |            WHEN c.h IS NULL THEN 'removed'
+        |            WHEN p.h = c.h THEN 'unchanged' ELSE 'changed' END AS status,
+        |       COALESCE(c.lang, p.lang) AS lang, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_token_budget" ->
       """WITH per AS (

@@ -73,7 +73,8 @@ class PlanSpec extends SparkSpec {
     // or bucket — a cartesian node means an O(n²) plan came back
     val family = Seq("dedup_embedding", "dedup_minhash_lsh",
       "sim_ann_lsh", "sim_ann_ivf", "sim_similarity_join", "join_theta_range",
-      "join_asof", "join_interval_bucketed", "join_skew_salted")
+      "join_asof", "join_interval_bucketed", "join_skew_salted",
+      "dedup_snapshot_diff")
     family.foreach { name =>
       val cart = planOf(name).collect { case c: CartesianProductExec => c }
       assert(cart.isEmpty, s"$name has a CartesianProduct node")

@@ -453,41 +453,55 @@ object StreamingJobs {
 
   /** arbitrary per-user state via mapGroupsWithState: running event
     * count + last-seen event time, emitted every update; the final
-    * per-user row is the steady state.
+    * per-user row is the steady state (counts are monotone, so max
+    * over the updates recovers it).
+    *
+    * Sink: the update stream is one row per TOUCHED USER per batch —
+    * unlike the other memory-sink drains (event-type / window keyed,
+    * bounded vocab), user_id cardinality grows with the data, so a
+    * driver-heap memory sink here was the same O(data) driver path
+    * removed from stream_stream_join this round. foreachBatch appends
+    * the per-batch updates to scratch parquet on the executors and the
+    * read-back takes the per-user max.
     */
   def statefulCount(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val nChunks = 2L
-    val ev = events(spark, sfDir)
-    val (n, _) = bounds(ev)
-    val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
-    val staged = ev.withColumn("chunk",
-      floor(col("event_id") / lit(per.toDouble)).cast("long"))
-    replayFileSource(spark, "user_state", staged, nChunks - 1,
-      (stream, ckpt) => stream.as[Event]
-        .groupByKey(_.user_id)
-        .mapGroupsWithState[UserState, UserCount](GroupStateTimeout.NoTimeout()) {
-          (user: Long, evs: Iterator[Event], state: GroupState[UserState]) =>
-            val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue))
-            val next = evs.foldLeft(prev) { (st, e) =>
-              // getTime is ms-truncated; getNanos carries the full
-              // fractional second, so add back the sub-ms microseconds
-              // (events.ts is µs-precision after the nanos→µs read).
-              val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
-              UserState(st.n + 1L, math.max(st.lastSeenUs, us))
-            }
-            state.update(next)
-            UserCount(user, next.n, next.lastSeenUs)
-        }.toDF()
-        .writeStream.format("memory").queryName("user_state")
-        .outputMode(OutputMode.Update())
-        .option("checkpointLocation", ckpt)
-        .start())
-    // memory sink keeps one row per update; the final state per user is
-    // the max count (counts are monotone).
-    drain(spark, "user_state")
-      .groupBy("user_id")
-      .agg(max("n").as("n"), max("last_seen_us").as("last_seen_us"))
-      .orderBy("user_id")
+    val outDir = Tmp.dir("user_state_out").toString
+    try {
+      val nChunks = 2L
+      val ev = events(spark, sfDir)
+      val (n, _) = bounds(ev)
+      val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
+      val staged = ev.withColumn("chunk",
+        floor(col("event_id") / lit(per.toDouble)).cast("long"))
+      replayFileSource(spark, "user_state", staged, nChunks - 1,
+        (stream, ckpt) => stream.as[Event]
+          .groupByKey(_.user_id)
+          .mapGroupsWithState[UserState, UserCount](GroupStateTimeout.NoTimeout()) {
+            (user: Long, evs: Iterator[Event], state: GroupState[UserState]) =>
+              val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue))
+              val next = evs.foldLeft(prev) { (st, e) =>
+                // getTime is ms-truncated; getNanos carries the full
+                // fractional second, so add back the sub-ms microseconds
+                // (events.ts is µs-precision after the nanos→µs read).
+                val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+                UserState(st.n + 1L, math.max(st.lastSeenUs, us))
+              }
+              state.update(next)
+              UserCount(user, next.n, next.lastSeenUs)
+          }.toDF()
+          .writeStream
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(outDir)
+          }
+          .start())
+      spark.read.parquet(outDir)
+        .groupBy("user_id")
+        .agg(max("n").as("n"), max("last_seen_us").as("last_seen_us"))
+        .orderBy("user_id")
+        .localCheckpoint(true)
+    } finally quietDelete(java.nio.file.Paths.get(outDir))
   }
 }

@@ -96,6 +96,12 @@ class SemanticsSpec extends SparkSpec {
       .groupBy("user_id").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed == batch)
+    // per-user updates are O(users) — data-dependent — so they must
+    // reach the result via executor-side parquet, never a driver-heap
+    // memory sink (same pin as stream_stream_join)
+    assert(graft.streaming.StreamingJobs.lastSinkDescription.contains("ForeachBatchSink"),
+      s"stream_stateful_count sink regressed to " +
+        s"'${graft.streaming.StreamingJobs.lastSinkDescription}'")
   }
 
   test("bloom filter has zero false negatives and bounded false-positive rate") {

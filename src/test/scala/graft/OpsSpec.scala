@@ -74,6 +74,37 @@ class OpsSpec extends SparkSpec {
     assert(out == Map("a" -> 3, "b" -> 5))
   }
 
+  test("ConnectedComponents == union-find min-label on random graphs (seeded property)") {
+    // the scale-critical dedup op is otherwise exercised only through
+    // the corpus-derived pair graph (one fixed topology); random graphs
+    // hit chains, self-loops, duplicate edges, and multi-component mixes
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812)
+    for (trial <- 1 to 5) {
+      val nV = 10 + rnd.nextInt(30)
+      val nE = 1 + rnd.nextInt(2 * nV)
+      val pairs = Seq.fill(nE)((rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+      // driver-side reference: path-compressed union-find, min id per root
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val minOfRoot = verts.groupBy(find).map { case (r, vs) => r -> vs.min }
+      val expected = verts.map(v => v -> minOfRoot(find(v))).toMap
+      // maxRounds > any possible diameter here: chain graphs legitimately
+      // need ~nV rounds and must converge, not hit the safety cap
+      val got = graft.ops.ConnectedComponents.labels(pairs.toDF("a", "b"), maxRounds = 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial (nV=$nV nE=$nE) mismatch: " +
+        s"wrong=${got.filter { case (v, r) => expected.get(v).contains(r) == false }}")
+    }
+  }
+
   test("MetricBlocking dedup_embedding: candidate recall 1.0 on the fixture (== brute force)") {
     val blocked = SparkEntry.queries("dedup_embedding")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

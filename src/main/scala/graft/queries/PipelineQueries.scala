@@ -150,6 +150,54 @@ object PipelineQueries extends QueryPack {
         .orderBy("lang")
     }),
 
+    "pipeline_funnel" -> ((s, d) => {
+      // the curation funnel — the summary table a pipeline run
+      // publishes: how many docs (and chars) survive each successive
+      // stage. Stages compose the engine's own filters cumulatively:
+      // length floor → repetition cap (top-bigram fraction < 0.2) →
+      // eval-slice removal + 5-gram decontamination (contam ≤ 5%) →
+      // exact-dedup representatives. Every predicate compares the SAME
+      // 4-dp-rounded fraction on both engines. Each stage is the
+      // filter/groupBy shapes of its standalone key; at 100 TB a run
+      // would persist each stage's survivor set — here the branches
+      // re-derive lineage, which Spark pipelines into five scans of
+      // one table (a report, not a hot path).
+      val docs = T.documents(s, d)
+      val s1 = docs.filter(col("n_chars") >= 200)
+      val tbf = s1.select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(round(max("n") / sum("n"), 4).as("tbf"))
+      val s2 = s1.join(tbf, Seq("doc_id"), "left")
+        .filter(col("tbf").isNull || col("tbf") < 0.2)
+      val sh = docs.select(col("doc_id"), explode(array_distinct(
+        TextOps.shingles(TextOps.tokens(col("text")), 5))).as("g"))
+      val bench = sh.filter(col("doc_id") < BenchCut)
+        .select("g").distinct().withColumn("hit", lit(1))
+      val cf = sh.filter(col("doc_id") >= BenchCut)
+        .join(broadcast(bench), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(round(count(col("hit")) / count(lit(1)), 4).as("cf"))
+      val s3 = s2.filter(col("doc_id") >= BenchCut)
+        .join(cf, Seq("doc_id"), "left")
+        .filter(col("cf").isNull || col("cf") <= 0.05)
+      val canon = array_join(array_sort(array_distinct(
+        TextOps.tokens(lower(trim(col("text")))))), " ")
+      val s3h = s3.withColumn("h", sha2(canon, 256))
+      val reps = s3h.groupBy("h").agg(min("doc_id").as("doc_id"))
+      val s4 = s3h.join(reps, Seq("doc_id"), "left_semi")
+      def stat(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum("n_chars"), lit(0L)).as("n_chars"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_chars"))
+      stat("00_ingest", docs)
+        .unionByName(stat("01_length", s1))
+        .unionByName(stat("02_repetition", s2))
+        .unionByName(stat("03_decontam", s3))
+        .unionByName(stat("04_exact_dedup", s4))
+        .orderBy("stage")
+    }),
+
     "sample_quality_weighted" -> ((s, d) => {
       // quality-weighted subsampling: each doc survives with
       // probability p = min(1, n_chars/1500) — longer docs kept
@@ -332,6 +380,41 @@ object PipelineQueries extends QueryPack {
          |              + len(regexp_extract_all(scrubbed, '$RePhone'))
          |              + len(regexp_extract_all(scrubbed, '$ReIp'))) AS BIGINT) AS n_residual
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pipeline_funnel" ->
+      s"""WITH d AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS t
+         |           FROM documents),
+         |s1 AS (SELECT * FROM d WHERE n_chars >= 200),
+         |bc AS (SELECT doc_id, g, COUNT(*) AS n
+         |       FROM (SELECT doc_id, unnest(${gramSql(2)}) AS g FROM s1)
+         |       GROUP BY 1, 2),
+         |tbf AS (SELECT doc_id, ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 4) AS tbf
+         |        FROM bc GROUP BY 1),
+         |s2 AS (SELECT s1.* FROM s1 LEFT JOIN tbf USING (doc_id)
+         |       WHERE tbf IS NULL OR tbf < 0.2),
+         |sh AS (SELECT doc_id, unnest(list_distinct(${gramSql(5)})) AS g FROM d),
+         |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < $BenchCut),
+         |cf AS (SELECT s.doc_id, ROUND(CAST(COUNT(b.g) AS DOUBLE) / COUNT(*), 4) AS cf
+         |       FROM sh s LEFT JOIN bench b ON s.g = b.g
+         |       WHERE s.doc_id >= $BenchCut GROUP BY 1),
+         |s3 AS (SELECT s2.* FROM s2 LEFT JOIN cf USING (doc_id)
+         |       WHERE s2.doc_id >= $BenchCut AND (cf IS NULL OR cf <= 0.05)),
+         |s3h AS (SELECT *, sha256(array_to_string(list_sort(list_distinct(
+         |          string_split(lower(trim(text)), ' '))), ' ')) AS h FROM s3),
+         |reps AS (SELECT MIN(doc_id) AS doc_id FROM s3h GROUP BY h),
+         |s4 AS (SELECT s3h.* FROM s3h JOIN reps USING (doc_id))
+         |SELECT * FROM (
+         |  SELECT '00_ingest' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_chars FROM d
+         |  UNION ALL SELECT '01_length', CAST(COUNT(*) AS BIGINT),
+         |         CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM s1
+         |  UNION ALL SELECT '02_repetition', CAST(COUNT(*) AS BIGINT),
+         |         CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM s2
+         |  UNION ALL SELECT '03_decontam', CAST(COUNT(*) AS BIGINT),
+         |         CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM s3
+         |  UNION ALL SELECT '04_exact_dedup', CAST(COUNT(*) AS BIGINT),
+         |         CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM s4
+         |) ORDER BY stage""".stripMargin,
 
     "sample_quality_weighted" -> {
       val h = graft.ops.TextOps.md5LongSql("CAST(doc_id AS VARCHAR)")

@@ -164,6 +164,19 @@ class PlanSpec extends SparkSpec {
       "probe-side filter must apply the bloom probe")
   }
 
+  test("pipeline_funnel: decontam dict broadcasts, no cartesian, no window") {
+    // the funnel composes the engine's own filter shapes — it must
+    // inherit their scale properties: the benchmark-gram dict ships as
+    // a broadcast (as in text_contamination) and nothing degenerates
+    // into a cartesian or a raw-stream window
+    val p = planOf("pipeline_funnel")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "funnel decontam stage must broadcast the benchmark gram dict")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "funnel must stay window-free (all stages are aggregates/joins)")
+  }
+
   test("text_dup_spans: gram df is a partial-aggregated groupBy+join, not a window") {
     // r5 weak mark: count().over(partitionBy(g)) gave WindowExec the raw
     // gram stream — no map-side combine, and a corpus-hot gram sorts all

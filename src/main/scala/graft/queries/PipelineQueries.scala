@@ -163,13 +163,11 @@ object PipelineQueries extends QueryPack {
       // re-derive lineage, which Spark pipelines into five scans of
       // one table (a report, not a hot path).
       val docs = T.documents(s, d)
-      val s1 = docs.filter(col("n_chars") >= 200)
-      val tbf = s1.select(col("doc_id"),
+      // per-doc metrics, each a self-contained aggregate branch
+      val tbf = docs.select(col("doc_id"),
           explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
         .groupBy("doc_id").agg(round(max("n") / sum("n"), 4).as("tbf"))
-      val s2 = s1.join(tbf, Seq("doc_id"), "left")
-        .filter(col("tbf").isNull || col("tbf") < 0.2)
       val sh = docs.select(col("doc_id"), explode(array_distinct(
         TextOps.shingles(TextOps.tokens(col("text")), 5))).as("g"))
       val bench = sh.filter(col("doc_id") < BenchCut)
@@ -178,23 +176,36 @@ object PipelineQueries extends QueryPack {
         .join(broadcast(bench), Seq("g"), "left")
         .groupBy("doc_id")
         .agg(round(count(col("hit")) / count(lit(1)), 4).as("cf"))
-      val s3 = s2.filter(col("doc_id") >= BenchCut)
-        .join(cf, Seq("doc_id"), "left")
-        .filter(col("cf").isNull || col("cf") <= 0.05)
+      // ONE flag table: every stage predicate as a column, so the whole
+      // funnel is a single conditional-sum aggregate over it (instead
+      // of five filtered branches each re-deriving lineage — the flag
+      // shape scans the corpus 3× total: base+canon, bigrams, 5-grams)
       val canon = array_join(array_sort(array_distinct(
         TextOps.tokens(lower(trim(col("text")))))), " ")
-      val s3h = s3.withColumn("h", sha2(canon, 256))
-      val reps = s3h.groupBy("h").agg(min("doc_id").as("doc_id"))
-      val s4 = s3h.join(reps, Seq("doc_id"), "left_semi")
-      def stat(name: String, df: org.apache.spark.sql.DataFrame) =
-        df.agg(count(lit(1)).as("n_docs"),
-            coalesce(sum("n_chars"), lit(0L)).as("n_chars"))
-          .select(lit(name).as("stage"), col("n_docs"), col("n_chars"))
-      stat("00_ingest", docs)
-        .unionByName(stat("01_length", s1))
-        .unionByName(stat("02_repetition", s2))
-        .unionByName(stat("03_decontam", s3))
-        .unionByName(stat("04_exact_dedup", s4))
+      val flags = docs.select(col("doc_id"), col("n_chars"), sha2(canon, 256).as("h"))
+        .join(tbf, Seq("doc_id"), "left")
+        .join(cf, Seq("doc_id"), "left")
+        .withColumn("p1", col("n_chars") >= 200)
+        .withColumn("p2", col("p1") && (col("tbf").isNull || col("tbf") < 0.2))
+        .withColumn("p3", col("p2") && col("doc_id") >= BenchCut &&
+          (col("cf").isNull || col("cf") <= 0.05))
+      val reps = flags.filter(col("p3")).groupBy("h").agg(min("doc_id").as("rep_doc"))
+      val flagged = flags.join(reps, Seq("h"), "left")
+        .withColumn("p4",
+          coalesce(col("p3") && col("doc_id") === col("rep_doc"), lit(false)))
+      def cnt(p: org.apache.spark.sql.Column) = sum(when(p, 1L).otherwise(0L))
+      def chars(p: org.apache.spark.sql.Column) =
+        sum(when(p, col("n_chars")).otherwise(0L))
+      flagged.agg(
+          count(lit(1)).as("c0"), sum("n_chars").as("h0"),
+          cnt(col("p1")).as("c1"), chars(col("p1")).as("h1"),
+          cnt(col("p2")).as("c2"), chars(col("p2")).as("h2"),
+          cnt(col("p3")).as("c3"), chars(col("p3")).as("h3"),
+          cnt(col("p4")).as("c4"), chars(col("p4")).as("h4"))
+        .select(expr(
+          "stack(5, '00_ingest', c0, h0, '01_length', c1, h1, " +
+            "'02_repetition', c2, h2, '03_decontam', c3, h3, " +
+            "'04_exact_dedup', c4, h4) AS (stage, n_docs, n_chars)"))
         .orderBy("stage")
     }),
 

@@ -8,9 +8,10 @@ import graft.{QueryPack, Tables => T}
   * These three rows use Spark's window()/session_window() operators whose
   * batch and streaming semantics are identical, so they are declared as
   * batch queries with SQL oracles; the genuinely trigger-dependent rows
-  * (watermark late-drop, streaming dedup, arbitrary state) live in
-  * graft.streaming with MemoryStream ScalaTest coverage instead
-  * (TEST-only per the harness contract).
+  * (watermark late-drop, streaming dedup, stream–stream join, arbitrary
+  * state) live in graft.streaming, replayed through the production
+  * parquet FILE source with ScalaTest semantic coverage (the
+  * non-oracle-able ones TEST-only per the harness contract).
   *
   * Scale: windowed aggregation shuffles once on (window, key); session
   * windows shuffle on user and merge sorted runs — both streaming-state

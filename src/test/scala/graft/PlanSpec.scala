@@ -164,6 +164,31 @@ class PlanSpec extends SparkSpec {
       "probe-side filter must apply the bloom probe")
   }
 
+  test("text_pii_scrub: one map-side pass — pruned scan, single aggregate shuffle") {
+    // regex count/replace are per-row; the plan must be scan → partial
+    // agg → one hash exchange on lang → final agg (+ the ORDER BY range
+    // exchange) with nothing else — no join, no window, 3-column scan
+    val p = planOf("text_pii_scrub")
+    val scans = p.collect { case s: FileSourceScanExec => s }
+    assert(scans.length == 1)
+    assert(scans.head.requiredSchema.fieldNames.toSet == Set("doc_id", "text", "lang"),
+      s"scan reads ${scans.head.requiredSchema.fieldNames.mkString(",")}")
+    assert(p.collect { case e: ShuffleExchangeExec => e }.length <= 2,
+      "expected only the lang-agg exchange + the sort exchange")
+    assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty)
+  }
+
+  test("text_seq_pack: per-doc aggregate rides the window's (lang, shard) exchange") {
+    // the running sum partitions on (lang, shard) and the per-stream
+    // aggregate groups on the same keys — Catalyst must NOT add a
+    // second hash exchange between them (≤2 exchanges total: the
+    // window's hash + the ORDER BY range)
+    val p = planOf("text_seq_pack")
+    assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.length == 1)
+    assert(p.collect { case e: ShuffleExchangeExec => e }.length <= 2,
+      "per-stream aggregate must reuse the window's partitioning")
+  }
+
   test("pipeline_funnel: decontam dict broadcasts, no cartesian, no window") {
     // the funnel composes the engine's own filter shapes — it must
     // inherit their scale properties: the benchmark-gram dict ships as

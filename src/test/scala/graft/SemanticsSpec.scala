@@ -68,9 +68,9 @@ class SemanticsSpec extends SparkSpec {
     // r5 weak mark: the raw pair rows used to land in a driver-heap
     // `memory` sink (O(matches) rows on the driver — a scale-killer).
     // Pin the executor-side path: the job's sink must be foreachBatch.
-    assert(graft.streaming.StreamingJobs.lastSinkDescription.contains("ForeachBatchSink"),
+    assert(graft.streaming.StreamingJobs.sinkDescription("ss_join").contains("ForeachBatchSink"),
       s"stream_stream_join sink regressed to " +
-        s"'${graft.streaming.StreamingJobs.lastSinkDescription}'")
+        s"'${graft.streaming.StreamingJobs.sinkDescription("ss_join")}'")
   }
 
   test("staging contract: a chunk beyond maxChunk fails loudly, not silently") {
@@ -99,9 +99,9 @@ class SemanticsSpec extends SparkSpec {
     // per-user updates are O(users) — data-dependent — so they must
     // reach the result via executor-side parquet, never a driver-heap
     // memory sink (same pin as stream_stream_join)
-    assert(graft.streaming.StreamingJobs.lastSinkDescription.contains("ForeachBatchSink"),
+    assert(graft.streaming.StreamingJobs.sinkDescription("user_state").contains("ForeachBatchSink"),
       s"stream_stateful_count sink regressed to " +
-        s"'${graft.streaming.StreamingJobs.lastSinkDescription}'")
+        s"'${graft.streaming.StreamingJobs.sinkDescription("user_state")}'")
   }
 
   test("bloom filter has zero false negatives and bounded false-positive rate") {

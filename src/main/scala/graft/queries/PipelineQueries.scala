@@ -238,6 +238,71 @@ object PipelineQueries extends QueryPack {
         .orderBy("split", "lang")
     }),
 
+    "sample_temperature" -> ((s, d) => {
+      // temperature-resampled language mixture (the mT5/multilingual
+      // recipe, α = 0.5): target share ∝ share^α lifts low-resource
+      // langs; the per-lang resampling factor is normalized so the most
+      // up-weighted lang keeps everything (downsample-only — you can't
+      // mint data). α = 0.5 is computed as SQRT on purpose: sqrt is
+      // IEEE-correctly-rounded in both engines, pow is libm-dependent.
+      // The acceptance threshold is an INTEGER basis-point rate
+      // (round(f/fmax·10⁴)) compared against the doc's portable md5
+      // bucket — integer-vs-integer, so the kept set is identical on
+      // both engines and at every scale; doubles appear only in the
+      // reported (4-dp-rounded) share columns. Shape: two tiny
+      // aggregates over the |langs|-row mixture table broadcast back —
+      // one corpus pass + one broadcast join, no coordination.
+      val nTok = size(expr(
+        "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long")
+      val docs = T.documents(s, d).select(col("doc_id"), col("lang"), nTok.as("n_tok"))
+      val per = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("toks"))
+      val tot = per.agg(sum("toks").cast("double").as("tot"),
+        sum(sqrt(col("toks"))).as("spow"))
+      val f = per.crossJoin(broadcast(tot))
+        .withColumn("share", col("toks") / col("tot"))
+        .withColumn("target", sqrt(col("toks")) / col("spow"))
+        .withColumn("f", col("target") / col("share"))
+      val fmax = f.agg(max("f").as("fmax"))
+      val rates = f.crossJoin(broadcast(fmax))
+        .select(col("lang"), col("share"), col("target"),
+          round(col("f") / col("fmax") * 10000, 0).cast("long").as("rate_bp"))
+      docs
+        .withColumn("bucket",
+          TextOps.md5Long(col("doc_id").cast("string")) % 10000)
+        .join(broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("toks"),
+          round(first("share"), 4).as("share"),
+          round(first("target"), 4).as("target_share"),
+          first("rate_bp").as("rate_bp"),
+          sum(when(col("bucket") < col("rate_bp"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("bucket") < col("rate_bp"), col("n_tok")).otherwise(0L))
+            .as("kept_toks"))
+        .orderBy("lang")
+    }),
+
+    "sample_domain_cap" -> ((s, d) => {
+      // per-domain frequency capping (the C4-style guard against one
+      // crawl domain dominating the mixture): keep at most 100 docs per
+      // source, chosen by portable md5 order so the survivor set is
+      // rerun-stable and engine-independent. The rank ≤ K filter is the
+      // point of the plan: Catalyst rewrites it to WindowGroupLimit,
+      // which truncates each map partition to its top-K BEFORE the window
+      // exchange — a hot domain ships K rows per map task, not its
+      // whole row set (pinned in PlanSpec).
+      val docs = T.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
+      val w = Window.partitionBy("source")
+        .orderBy(TextOps.md5Long(col("doc_id").cast("string")), col("doc_id"))
+      val kept = docs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 100)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n_kept"))
+      docs.groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("source", "lang"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .orderBy("source", "lang")
+    }),
+
     "text_seq_pack" -> ((s, d) => {
       // sequence packing (concat-and-chunk, the GPT-style pretraining
       // shape): docs are concatenated in deterministic doc_id order
@@ -448,6 +513,50 @@ object PipelineQueries extends QueryPack {
          |            WHEN ($h % 100) < 95 THEN 'val' ELSE 'test' END AS split,
          |       lang, CAST(COUNT(*) AS BIGINT) AS n
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "sample_temperature" -> {
+      val h = graft.ops.TextOps.md5LongSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, ($h % 10000) AS bucket,
+         |         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |per AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS toks FROM d GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(toks) AS DOUBLE) AS tot,
+         |               SUM(SQRT(CAST(toks AS DOUBLE))) AS spow FROM per),
+         |fx AS (SELECT lang,
+         |              CAST(toks AS DOUBLE) / tot AS share,
+         |              SQRT(CAST(toks AS DOUBLE)) / spow AS target,
+         |              (SQRT(CAST(toks AS DOUBLE)) / spow) / (CAST(toks AS DOUBLE) / tot) AS f
+         |       FROM per, tot),
+         |fm AS (SELECT MAX(f) AS fmax FROM fx),
+         |rates AS (SELECT lang, share, target,
+         |                 CAST(ROUND(f / fmax * 10000, 0) AS BIGINT) AS rate_bp
+         |          FROM fx, fm)
+         |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tok) AS BIGINT) AS toks,
+         |       ROUND(r.share, 4) AS share, ROUND(r.target, 4) AS target_share,
+         |       r.rate_bp,
+         |       CAST(SUM(CASE WHEN bucket < rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(SUM(CASE WHEN bucket < rate_bp THEN n_tok ELSE 0 END) AS BIGINT) AS kept_toks
+         |FROM d JOIN rates r USING (lang)
+         |GROUP BY d.lang, r.share, r.target, r.rate_bp
+         |ORDER BY d.lang""".stripMargin
+    },
+
+    "sample_domain_cap" -> {
+      val h = graft.ops.TextOps.md5LongSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH r AS (
+         |  SELECT doc_id, lang, source,
+         |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rk
+         |  FROM documents),
+         |kept AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+         |         FROM r WHERE rk <= 100 GROUP BY 1, 2),
+         |tot AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |        FROM documents GROUP BY 1, 2)
+         |SELECT source, lang, n_docs, COALESCE(n_kept, 0) AS n_kept
+         |FROM tot LEFT JOIN kept USING (source, lang)
+         |ORDER BY source, lang""".stripMargin
     },
 
     "text_seq_pack" -> {

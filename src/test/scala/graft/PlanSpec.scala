@@ -222,6 +222,35 @@ class PlanSpec extends SparkSpec {
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("sample_domain_cap: the rank≤K filter compiles to WindowGroupLimit") {
+    // the whole point of the rank-filter formulation: Catalyst's
+    // InferWindowGroupLimit rewrites rk≤100 into WindowGroupLimitExec,
+    // which truncates each MAP partition to its per-source top-K before
+    // the window exchange — a hot domain ships K rows per task, not its
+    // entire row set. If this ever degrades to a full WindowExec over
+    // the raw stream, the cap stops scaling.
+    val p = planOf("sample_domain_cap")
+    val limits = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.length >= 2,
+      s"expected partial (map-side) + final WindowGroupLimit, got ${limits.length}")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("sample_temperature: mixture rates broadcast back, no cartesian, no window") {
+    // the per-lang rate table is |langs| rows — it must ship as a
+    // broadcast to the corpus pass (one BroadcastHashJoin on lang); the
+    // two totals ride 1-row broadcast crossJoins, never a shuffle
+    val p = planOf("sample_temperature")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "per-lang rate table must broadcast")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "sample_temperature must stay window-free")
+  }
+
   test("agg_group_pricing: filter and column pruning reach the parquet scan") {
     val p = planOf("agg_group_pricing")
     val scan = p.collect { case s: FileSourceScanExec => s }.head

@@ -170,4 +170,30 @@ class SemanticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(bucketed == naive)
   }
+
+  test("temperature resampling: downsample-only, max-lift lang keeps everything") {
+    val rows = SparkEntry.queries("sample_temperature")(spark, sf).collect()
+    // exactly one lang pins the normalization at 10000 bp (its own
+    // f/fmax is literally 1.0) and nothing exceeds it
+    assert(rows.map(_.getAs[Long]("rate_bp")).max == 10000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rate_bp") <= 10000L)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+    }
+    // α = 0.5 flattens the mixture: over-represented langs (share >
+    // target) must be the downsampled ones
+    rows.filter(r => r.getAs[Double]("share") > r.getAs[Double]("target_share"))
+      .foreach(r => assert(r.getAs[Long]("rate_bp") < 10000L,
+        s"over-represented ${r.getAs[String]("lang")} not downsampled"))
+  }
+
+  test("domain cap keeps exactly min(100, domain size) docs per source") {
+    val rows = SparkEntry.queries("sample_domain_cap")(spark, sf).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rs) =>
+      val docs = rs.map(_.getAs[Long]("n_docs")).sum
+      val kept = rs.map(_.getAs[Long]("n_kept")).sum
+      assert(kept == math.min(100L, docs), s"$src: kept $kept of $docs")
+    }
+  }
 }

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lloyd-iteration k-means over an embedding column — the clustering
+  * step a curation pipeline runs for mixture analysis / cluster-based
+  * sampling over corpus embeddings. Built from the same scale-safe
+  * pieces as the IVF index (queries/SimQueries.scala): the centroid
+  * UPDATE is posexplode → per-(cell, dim) partial-aggregated mean →
+  * re-assembled arrays collected into ONE broadcast row; the ASSIGN
+  * step is an inline `array_min` fold over that row — the k-way
+  * expansion never becomes rows, nothing shuffles per candidate,
+  * nothing sorts. Each round is therefore one hash aggregate plus one
+  * broadcast map pass over the vectors.
+  *
+  * Determinism (both engines reproduce bit-for-bit decisions): init is
+  * hash-bucket assignment (vec_id % k); the argmin compares 6-dp-ROUNDED
+  * squared L2 with the cell label as tie-break — the same contract the
+  * IVF oracle has hash-matched since round 1. Empty cells simply drop
+  * out of the next round's centroid list (symmetric on both engines).
+  */
+object KMeans {
+
+  /** @param e     DataFrame with `vec_id` (long) and `v` (array<double>)
+    * @param k     cluster count (centroids must fit one broadcast row)
+    * @param iters Lloyd rounds after the hash-bucket init
+    * @return (vec_id, cell, d2) — final assignment with its rounded
+    *         squared distance to the assigned centroid
+    */
+  def assignments(s: SparkSession, e: DataFrame, k: Int, iters: Int): DataFrame = {
+    graft.GraftFunctions.register(s)
+    var assigned = e.select(col("vec_id"), col("v"),
+      pmod(col("vec_id"), lit(k.toLong)).as("cell"),
+      lit(0.0).as("d2"))
+    for (_ <- 1 to iters) {
+      // materialized per round (localCheckpoint): the next round's
+      // centroid aggregate and the final consumer both read `assigned`,
+      // and unpinned lineage would re-run every earlier round twice
+      assigned = lloydRound(s, e, assigned).localCheckpoint(true)
+    }
+    assigned.select("vec_id", "cell", "d2")
+  }
+
+  /** one un-materialized Lloyd round (update + assign) — exposed so
+    * PlanSpec can pin the per-round physical shape, which the
+    * localCheckpoint in [[assignments]] otherwise hides behind an
+    * in-memory scan. */
+  private[graft] def lloydRound(s: SparkSession, e: DataFrame,
+      assigned: DataFrame): DataFrame = {
+    graft.GraftFunctions.register(s) // idempotent; direct callers (tests)
+    val cent = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg("x").as("av"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("av")))),
+        _.getField("av")).as("c"))
+      .select(col("cell").as("c_label"), col("c"),
+        expr("graft_dot(c, c)").as("cc"))
+    val cents = cent
+      .agg(collect_list(struct(col("c_label"), col("c"), col("cc"))).as("cents"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("vv", expr("graft_dot(v, v)"))
+      .withColumn("best", array_min(transform(col("cents"), ct =>
+        struct(
+          round(col("vv") - lit(2.0)
+              * graft.GraftFunctions.dotCol(s, col("v"), ct.getField("c"))
+            + ct.getField("cc"), 6).as("d2"),
+          ct.getField("c_label").as("c_label")))))
+      .select(col("vec_id"), col("v"),
+        col("best.c_label").as("cell"), col("best.d2").as("d2"))
+  }
+}

@@ -34,6 +34,26 @@ object GraphMmQueries extends QueryPack {
         .orderBy("level", "node_kind", "node_key")
     }),
 
+    "graph_pagerank" -> ((s, d) => {
+      // the crawl-domain ranking shape: damped weighted PageRank on a
+      // deterministic 1000-node quotient of the order FK stream (src =
+      // o_custkey%1000 → dst = o_orderkey%1000, weight = multiplicity —
+      // quotient-hashing is how a trillion-edge web graph is downsampled
+      // for rank experiments, and it preserves cycles/skew/danglers).
+      // 3 fixed rounds through the general graft.ops.PageRank operator;
+      // the oracle unrolls the identical recurrence as a CTE chain from
+      // the same (damping, iters) constants. Only the final pr is
+      // rounded (8 dp — double noise across engines is ~1e-15).
+      val edges = T.orders(s, d)
+        .groupBy(pmod(col("o_custkey"), lit(1000L)).as("src"),
+          pmod(col("o_orderkey"), lit(1000L)).as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      graft.ops.PageRank.run(edges, PrDamping, PrIters)
+        .select(col("node"), round(col("pr"), 8).as("pr"))
+        .orderBy(col("pr").desc, col("node"))
+        .limit(50)
+    }),
+
     "multimodal_join" -> ((s, d) => {
       // text + vector sides joined 1:1 → per-(lang, label) profile.
       import graft.ops.VectorOps
@@ -86,7 +106,42 @@ object GraphMmQueries extends QueryPack {
     })
   )
 
+  /** PageRank constants shared by the query and the generated oracle. */
+  private val PrDamping = 0.85
+  private val PrIters = 3
+
+  /** the same recurrence as ops/PageRank, unrolled as a CTE chain —
+    * generated from the shared constants so query and oracle cannot
+    * drift (the agg_spatial_octree pattern). */
+  private def pagerankSql(d: Double, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, SUM(p.pr * e.wn) AS cin
+         |  FROM en e JOIN pr${i - 1} p ON e.src = p.node GROUP BY 1),
+         |pr$i AS (
+         |  SELECT nodes.node,
+         |         (1.0 - $d) / (SELECT n FROM nn) + $d * COALESCE(c$i.cin, 0.0) AS pr
+         |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst,
+       |         CAST(COUNT(*) AS DOUBLE) AS w
+       |  FROM orders GROUP BY 1, 2),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |en AS (
+       |  SELECT e.src, e.dst, e.w / ow.outw AS wn
+       |  FROM e JOIN (SELECT src, SUM(w) AS outw FROM e GROUP BY 1) ow
+       |    ON e.src = ow.src),
+       |pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+       |$rounds
+       |SELECT node, ROUND(pr, 8) AS pr FROM pr$iters
+       |ORDER BY pr DESC, node LIMIT 50""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankSql(PrDamping, PrIters),
+
     "graph_bfs_levels" ->
       """SELECT node_kind, node_key, level FROM (
         |  SELECT 'region' AS node_kind, CAST(r_regionkey AS BIGINT) AS node_key, 0 AS level

@@ -149,6 +149,22 @@ object SimQueries extends QueryPack {
         .orderBy("a", "rank")
     }),
 
+    "sim_kmeans" -> ((s, d) => {
+      // embedding k-means (Lloyd): the clustering step behind
+      // cluster-balanced sampling and mixture analysis — k=16 cells,
+      // hash-bucket init, 2 Lloyd rounds through graft.ops.KMeans (the
+      // IVF machinery iterated: broadcast-row centroids, inline rounded
+      // argmin). Emits the cluster profile (size + inertia); the oracle
+      // unrolls the identical rounds as a generated CTE chain from the
+      // same (k, iters) constants.
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      graft.ops.KMeans.assignments(s, e, KmK, KmIters)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), round(sum("d2"), 2).as("inertia"))
+        .orderBy("cell")
+    }),
+
     "sim_embedding_norms" -> ((s, d) => {
       T.embeddings(s, d)
         .select(col("label"), VectorOps.norm(VectorOps.toDouble(col("embedding"))).as("nrm"))
@@ -160,6 +176,37 @@ object SimQueries extends QueryPack {
 
   /** DuckDB: embedding widened to DOUBLE[] (shared fragment). */
   private val vd = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+  /** k-means constants shared by the query and the generated oracle. */
+  private val KmK = 16
+  private val KmIters = 2
+
+  /** ops/KMeans unrolled as a CTE chain generated from the shared
+    * constants (the agg_spatial_octree / graph_pagerank pattern). */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""ex$i AS (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+         |          FROM a${i - 1}),
+         |cent$i AS (
+         |  SELECT cell AS c_label, list(av ORDER BY pos) AS c
+         |  FROM (SELECT cell, pos, AVG(x) AS av FROM ex$i GROUP BY cell, pos)
+         |  GROUP BY cell),
+         |d$i AS (
+         |  SELECT e.vec_id, e.v, c.c_label,
+         |         ROUND(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.c)
+         |               + list_dot_product(c.c, c.c), 6) AS d2
+         |  FROM e CROSS JOIN cent$i c),
+         |a$i AS (
+         |  SELECT vec_id, v, c_label AS cell, d2 FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+         |    FROM d$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings),
+       |a0 AS (SELECT vec_id, v, vec_id % $k AS cell FROM e),
+       |$rounds
+       |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(d2), 2) AS inertia
+       |FROM a$iters GROUP BY cell ORDER BY cell""".stripMargin
+  }
 
   private def annSql: String = {
     val buckets = (0 until PLANES).map { j =>
@@ -190,6 +237,8 @@ object SimQueries extends QueryPack {
          |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin,
 
     "sim_ann_lsh" -> annSql,
+
+    "sim_kmeans" -> kmeansSql(KmK, KmIters),
 
     "sim_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings),

@@ -173,4 +173,76 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(blocked == brute && brute.nonEmpty)
   }
+
+  test("KMeans == driver-side Lloyd reference on random vectors; inertia non-increasing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812)
+    val dim = 4; val k = 4; val n = 60
+    val vecs = (0 until n).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian()))).toMap
+    // driver reference: identical recurrence incl. the 6-dp rounded
+    // argmin + label tie-break (tiny fold-order noise stays ≪ rounding)
+    def d2(v: Array[Double], c: Array[Double]): Double = {
+      val vv = v.map(x => x * x).sum
+      val cc = c.map(x => x * x).sum
+      val vc = v.zip(c).map { case (a, b) => a * b }.sum
+      BigDecimal(vv - 2.0 * vc + cc)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    var ref = vecs.map { case (id, _) => id -> (id % k) }
+    var prevInertia = Double.MaxValue
+    val e = vecs.toSeq.sortBy(_._1).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "v")
+    for (iters <- 1 to 3) {
+      val cents = ref.groupBy(_._2).map { case (cell, members) =>
+        val vs = members.keys.map(vecs)
+        cell -> (0 until dim).map(j => vs.map(_(j)).sum / vs.size).toArray
+      }
+      ref = vecs.map { case (id, v) =>
+        id -> cents.toSeq.map { case (c, cv) => (d2(v, cv), c) }.min._2
+      }
+      val got = graft.ops.KMeans.assignments(spark, e, k, iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.map(g => g._1 -> g._2).toMap == ref,
+        s"iters=$iters assignment mismatch")
+      val inertia = got.map(_._3).sum
+      assert(inertia <= prevInertia + 1e-6,
+        s"iters=$iters inertia $inertia rose above $prevInertia")
+      prevInertia = inertia
+    }
+  }
+
+  test("PageRank == driver-side reference recurrence on random weighted digraphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812)
+    for (trial <- 1 to 3) {
+      val nV = 5 + rnd.nextInt(15)
+      val nE = nV + rnd.nextInt(3 * nV)
+      val raw = Seq.fill(nE)(
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong, 1.0 + rnd.nextInt(5)))
+      val edges = raw.groupBy(e => (e._1, e._2))
+        .map { case ((s0, d0), es) => (s0, d0, es.map(_._3).sum) }.toSeq
+      // reference: dense leaky-PageRank recurrence on the driver
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val n = verts.length
+      val outw = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._3).sum }
+      var pr = verts.map(v => v -> 1.0 / n).toMap
+      for (_ <- 1 to 3) {
+        val cin = edges.groupBy(_._2).map { case (d0, es) =>
+          d0 -> es.map(e => pr(e._1) * e._3 / outw(e._1)).sum
+        }
+        pr = verts.map(v => v -> (0.15 / n + 0.85 * cin.getOrElse(v, 0.0))).toMap
+      }
+      val got = graft.ops.PageRank.run(edges.toDF("src", "dst", "w"), 0.85, 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == pr.keySet, s"trial $trial node-set mismatch")
+      pr.foreach { case (v, expect) =>
+        assert(math.abs(got(v) - expect) < 1e-12,
+          s"trial $trial node $v: got ${got(v)}, expected $expect")
+      }
+      // leaky mass invariant: (1-d) ≤ Σpr ≤ 1 (equality iff no danglers)
+      val mass = got.values.sum
+      assert(mass > 0.15 - 1e-9 && mass < 1.0 + 1e-9, s"mass $mass out of range")
+    }
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.aggregate.HashAggregateExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec, SortMergeJoinExec}
@@ -220,6 +221,59 @@ class PlanSpec extends SparkSpec {
     assert(p.collect { case a: HashAggregateExec => a }.length >= 4,
       "gram-df and per-doc aggregates must both run partial (map-side) + final")
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("kmeans Lloyd round: centroid update is partial-aggregated, assign is windowless") {
+    // the per-round shape the localCheckpoint in assignments() hides:
+    // the centroid UPDATE must run partial+final at both aggregate
+    // levels ((cell,pos) means, then per-cell array assembly), and the
+    // ASSIGN must be the inline broadcast argmin — no window, no
+    // cartesian, no per-candidate shuffle (the IVF contract, iterated)
+    import spark.implicits._
+    val e = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 1.0)))
+      .toDF("vec_id", "v")
+    val init = e.select(col("vec_id"), col("v"),
+      pmod(col("vec_id"), lit(2L)).as("cell"), lit(0.0).as("d2"))
+    val p = withConf("spark.sql.adaptive.enabled", "false") {
+      graft.ops.KMeans.lloydRound(spark, e, init).queryExecution.executedPlan
+    }
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "kmeans assign grew a window")
+    // (cell,pos) means are codegen'd HashAggregates; the array assembly
+    // and the 1-row cents fold are collect_list → ObjectHashAggregate —
+    // each level must still run partial (map-side) + final
+    assert(p.collect { case a: HashAggregateExec => a }.length >= 2,
+      "the (cell,pos) mean must run partial (map-side) + final")
+    assert(p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }.length >= 4, "centroid array assembly + cents fold must run partial + final")
+  }
+
+  test("pagerank round: one equi-join, one partial-aggregated sum, no window") {
+    import spark.implicits._
+    val norm = Seq((1L, 2L, 1.0), (2L, 1L, 1.0)).toDF("src", "dst", "wn")
+    val pr = Seq((1L, 0.5), (2L, 0.5)).toDF("node", "pr")
+    val nodes = Seq(1L, 2L).toDF("node")
+    val n1 = Seq(2.0).toDF("nn")
+    val p = withConf("spark.sql.adaptive.enabled", "false") {
+      graft.ops.PageRank.rankRound(norm, pr, nodes, n1, 0.85)
+        .queryExecution.executedPlan
+    }
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty)
+    val equiJoins = p.collect {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    // contrib equi-join + the left join back onto the node set
+    assert(equiJoins.length == 2, s"expected 2 equi-joins, got ${equiJoins.length}")
+    assert(p.collect { case a: HashAggregateExec => a }.length >= 2,
+      "contribution sum must run partial (map-side) + final")
   }
 
   test("sample_domain_cap: the rank≤K filter compiles to WindowGroupLimit") {

@@ -54,6 +54,22 @@ object GraphMmQueries extends QueryPack {
         .limit(50)
     }),
 
+    "graph_triangles" -> ((s, d) => {
+      // triangle counting (the canonical MapReduce graph benchmark next
+      // to BFS) on the same 1000-node order-FK quotient graph as
+      // graph_pagerank, through the degree-oriented compact-forward
+      // operator (graft.ops.Triangles — hub nodes generate zero wedges
+      // from their in-edges, so the wedge shuffle survives power-law
+      // skew). Top-20 nodes by triangle participation; integer counts,
+      // so parity is exact.
+      val edges = T.orders(s, d).select(
+        pmod(col("o_custkey"), lit(1000L)).as("src"),
+        pmod(col("o_orderkey"), lit(1000L)).as("dst"))
+      graft.ops.Triangles.perNode(edges)
+        .orderBy(col("n_tri").desc, col("node"))
+        .limit(20)
+    }),
+
     "multimodal_join" -> ((s, d) => {
       // text + vector sides joined 1:1 → per-(lang, label) profile.
       import graft.ops.VectorOps
@@ -141,6 +157,23 @@ object GraphMmQueries extends QueryPack {
 
   val oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pagerankSql(PrDamping, PrIters),
+
+    // brute-force id-ordered 3-way join — orientation-independent, so
+    // it oracles the compact-forward operator's output exactly
+    "graph_triangles" ->
+      """WITH und AS (
+        |  SELECT DISTINCT LEAST(o_custkey % 1000, o_orderkey % 1000) AS a,
+        |         GREATEST(o_custkey % 1000, o_orderkey % 1000) AS b
+        |  FROM orders WHERE o_custkey % 1000 != o_orderkey % 1000),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT unnest([x, y, z]) AS node FROM tri)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |FROM corners GROUP BY node
+        |ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
 
     "graph_bfs_levels" ->
       """SELECT node_kind, node_key, level FROM (

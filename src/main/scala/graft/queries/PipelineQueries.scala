@@ -372,6 +372,41 @@ object PipelineQueries extends QueryPack {
         .orderBy("status", "lang")
     }),
 
+    "quality_drift" -> ((s, d) => {
+      // distribution-drift audit (the monitor a continuously-ingesting
+      // pipeline runs per batch): Kolmogorov–Smirnov distance between
+      // the doc-length distributions of two deterministic snapshot
+      // slices (even vs odd doc_id — "yesterday's crawl vs today's"),
+      // per lang. Exact KS needs a per-group sort over raw rows — the
+      // unsplittable-window shape this repo bans — so the DECLARED
+      // semantics are binned-CDF KS: 64 equal-width bins from a 1-row
+      // global min/max broadcast, per-(lang, bin) partial-aggregated
+      // counts, and the CDF window runs over the ≤64-row-per-lang bin
+      // table. Bin ids are exact integer math in both engines (the
+      // products stay ≪ 2⁵³, floor(double) is engine-identical).
+      val bounds = T.documents(s, d)
+        .agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+      val binned = T.documents(s, d).crossJoin(broadcast(bounds))
+        .withColumn("bin", floor((col("n_chars") - col("mn")) * lit(64.0)
+          / (col("mx") - col("mn") + lit(1.0))).cast("long"))
+        .groupBy("lang", "bin")
+        .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("cb"))
+      val w = Window.partitionBy("lang").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tw = Window.partitionBy("lang")
+      // one select so Catalyst coalesces the four window expressions
+      // into the two specs (running + per-lang total)
+      binned
+        .select(col("lang"), col("ca"), col("cb"),
+          (sum("ca").over(w) / sum("ca").over(tw)).as("fa"),
+          (sum("cb").over(w) / sum("cb").over(tw)).as("fb"))
+        .groupBy("lang")
+        .agg(sum("ca").as("n_a"), sum("cb").as("n_b"),
+          round(max(abs(col("fa") - col("fb"))), 4).as("ks"))
+        .orderBy("lang")
+    }),
+
     "text_token_budget" -> ((s, d) => {
       // data-mixture accounting: BPE-ish token totals per (lang,
       // source) with corpus share and cumulative share in descending-
@@ -593,6 +628,25 @@ object PipelineQueries extends QueryPack {
         |       COALESCE(c.lang, p.lang) AS lang, CAST(COUNT(*) AS BIGINT) AS n
         |FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "quality_drift" ->
+      """WITH b AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents),
+        |binned AS (
+        |  SELECT lang,
+        |         CAST(FLOOR((n_chars - mn) * 64.0 / (mx - mn + 1.0)) AS BIGINT) AS bin,
+        |         CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(SUM(CASE WHEN doc_id % 2 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM documents, b GROUP BY 1, 2),
+        |cdf AS (
+        |  SELECT lang, ca, cb,
+        |         SUM(ca) OVER (PARTITION BY lang ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |           / CAST(SUM(ca) OVER (PARTITION BY lang) AS DOUBLE) AS fa,
+        |         SUM(cb) OVER (PARTITION BY lang ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |           / CAST(SUM(cb) OVER (PARTITION BY lang) AS DOUBLE) AS fb
+        |  FROM binned)
+        |SELECT lang, CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+        |       ROUND(MAX(ABS(fa - fb)), 4) AS ks
+        |FROM cdf GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_token_budget" ->
       """WITH per AS (

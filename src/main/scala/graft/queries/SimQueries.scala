@@ -165,6 +165,44 @@ object SimQueries extends QueryPack {
         .orderBy("cell")
     }),
 
+    "sim_quantize_int8" -> ((s, d) => {
+      // scalar int8 quantization audit — the vector-store compression
+      // step (4× smaller index) and its reconstruction-error report.
+      // Per-dim min/max are EXACT aggregates (no summation → identical
+      // doubles on both engines), collected into ONE broadcast bounds
+      // row; encode/decode/error are then per-row zip_with folds — a
+      // map-side pass at any corpus size, no shuffle beyond the bounds
+      // aggregate and the per-label report. q = round((x−mn)·255/rng)
+      // is integer-exact parity; only the across-row MSE average sees
+      // fold-order noise, absorbed by the 8-dp round.
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), col("label"), VectorOps.toDouble(col("embedding")).as("v"))
+      val bounds = e
+        .select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+            _.getField("mn")).as("mn"),
+          transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+            _.getField("mx")).as("mx"))
+      val withB = e.crossJoin(broadcast(bounds))
+        .withColumn("rng", zip_with(col("mx"), col("mn"), (a, b) => a - b))
+        .withColumn("q", zip_with(
+          zip_with(col("v"), col("mn"), (x, m) => x - m), col("rng"),
+          (ctr, r) => when(r === 0.0, 0.0).otherwise(round(ctr * 255.0 / r))))
+        .withColumn("xr", zip_with(
+          zip_with(col("q"), col("rng"), (qi, r) => qi / 255.0 * r), col("mn"),
+          (sc, m) => sc + m))
+        .withColumn("diffs", zip_with(col("v"), col("xr"), (a, b) => a - b))
+        .withColumn("mse", aggregate(col("diffs"), lit(0.0),
+          (acc, dd) => acc + dd * dd) / size(col("v")))
+        .withColumn("maxerr", array_max(transform(col("diffs"), dd => abs(dd))))
+      withB.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg("mse"), 8).as("avg_mse"),
+          round(max("maxerr"), 6).as("max_abs_err"))
+        .orderBy("label")
+    }),
+
     "sim_embedding_norms" -> ((s, d) => {
       T.embeddings(s, d)
         .select(col("label"), VectorOps.norm(VectorOps.toDouble(col("embedding"))).as("nrm"))
@@ -239,6 +277,30 @@ object SimQueries extends QueryPack {
     "sim_ann_lsh" -> annSql,
 
     "sim_kmeans" -> kmeansSql(KmK, KmIters),
+
+    "sim_quantize_int8" ->
+      s"""WITH e AS (SELECT vec_id, label, $vd AS v FROM embeddings),
+         |ex AS (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+         |bd AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY pos),
+         |b AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx FROM bd),
+         |enc AS (
+         |  SELECT label,
+         |         list_transform(range(1, ${DIM + 1}), i -> CASE WHEN mx[i] = mn[i] THEN 0.0
+         |           ELSE ROUND((v[i] - mn[i]) * 255.0 / (mx[i] - mn[i])) END) AS q,
+         |         v, mn, mx
+         |  FROM e, b),
+         |err AS (
+         |  SELECT label,
+         |         list_sum(list_transform(range(1, ${DIM + 1}),
+         |           i -> (v[i] - (q[i] / 255.0 * (mx[i] - mn[i]) + mn[i]))
+         |              * (v[i] - (q[i] / 255.0 * (mx[i] - mn[i]) + mn[i])))) / $DIM.0 AS mse,
+         |         list_max(list_transform(range(1, ${DIM + 1}),
+         |           i -> ABS(v[i] - (q[i] / 255.0 * (mx[i] - mn[i]) + mn[i])))) AS maxerr
+         |  FROM enc)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         |       ROUND(AVG(mse), 8) AS avg_mse,
+         |       ROUND(MAX(maxerr), 6) AS max_abs_err
+         |FROM err GROUP BY label ORDER BY label""".stripMargin,
 
     "sim_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings),

@@ -212,6 +212,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Triangles == driver-side brute force on random multigraphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812)
+    for (trial <- 1 to 3) {
+      val nV = 8 + rnd.nextInt(20)
+      val nE = 2 * nV + rnd.nextInt(4 * nV)
+      // raw directed multigraph with self-loops — the operator must
+      // canonicalize before counting
+      val raw = Seq.fill(nE)((rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+      val und = raw.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val undSet = und.toSet
+      val verts = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val expected = (for {
+        i <- verts; j <- verts if i < j; k <- verts if j < k
+        if undSet((i, j)) && undSet((j, k)) && undSet((i, k))
+      } yield Seq(i, j, k)).flatten
+        .groupBy(identity).map { case (v, vs) => v -> vs.size.toLong }
+      val got = graft.ops.Triangles.perNode(raw.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial (nV=$nV nE=$nE): got $got expected $expected")
+    }
+  }
+
   test("PageRank == driver-side reference recurrence on random weighted digraphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260812)

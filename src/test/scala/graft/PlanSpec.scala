@@ -276,6 +276,52 @@ class PlanSpec extends SparkSpec {
       "contribution sum must run partial (map-side) + final")
   }
 
+  test("graph_triangles: wedge + closing probes are equi-joins, no cartesian") {
+    // compact-forward's whole value is that the wedge join hashes on
+    // the apex and the closing probe hashes on the (y,z) pair — if
+    // either degrades to a cartesian/theta shape the triangle count
+    // stops scaling
+    val p = planOf("graph_triangles")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    val joins = p.collect {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.length == 2, s"expected wedge + closing equi-joins, got ${joins.length}")
+  }
+
+  test("quality_drift: the CDF windows run over the aggregated bin table") {
+    // exact KS would sort raw rows per lang — the banned shape. The
+    // declared semantics are binned: per-(lang,bin) counts aggregate
+    // partial+final FIRST, then the two window specs (running + total)
+    // see ≤64 rows per lang
+    val p = planOf("quality_drift")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.length <= 2, "expected only the running-CDF + per-lang-total window specs")
+    assert(p.collect { case a: HashAggregateExec => a }.length >= 4,
+      "bin counts and the final KS aggregate must both run partial + final")
+  }
+
+  test("sim_quantize_int8: bounds broadcast once, encode/decode is a map-side pass") {
+    // per-dim bounds ride ONE broadcast row; the per-vector
+    // encode/decode/error folds must stay row-local — no window, no
+    // cartesian, no per-dimension shuffle beyond the bounds aggregate
+    // and the per-label report
+    val p = planOf("sim_quantize_int8")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "quantization must stay window-free")
+    // exchanges: per-(pos) bounds agg, the 1-row global bounds fold,
+    // the per-label report agg, and the ORDER BY range — nothing scales
+    // with corpus size except the map pass itself
+    assert(p.collect { case e: ShuffleExchangeExec => e }.length <= 4,
+      "quantization grew an exchange beyond bounds/report/sort")
+  }
+
   test("sample_domain_cap: the rank≤K filter compiles to WindowGroupLimit") {
     // the whole point of the rank-filter formulation: Catalyst's
     // InferWindowGroupLimit rewrites rk≤100 into WindowGroupLimitExec,

@@ -73,6 +73,37 @@ object MiscQueries extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber", "b_and", "b_xor")
     }),
 
+    "join_dpp_pruned" -> ((s, d) => {
+      // DYNAMIC partition pruning — the runtime half of what
+      // sink_partitioned_pruning exercises statically. The fact side is
+      // hive-partitioned by event_type; the dim side is an aggregate +
+      // limit (top-2 types by rounded total value), which NO static rule
+      // can fold into the fact scan — at execution the broadcast dim's
+      // keys are injected into the scan's PartitionFilters
+      // (DynamicPruningExpression, pinned in PlanSpec) and 3 of 5
+      // partition directories are never read. At 100 TB this is the
+      // fact-dim join shape: the 60%+ of the fact you don't join is
+      // skipped at the source. Result == the plain join (the oracle).
+      val tmp = graft.Tmp.dir("dpp").toString
+      T.events(s, d).write.mode(SaveMode.Overwrite)
+        .partitionBy("event_type").parquet(tmp)
+      // the tv > 0 filter is semantically inert (event values are
+      // positive) but load-bearing for the plan: Spark's PartitionPruning
+      // rule only injects DPP when the dim side carries a
+      // likely-selective predicate — aggregate+limit alone doesn't count
+      val dim = T.events(s, d)
+        .groupBy("event_type").agg(round(sum("value"), 2).as("tv"))
+        .filter(col("tv") > 0)
+        .orderBy(col("tv").desc, col("event_type"))
+        .limit(2)
+        .select("event_type")
+      s.read.parquet(tmp)
+        .join(broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("event_type")
+    }),
+
     "sink_partitioned_pruning" -> ((s, d) => {
       // hive-style partition layout + pruned readback: the status filter
       // prunes directories (PartitionFilters), never touching other
@@ -123,6 +154,16 @@ object MiscQueries extends QueryPack {
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         |       ROUND(SUM(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderstatus = 'F'
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "join_dpp_pruned" ->
+      """WITH top2 AS (
+        |  SELECT event_type FROM events GROUP BY 1
+        |  HAVING ROUND(SUM(value), 2) > 0
+        |  ORDER BY ROUND(SUM(value), 2) DESC, event_type LIMIT 2)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total
+        |FROM events JOIN top2 USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -305,6 +305,21 @@ class PlanSpec extends SparkSpec {
       "bin counts and the final KS aggregate must both run partial + final")
   }
 
+  test("join_dpp_pruned: the fact scan carries a DynamicPruning partition filter") {
+    // the dim side is aggregate+limit — statically underivable, so the
+    // only way the fact partitions get skipped is runtime DPP: the
+    // broadcast dim's keys must appear in the scan's PartitionFilters
+    // as a DynamicPruningExpression
+    val p = planOf("join_dpp_pruned")
+    val scans = p.collect { case sc: FileSourceScanExec => sc }
+    assert(scans.exists(_.partitionFilters.exists(_.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression => true
+      case _ => false
+    })), "fact scan lost its dynamic partition-pruning filter")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "dim must broadcast (DPP reuses the broadcast exchange)")
+  }
+
   test("sim_quantize_int8: bounds broadcast once, encode/decode is a map-side pass") {
     // per-dim bounds ride ONE broadcast row; the per-vector
     // encode/decode/error folds must stay row-local — no window, no

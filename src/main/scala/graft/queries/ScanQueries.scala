@@ -79,6 +79,30 @@ object ScanQueries extends QueryPack {
             .otherwise(0L)).as("n_corrupt"))
     }),
 
+    "scan_schema_merge" -> ((s, d) => {
+      // schema evolution across ingest generations — the 100 TB reality
+      // that month-1 parquet lacks columns month-6 writes. Generation A
+      // (doc_id < 250) is written WITHOUT the quality column; generation
+      // B carries it (derived deterministically from n_chars).
+      // mergeSchema unifies the footers at read; A's rows surface NULL
+      // quality, and the audit aggregates coverage per lang — exactly
+      // the backfill-planning query a pipeline runs before re-scoring
+      // old generations.
+      val tmp = graft.Tmp.dir("evo").toString
+      val docs = T.documents(s, d).select("doc_id", "lang", "n_chars")
+      docs.filter(col("doc_id") < 250)
+        .write.mode(SaveMode.Overwrite).parquet(s"$tmp/gen=a")
+      docs.filter(col("doc_id") >= 250)
+        .withColumn("quality", round(col("n_chars") / lit(1000.0), 4))
+        .write.mode(SaveMode.Overwrite).parquet(s"$tmp/gen=b")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("quality")).as("n_scored"),
+          round(avg("quality"), 4).as("avg_quality"))
+        .orderBy("lang")
+    }),
+
     "scan_text_roundtrip" -> ((s, d) => {
       // Mimir's native source/sink was chunked text files; write the
       // corpus as raw text, read it back line-oriented.
@@ -90,6 +114,18 @@ object ScanQueries extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "scan_schema_merge" ->
+      """WITH merged AS (
+        |  SELECT lang, CAST(NULL AS DOUBLE) AS quality
+        |  FROM documents WHERE doc_id < 250
+        |  UNION ALL
+        |  SELECT lang, ROUND(n_chars / 1000.0, 4)
+        |  FROM documents WHERE doc_id >= 250)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(quality) AS BIGINT) AS n_scored,
+        |       ROUND(AVG(quality), 4) AS avg_quality
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+
     "scan_parquet" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity",
     "scan_csv_roundtrip" ->

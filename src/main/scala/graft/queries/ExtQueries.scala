@@ -124,6 +124,50 @@ object ExtQueries extends QueryPack {
         .orderBy("event_type", "h")
     }),
 
+    "ts_active_users" -> ((s, d) => {
+      // trailing-7-day active users per day (the WAU shape every
+      // engagement/retention dashboard runs). EXACT rolling distinct —
+      // which no window frame can express — via the bounded offset
+      // explode: each (user, day) pair votes into the 7 window-ends it
+      // falls in, then countDistinct per window-end. Decisively, the 7×
+      // expansion happens on the AGGREGATED (user, day) table (≤ users
+      // × days rows), never on raw events; window-ends land only on
+      // days that actually occur (semi join back onto the day set).
+      val ud = T.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val days = ud.select("day").distinct()
+      ud.select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("win_end"))
+        .join(days.withColumnRenamed("day", "win_end"), Seq("win_end"), "left_semi")
+        .groupBy("win_end")
+        .agg(countDistinct("user_id").as("wau"))
+        .orderBy("win_end")
+    }),
+
+    "ts_retention_cohort" -> ((s, d) => {
+      // signup-cohort retention (the other half of the engagement pair
+      // with ts_active_users): cohort = users by first-signup day;
+      // D+1/D+7 retention = distinct cohort users active exactly those
+      // days. One distinct-day activity table joined back on user_id —
+      // both sides hash-partition on the same key — and conditional
+      // countDistinct per cohort day; ratios on 4-dp rounds.
+      val ev = T.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("day").as("d0"))
+      val act = ev.select("user_id", "day").distinct()
+      cohort.join(act, Seq("user_id"))
+        .groupBy("d0")
+        .agg(countDistinct("user_id").as("cohort_users"),
+          countDistinct(when(col("day") === date_add(col("d0"), 1),
+            col("user_id"))).as("d1_retained"),
+          countDistinct(when(col("day") === date_add(col("d0"), 7),
+            col("user_id"))).as("d7_retained"))
+        .withColumn("d1_rate", round(col("d1_retained") / col("cohort_users"), 4))
+        .withColumn("d7_rate", round(col("d7_retained") / col("cohort_users"), 4))
+        .orderBy("d0")
+    }),
+
     "win_moving_sum" -> ((s, d) => {
       // daily revenue + 7-day trailing window, all in exact DECIMAL
       val daily = T.orders(s, d)
@@ -215,6 +259,30 @@ object ExtQueries extends QueryPack {
         |SELECT g.event_type, g.h, CAST(COALESCE(cnt, 0) AS BIGINT) AS n
         |FROM g LEFT JOIN c USING (event_type, h)
         |ORDER BY g.event_type, g.h""".stripMargin,
+
+    "ts_retention_cohort" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+        |cohort AS (SELECT user_id, MIN(day) AS d0 FROM ev
+        |           WHERE event_type = 'signup' GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, day FROM ev),
+        |j AS (SELECT c.user_id, c.d0, a.day FROM cohort c JOIN act a USING (user_id))
+        |SELECT d0, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort_users,
+        |       CAST(COUNT(DISTINCT CASE WHEN day = d0 + 1 THEN user_id END) AS BIGINT) AS d1_retained,
+        |       CAST(COUNT(DISTINCT CASE WHEN day = d0 + 7 THEN user_id END) AS BIGINT) AS d7_retained,
+        |       ROUND(CAST(COUNT(DISTINCT CASE WHEN day = d0 + 1 THEN user_id END) AS DOUBLE)
+        |             / COUNT(DISTINCT user_id), 4) AS d1_rate,
+        |       ROUND(CAST(COUNT(DISTINCT CASE WHEN day = d0 + 7 THEN user_id END) AS DOUBLE)
+        |             / COUNT(DISTINCT user_id), 4) AS d7_rate
+        |FROM j GROUP BY d0 ORDER BY d0""".stripMargin,
+
+    "ts_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |g AS (SELECT user_id, day + CAST(i AS INTEGER) AS win_end
+        |      FROM ud, range(0, 7) AS t(i))
+        |SELECT win_end, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        |FROM g JOIN days ON g.win_end = days.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "win_moving_sum" ->
       """WITH daily AS (

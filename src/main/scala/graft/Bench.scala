@@ -76,10 +76,16 @@ object Bench {
     // inflate a wall time, never deflate it, so min is the code signal.
     // A flaky RE-run must not discard the valid first sample (the key
     // already succeeded once): keep (v, ok=true) when the retry fails.
+    // A key with NO committed baseline benches blind: its first official
+    // number would be a single sample (how graph_triangles' 3.3 s got
+    // recorded in r7). New keys therefore always get a second timing,
+    // min kept — gated on prevLoaded so a missing/corrupt baseline file
+    // doesn't silently double the whole run.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (v, ok) = time1(fn)
       val suspect = ok && prev.get(name).exists(p => p > 0 && v > 2 * p && v - p > 0.5)
-      if (!suspect) (name, v, ok, false)
+      val firstRun = ok && prevLoaded && !prev.contains(name)
+      if (!suspect && !firstRun) (name, v, ok, false)
       else {
         val (v2, ok2) = time1(fn)
         (name, if (ok2) math.min(v, v2) else v, ok, true)

@@ -84,6 +84,26 @@ object Tmp {
     handed.add(p)
     p
   }
+  /** Materialize-once scratch layouts (round-8 advice): sink-scaffolding
+    * queries (join_dpp_pruned, scan_schema_merge) rewrite a derived
+    * table layout purely so the READ side has the right physical shape —
+    * the write is setup, not semantics. Re-paying it every invocation
+    * made repeated bench iterations time write+read and accumulate one
+    * scratch dir per call. The layout is plain parquet on disk keyed by
+    * (tag, source sfDir), so it is valid across SparkSessions within the
+    * JVM; the first caller writes, later callers reuse. (Queries whose
+    * DECLARED semantics are the sink itself — the roundtrips,
+    * sink_partitioned_pruning — keep writing per call by design.)
+    */
+  private val layouts =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  def cachedLayout(tag: String, sfDir: String)(write: String => Unit): String =
+    layouts.computeIfAbsent((tag, sfDir), { _ =>
+      val p = dir(tag).toString
+      write(p)
+      p
+    })
+
   /** recursive delete that never throws — cleanup must not mask results. */
   private[graft] def quietDeleteRecursively(root: Path): Unit =
     try if (root != null && Files.exists(root)) {

@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   * squared L2 with the cell label as tie-break — the same contract the
   * IVF oracle has hash-matched since round 1. Empty cells simply drop
   * out of the next round's centroid list (symmetric on both engines).
+  *
+  * Known residual (r7 ADVICE, accepted): unlike the ONE-SHOT IVF argmin,
+  * this argmin feeds the NEXT round's centroid AVGs, whose fold order
+  * differs across engines — if a vector ever sits within 1 ulp of a
+  * rounded-distance tie boundary, a single assignment flip cascades
+  * through subsequent Lloyd rounds rather than staying local. The 6-dp
+  * round makes that require a ~1e-6-scale coincidence on unit-norm-ish
+  * synthetic embeddings (never observed across sf0.001–sf0.1 sweeps);
+  * if corpus scale grows enough to make boundary hits likely, move the
+  * distance to an integer-exact formulation (quantized coordinates,
+  * as sim_quantize_int8 does) before trusting cross-engine equality.
   */
 object KMeans {
 

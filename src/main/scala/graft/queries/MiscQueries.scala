@@ -84,9 +84,12 @@ object MiscQueries extends QueryPack {
       // partition directories are never read. At 100 TB this is the
       // fact-dim join shape: the 60%+ of the fact you don't join is
       // skipped at the source. Result == the plain join (the oracle).
-      val tmp = graft.Tmp.dir("dpp").toString
-      T.events(s, d).write.mode(SaveMode.Overwrite)
-        .partitionBy("event_type").parquet(tmp)
+      // layout write is setup (the read-side DPP shape is the point) —
+      // materialized once per (sfDir, JVM), reused across invocations
+      val tmp = graft.Tmp.cachedLayout("dpp", d) { p =>
+        T.events(s, d).write.mode(SaveMode.Overwrite)
+          .partitionBy("event_type").parquet(p)
+      }
       // the tv > 0 filter is semantically inert (event values are
       // positive) but load-bearing for the plan: Spark's PartitionPruning
       // rule only injects DPP when the dim side carries a
@@ -107,7 +110,9 @@ object MiscQueries extends QueryPack {
     "sink_partitioned_pruning" -> ((s, d) => {
       // hive-style partition layout + pruned readback: the status filter
       // prunes directories (PartitionFilters), never touching other
-      // partitions' row groups.
+      // partitions' row groups. Unlike join_dpp_pruned, the SINK is part
+      // of the declared semantics here, so each invocation times
+      // write+read by design (no cachedLayout).
       val tmp = graft.Tmp.dir("part").toString
       T.orders(s, d).write.mode(SaveMode.Overwrite)
         .partitionBy("o_orderstatus").parquet(tmp)

@@ -245,28 +245,32 @@ object PipelineQueries extends QueryPack {
       // up-weighted lang keeps everything (downsample-only — you can't
       // mint data). α = 0.5 is computed as SQRT on purpose: sqrt is
       // IEEE-correctly-rounded in both engines, pow is libm-dependent.
-      // The acceptance threshold is an INTEGER basis-point rate
-      // (round(f/fmax·10⁴)) compared against the doc's portable md5
-      // bucket — integer-vs-integer, so the kept set is identical on
-      // both engines and at every scale; doubles appear only in the
-      // reported (4-dp-rounded) share columns. Shape: two tiny
-      // aggregates over the |langs|-row mixture table broadcast back —
-      // one corpus pass + one broadcast join, no coordination.
+      // The acceptance threshold is an INTEGER basis-point rate compared
+      // against the doc's portable md5 bucket. Since f ∝ 1/√toks, the
+      // normalized factor collapses algebraically: f/fmax = √(tmin/toks)
+      // with tmin = MIN(toks) over langs — so rate_bp is derived from
+      // two EXACT integer aggregates (SUM of longs, MIN) through three
+      // correctly-rounded IEEE ops (int→double divide, sqrt, ×10⁴),
+      // bit-identical on both engines. The round-7 form routed rate_bp
+      // through SUM(SQRT(toks))-derived f and fmax — fold-order-
+      // sensitive doubles in a discretization (r7 ADVICE); now the only
+      // fold-order-sensitive double (spow) feeds the REPORTED
+      // 4-dp-rounded target_share column, nothing decisional. Shape:
+      // one tiny aggregate over the |langs|-row mixture table broadcast
+      // back — one corpus pass + one broadcast join, no coordination.
       val nTok = size(expr(
         "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long")
       val docs = T.documents(s, d).select(col("doc_id"), col("lang"), nTok.as("n_tok"))
       val per = docs.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("toks"))
       val tot = per.agg(sum("toks").cast("double").as("tot"),
-        sum(sqrt(col("toks"))).as("spow"))
-      val f = per.crossJoin(broadcast(tot))
-        .withColumn("share", col("toks") / col("tot"))
-        .withColumn("target", sqrt(col("toks")) / col("spow"))
-        .withColumn("f", col("target") / col("share"))
-      val fmax = f.agg(max("f").as("fmax"))
-      val rates = f.crossJoin(broadcast(fmax))
-        .select(col("lang"), col("share"), col("target"),
-          round(col("f") / col("fmax") * 10000, 0).cast("long").as("rate_bp"))
+        sum(sqrt(col("toks"))).as("spow"), min("toks").as("tmin"))
+      val rates = per.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          (col("toks") / col("tot")).as("share"),
+          (sqrt(col("toks")) / col("spow")).as("target"),
+          round(sqrt(col("tmin").cast("double") / col("toks")) * 10000, 0)
+            .cast("long").as("rate_bp"))
       docs
         .withColumn("bucket",
           TextOps.md5Long(col("doc_id").cast("string")) % 10000)
@@ -396,11 +400,16 @@ object PipelineQueries extends QueryPack {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tw = Window.partitionBy("lang")
       // one select so Catalyst coalesces the four window expressions
-      // into the two specs (running + per-lang total)
+      // into the two specs (running + per-lang total). The per-lang
+      // totals are nullif-guarded: a lang whose docs are ALL even (or
+      // all odd) doc_ids has a zero denominator, and 0/0 NaN propagation
+      // through MAX/ROUND is not guaranteed to hash-match across
+      // engines — both sides emit NULL ks symmetrically instead
+      // (r7 ADVICE).
       binned
         .select(col("lang"), col("ca"), col("cb"),
-          (sum("ca").over(w) / sum("ca").over(tw)).as("fa"),
-          (sum("cb").over(w) / sum("cb").over(tw)).as("fb"))
+          (sum("ca").over(w) / nullif(sum("ca").over(tw), lit(0L))).as("fa"),
+          (sum("cb").over(w) / nullif(sum("cb").over(tw), lit(0L))).as("fb"))
         .groupBy("lang")
         .agg(sum("ca").as("n_a"), sum("cb").as("n_b"),
           round(max(abs(col("fa") - col("fb"))), 4).as("ks"))
@@ -558,16 +567,13 @@ object PipelineQueries extends QueryPack {
          |  FROM documents),
          |per AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS toks FROM d GROUP BY 1),
          |tot AS (SELECT CAST(SUM(toks) AS DOUBLE) AS tot,
-         |               SUM(SQRT(CAST(toks AS DOUBLE))) AS spow FROM per),
-         |fx AS (SELECT lang,
-         |              CAST(toks AS DOUBLE) / tot AS share,
-         |              SQRT(CAST(toks AS DOUBLE)) / spow AS target,
-         |              (SQRT(CAST(toks AS DOUBLE)) / spow) / (CAST(toks AS DOUBLE) / tot) AS f
-         |       FROM per, tot),
-         |fm AS (SELECT MAX(f) AS fmax FROM fx),
-         |rates AS (SELECT lang, share, target,
-         |                 CAST(ROUND(f / fmax * 10000, 0) AS BIGINT) AS rate_bp
-         |          FROM fx, fm)
+         |               SUM(SQRT(CAST(toks AS DOUBLE))) AS spow,
+         |               MIN(toks) AS tmin FROM per),
+         |rates AS (SELECT lang,
+         |                 CAST(toks AS DOUBLE) / tot AS share,
+         |                 SQRT(CAST(toks AS DOUBLE)) / spow AS target,
+         |                 CAST(ROUND(SQRT(CAST(tmin AS DOUBLE) / toks) * 10000, 0) AS BIGINT) AS rate_bp
+         |          FROM per, tot)
          |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |       CAST(SUM(n_tok) AS BIGINT) AS toks,
          |       ROUND(r.share, 4) AS share, ROUND(r.target, 4) AS target_share,
@@ -640,9 +646,9 @@ object PipelineQueries extends QueryPack {
         |cdf AS (
         |  SELECT lang, ca, cb,
         |         SUM(ca) OVER (PARTITION BY lang ORDER BY bin ROWS UNBOUNDED PRECEDING)
-        |           / CAST(SUM(ca) OVER (PARTITION BY lang) AS DOUBLE) AS fa,
+        |           / NULLIF(CAST(SUM(ca) OVER (PARTITION BY lang) AS DOUBLE), 0) AS fa,
         |         SUM(cb) OVER (PARTITION BY lang ORDER BY bin ROWS UNBOUNDED PRECEDING)
-        |           / CAST(SUM(cb) OVER (PARTITION BY lang) AS DOUBLE) AS fb
+        |           / NULLIF(CAST(SUM(cb) OVER (PARTITION BY lang) AS DOUBLE), 0) AS fb
         |  FROM binned)
         |SELECT lang, CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
         |       ROUND(MAX(ABS(fa - fb)), 4) AS ks

@@ -88,13 +88,16 @@ object ScanQueries extends QueryPack {
       // quality, and the audit aggregates coverage per lang — exactly
       // the backfill-planning query a pipeline runs before re-scoring
       // old generations.
-      val tmp = graft.Tmp.dir("evo").toString
-      val docs = T.documents(s, d).select("doc_id", "lang", "n_chars")
-      docs.filter(col("doc_id") < 250)
-        .write.mode(SaveMode.Overwrite).parquet(s"$tmp/gen=a")
-      docs.filter(col("doc_id") >= 250)
-        .withColumn("quality", round(col("n_chars") / lit(1000.0), 4))
-        .write.mode(SaveMode.Overwrite).parquet(s"$tmp/gen=b")
+      // the two-generation layout is setup for the mergeSchema read —
+      // materialized once per (sfDir, JVM), reused across invocations
+      val tmp = graft.Tmp.cachedLayout("evo", d) { p =>
+        val docs = T.documents(s, d).select("doc_id", "lang", "n_chars")
+        docs.filter(col("doc_id") < 250)
+          .write.mode(SaveMode.Overwrite).parquet(s"$p/gen=a")
+        docs.filter(col("doc_id") >= 250)
+          .withColumn("quality", round(col("n_chars") / lit(1000.0), 4))
+          .write.mode(SaveMode.Overwrite).parquet(s"$p/gen=b")
+      }
       s.read.option("mergeSchema", "true").parquet(tmp)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),

@@ -323,6 +323,7 @@ object StreamingJobs {
       // per-batch partials are |users|-bounded — pin the summed result
       // to executor blocks so the scratch dir can be deleted eagerly
       spark.read.parquet(outDir)
+        .drop("batch") // sink-layout partition col — never a payload
         .groupBy(col("p_user").as("user_id"))
         .agg(sum("np").as("n_pairs"))
         .orderBy("user_id")
@@ -456,6 +457,7 @@ object StreamingJobs {
       // external sink directory can be deleted with the scaffolding
       // instead of leaking one dir per run for a lazy read-back
       spark.read.parquet(outDir)
+        .drop("batch") // sink-layout partition col — never a payload
         .filter(col("event_type") =!= "___flush")
         .select("ws", "event_type", "n")
         .orderBy("ws", "event_type")
@@ -514,6 +516,7 @@ object StreamingJobs {
           }
           .start())
       spark.read.parquet(outDir)
+        .drop("batch") // sink-layout partition col — never a payload
         .groupBy("user_id")
         .agg(max("n").as("n"), max("last_seen_us").as("last_seen_us"))
         .orderBy("user_id")

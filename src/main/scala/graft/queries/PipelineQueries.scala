@@ -117,6 +117,83 @@ object PipelineQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    "dedup_span_apply" -> ((s, d) => {
+      // substring-dedup APPLY (the Lee-et-al-style action on what
+      // text_dup_spans audits): every occurrence of a cross-document
+      // duplicated 10-gram is removed EXCEPT its first occurrence —
+      // owner = lexicographic min (doc_id, token offset) — and the
+      // per-lang report accounts for the cleaned corpus: docs touched,
+      // docs surviving non-empty, tokens and characters removed.
+      // Declared semantics: a token is removed iff it lies inside ANY
+      // non-owner occurrence of ANY duplicated gram (removal wins over
+      // membership in some other gram's owner span); character counts
+      // are over the single-space token join, so clean_chars =
+      // Σlen(kept) + (n_kept − 1). All-integer decisions — the only
+      // double is the 4-dp-rounded removed_frac of two exact sums.
+      //
+      // Scale shape (the text_dup_spans rule, extended): the gram df is
+      // a partial-aggregated groupBy — never a window over the raw
+      // occurrence stream (a corpus-hot boilerplate gram is exactly the
+      // target) — and the mining here is occurrence-level (positions)
+      // rather than reusing the audit's per-doc-distinct stream because
+      // the APPLY needs offsets; nd still counts DISTINCT docs, so the
+      // "duplicated" predicate matches the audit's. Coverage expands
+      // each removed occurrence to its 10 token positions (bounded 10×
+      // on DUP occurrences only — the WAU bounded-explode precedent),
+      // then one (doc_id, pos) equi-join marks removed tokens and two
+      // partial-aggregated groupBys (per-doc, per-lang) roll up. No
+      // window, no cartesian, nothing driver-side.
+      val K = 10
+      val base = T.documents(s, d).select(col("doc_id"), col("lang"),
+        TextOps.tokens(col("text")).as("t"))
+      val tok = base
+        .select(col("doc_id"), col("lang"), posexplode(col("t")).as(Seq("p0", "tk")))
+        .select(col("doc_id"), col("lang"), (col("p0") + 1).as("pos"),
+          length(col("tk")).as("l"))
+      val occ = base
+        .select(col("doc_id"), posexplode(TextOps.shingles(col("t"), K)).as(Seq("p0", "g")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("g"))
+      // owner in two hash-aggregable phases (min doc per gram, then min
+      // pos within that doc) rather than one min(struct(doc_id, pos)):
+      // struct-min has no mutable agg buffer, so Catalyst plans it as
+      // SortAggregate — a per-map-partition SORT of the entire raw
+      // occurrence stream, the exact shape this family bans. The second
+      // phase's input is only the owner-doc occurrences of duplicated
+      // grams (join-pruned), not the corpus stream.
+      // `gg` renames break the occ-derived self-join ambiguity
+      val gd = occ.groupBy("g")
+        .agg(countDistinct("doc_id").as("nd"), min("doc_id").as("od"))
+        .filter(col("nd") >= 2)
+        .select(col("g").as("gg"), col("od"))
+      val own = occ
+        .join(gd, col("g") === col("gg") && col("doc_id") === col("od"))
+        .groupBy("gg", "od").agg(min("pos").as("op"))
+      val rm = occ.join(own, col("g") === col("gg"))
+        .filter(!(col("doc_id") === col("od") && col("pos") === col("op")))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (K - 1))).as("pos"))
+        .distinct()
+      val stats = tok
+        .join(rm.withColumn("cov", lit(1)), Seq("doc_id", "pos"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tok"), sum("l").as("ch"),
+          sum(when(col("cov").isNull, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("cov").isNull, col("l")).otherwise(0L)).as("ch_kept"))
+      stats
+        .withColumn("orig_chars", col("ch") + col("n_tok") - 1)
+        .withColumn("clean_chars",
+          when(col("n_kept") > 0, col("ch_kept") + col("n_kept") - 1).otherwise(0L))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_kept") < col("n_tok"), 1L).otherwise(0L)).as("n_touched"),
+          sum(when(col("n_kept") > 0, 1L).otherwise(0L)).as("n_surviving"),
+          sum(col("n_tok") - col("n_kept")).as("toks_removed"),
+          sum(col("orig_chars") - col("clean_chars")).as("chars_removed"),
+          round(sum(col("orig_chars") - col("clean_chars"))
+            / nullif(sum("orig_chars"), lit(0L)), 4).as("removed_frac"))
+        .orderBy("lang")
+    }),
+
     "text_pii_scrub" -> ((s, d) => {
       // PII redaction (the curation step between dedup and tokenization):
       // scrub emails / phone numbers / IPv4s to typed placeholders and
@@ -483,6 +560,44 @@ object PipelineQueries extends QueryPack {
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
          |       CAST(MAX(nd) AS BIGINT) AS max_share
          |FROM nd WHERE nd >= 2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // parallel unnests in one SELECT zip positionally in DuckDB, giving
+    // (pos, token-length) and (pos, gram) streams; positions are 1-based
+    // to match gramSql's t[i] indexing (the Spark side shifts posexplode
+    // by +1). range(a, b) is half-open, so range(pos, pos+10) is the
+    // 10 covered positions and range(1, len(t)-8) is the gram starts.
+    "dedup_span_apply" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+         |tok AS (SELECT doc_id, lang, unnest(range(1, len(t) + 1)) AS pos,
+         |               unnest(list_transform(t, x -> len(x))) AS l FROM t),
+         |occ AS (SELECT doc_id, unnest(range(1, len(t) - 8)) AS pos,
+         |               unnest(${gramSql(10)}) AS g FROM t),
+         |own AS (SELECT g, MIN(doc_id) AS od FROM occ GROUP BY g
+         |        HAVING COUNT(DISTINCT doc_id) >= 2),
+         |own2 AS (SELECT o.g, w.od, MIN(o.pos) AS op
+         |         FROM occ o JOIN own w ON o.g = w.g AND o.doc_id = w.od
+         |         GROUP BY o.g, w.od),
+         |rm AS (SELECT DISTINCT doc_id, pos FROM (
+         |         SELECT o.doc_id, unnest(range(o.pos, o.pos + 10)) AS pos
+         |         FROM occ o JOIN own2 w ON o.g = w.g
+         |         WHERE NOT (o.doc_id = w.od AND o.pos = w.op))),
+         |st AS (SELECT tok.doc_id, lang, COUNT(*) AS n_tok, SUM(l) AS ch,
+         |              SUM(CASE WHEN r.pos IS NULL THEN 1 ELSE 0 END) AS n_kept,
+         |              SUM(CASE WHEN r.pos IS NULL THEN l ELSE 0 END) AS ch_kept
+         |       FROM tok LEFT JOIN rm r ON tok.doc_id = r.doc_id AND tok.pos = r.pos
+         |       GROUP BY 1, 2),
+         |pd AS (SELECT lang, n_tok, n_kept,
+         |              ch + n_tok - 1 AS orig_chars,
+         |              CASE WHEN n_kept > 0 THEN ch_kept + n_kept - 1 ELSE 0 END AS clean_chars
+         |       FROM st)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN n_kept < n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_touched,
+         |       CAST(SUM(CASE WHEN n_kept > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving,
+         |       CAST(SUM(n_tok - n_kept) AS BIGINT) AS toks_removed,
+         |       CAST(SUM(orig_chars - clean_chars) AS BIGINT) AS chars_removed,
+         |       ROUND(CAST(SUM(orig_chars - clean_chars) AS DOUBLE)
+         |             / NULLIF(SUM(orig_chars), 0), 4) AS removed_frac
+         |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_pii_scrub" ->
       s"""WITH seeded AS ($PiiSeededSql),

@@ -223,6 +223,25 @@ class PlanSpec extends SparkSpec {
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("dedup_span_apply: all aggregates hash-partial, no window, no sort over the gram stream") {
+    // the APPLY side inherits the text_dup_spans rule (gram df as a
+    // partial-aggregated groupBy, never a window) and adds one of its
+    // own: the owner pick must NOT plan as min(struct) — that has no
+    // mutable agg buffer, so Catalyst falls back to SortAggregate, a
+    // per-map-partition SORT of the raw occurrence stream. Pin: zero
+    // WindowExec, zero SortAggregate, zero cartesian, and every level
+    // (gram df, coverage distinct, per-doc, per-lang) partial + final.
+    val p = planOf("dedup_span_apply")
+    assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "dedup_span_apply grew a window over the raw gram stream")
+    assert(p.collect {
+      case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec => s
+    }.isEmpty, "owner pick degenerated to SortAggregate (min(struct)?)")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect { case a: HashAggregateExec => a }.length >= 8,
+      "every aggregation level must run partial (map-side) + final")
+  }
+
   test("kmeans Lloyd round: centroid update is partial-aggregated, assign is windowless") {
     // the per-round shape the localCheckpoint in assignments() hides:
     // the centroid UPDATE must run partial+final at both aggregate

@@ -187,6 +187,57 @@ class SemanticsSpec extends SparkSpec {
         s"over-represented ${r.getAs[String]("lang")} not downsampled"))
   }
 
+  test("dedup_span_apply equals a driver-side brute-force reference") {
+    // independent reimplementation of the declared semantics with plain
+    // Scala collections (the OpsSpec pattern): mine 10-gram occurrences,
+    // keep only the lexicographic-min (doc, pos) occurrence of each
+    // cross-doc duplicated gram, expand the rest to covered token
+    // positions, and account per lang. Any divergence between the
+    // distributed plan and the spec (owner tie-break, coverage bounds,
+    // the ±1 space arithmetic) breaks an exact Long comparison here.
+    val K = 10
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
+    val occ = docs.flatMap { case (id, _, t) =>
+      (0 to t.length - K).map(i => (t.slice(i, i + K).mkString(" "), id, i))
+    }
+    val owners = occ.groupBy(_._1).collect {
+      case (g, os) if os.map(_._2).distinct.length >= 2 =>
+        g -> os.map(o => (o._2, o._3)).min
+    }
+    val covered = occ
+      .filter { case (g, id, i) => owners.get(g).exists(_ != ((id, i))) }
+      .flatMap { case (_, id, i) => (i until i + K).map((id, _)) }
+      .toSet
+    val expected = docs.groupBy(_._2).map { case (lang, ds) =>
+      val per = ds.map { case (id, _, t) =>
+        val keptIdx = t.indices.filterNot(p => covered((id, p)))
+        val orig = t.map(_.length).sum + t.length - 1
+        val clean =
+          if (keptIdx.isEmpty) 0 else keptIdx.map(t(_).length).sum + keptIdx.length - 1
+        (t.length.toLong, keptIdx.length.toLong, orig.toLong, clean.toLong)
+      }
+      lang -> (per.length.toLong,
+        per.count(p => p._2 < p._1).toLong,
+        per.count(_._2 > 0).toLong,
+        per.map(p => p._1 - p._2).sum,
+        per.map(p => p._3 - p._4).sum)
+    }
+    val rows = SparkEntry.queries("dedup_span_apply")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet == expected.keySet)
+    rows.foreach { r =>
+      val e = expected(r.getAs[String]("lang"))
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_touched"),
+        r.getAs[Long]("n_surviving"), r.getAs[Long]("toks_removed"),
+        r.getAs[Long]("chars_removed")) == e, s"lang ${r.getAs[String]("lang")}")
+    }
+    // the audit and the apply must agree on what "duplicated" means:
+    // langs with zero removals ⇔ no text_dup_spans rows in that lang
+    assert(rows.exists(_.getAs[Long]("chars_removed") > 0),
+      "corpus has duplicated spans (text_dup_spans finds them) — apply removed nothing")
+  }
+
   test("domain cap keeps exactly min(100, domain size) docs per source") {
     val rows = SparkEntry.queries("sample_domain_cap")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))

@@ -6,6 +6,46 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables => T}
 
+/** Trailing-N-day active users (WAU/MAU): EXACT rolling distinct —
+  * which no window frame can express — via the bounded offset explode:
+  * each (user, day) pair votes into the N window-ends it falls in, then
+  * countDistinct per window-end; window-ends land only on days that
+  * actually occur (semi join back onto the day set).
+  *
+  * Expansion-factor cost model: the explode multiplies the AGGREGATED
+  * (user, day) table — ≤ users × days rows, never raw events — by N, so
+  * cost is N × |distinct (user, day)|, independent of event volume.
+  * N=7 (WAU) and N=30 (MAU) keep that well under one raw-event scan for
+  * any realistic events-per-user-day ratio; for windows much beyond ~30
+  * (quarterly/annual actives) prefer per-day HLL partials merged across
+  * the window and accept sketch error — the exact explode's N× starts
+  * rivaling the raw scan it exists to avoid.
+  */
+private object TrailingActive {
+  def spark(s: org.apache.spark.sql.SparkSession, d: String, n: Int,
+      out: String): org.apache.spark.sql.DataFrame = {
+    val ud = T.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = ud.select("day").distinct()
+    ud.select(col("user_id"),
+        explode(expr(s"sequence(day, date_add(day, ${n - 1}))")).as("win_end"))
+      .join(days.withColumnRenamed("day", "win_end"), Seq("win_end"), "left_semi")
+      .groupBy("win_end")
+      .agg(countDistinct("user_id").as(out))
+      .orderBy("win_end")
+  }
+
+  /** the same semantics as [[spark]], generated from the same (n, out). */
+  def sql(n: Int, out: String): String =
+    s"""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       |days AS (SELECT DISTINCT day FROM ud),
+       |g AS (SELECT user_id, day + CAST(i AS INTEGER) AS win_end
+       |      FROM ud, range(0, $n) AS t(i))
+       |SELECT win_end, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS $out
+       |FROM g JOIN days ON g.win_end = days.day
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+}
+
 /** Round-1 breadth extensions (SURVEY.md §2B additions):
   *
   *   - ORC source/sink roundtrip (the other columnar format Spark ships)
@@ -124,25 +164,12 @@ object ExtQueries extends QueryPack {
         .orderBy("event_type", "h")
     }),
 
-    "ts_active_users" -> ((s, d) => {
-      // trailing-7-day active users per day (the WAU shape every
-      // engagement/retention dashboard runs). EXACT rolling distinct —
-      // which no window frame can express — via the bounded offset
-      // explode: each (user, day) pair votes into the 7 window-ends it
-      // falls in, then countDistinct per window-end. Decisively, the 7×
-      // expansion happens on the AGGREGATED (user, day) table (≤ users
-      // × days rows), never on raw events; window-ends land only on
-      // days that actually occur (semi join back onto the day set).
-      val ud = T.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val days = ud.select("day").distinct()
-      ud.select(col("user_id"),
-          explode(expr("sequence(day, date_add(day, 6))")).as("win_end"))
-        .join(days.withColumnRenamed("day", "win_end"), Seq("win_end"), "left_semi")
-        .groupBy("win_end")
-        .agg(countDistinct("user_id").as("wau"))
-        .orderBy("win_end")
-    }),
+    // trailing-7-day (WAU) and trailing-30-day (MAU) active users —
+    // the deliberate pair, one shape, window length the only knob
+    // (the r7 verdict's watch item: the 30-day variant must adopt the
+    // bounded-explode shape consciously, not by copy-paste).
+    "ts_active_users" -> ((s, d) => TrailingActive.spark(s, d, 7, "wau")),
+    "ts_active_monthly" -> ((s, d) => TrailingActive.spark(s, d, 30, "mau")),
 
     "ts_retention_cohort" -> ((s, d) => {
       // signup-cohort retention (the other half of the engagement pair
@@ -275,14 +302,8 @@ object ExtQueries extends QueryPack {
         |             / COUNT(DISTINCT user_id), 4) AS d7_rate
         |FROM j GROUP BY d0 ORDER BY d0""".stripMargin,
 
-    "ts_active_users" ->
-      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-        |days AS (SELECT DISTINCT day FROM ud),
-        |g AS (SELECT user_id, day + CAST(i AS INTEGER) AS win_end
-        |      FROM ud, range(0, 7) AS t(i))
-        |SELECT win_end, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
-        |FROM g JOIN days ON g.win_end = days.day
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts_active_users" -> TrailingActive.sql(7, "wau"),
+    "ts_active_monthly" -> TrailingActive.sql(30, "mau"),
 
     "win_moving_sum" ->
       """WITH daily AS (

@@ -25,6 +25,19 @@ object Triangles {
     *         (each triangle counts once for each of its 3 corners)
     */
   def perNode(edges: DataFrame): DataFrame = {
+    val (und, _, wedges) = stages(edges)
+    val tris = wedges.join(und, col("y") === col("a") && col("z") === col("b"))
+    tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** the algorithm's three intermediates — (canonical undirected edges,
+    * degree-oriented DAG, open wedges) — exposed so GraphBaseline can
+    * measure the actual shuffle volumes the Σ outdeg² bound predicts
+    * and PlanSpec/bench tooling can inspect stages without duplicating
+    * the construction. */
+  private[graft] def stages(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // simple undirected edge set, canonical a < b; read three times
     // below (degrees, orientation, closing probe) — pin it
     val und = edges.filter(col("src") =!= col("dst"))
@@ -52,9 +65,6 @@ object Triangles {
     val wedges = dag
       .join(dag.select(col("x"), col("y").as("z")), Seq("x"))
       .filter(col("y") < col("z"))
-    val tris = wedges.join(und, col("y") === col("a") && col("z") === col("b"))
-    tris
-      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    (und, dag, wedges)
   }
 }

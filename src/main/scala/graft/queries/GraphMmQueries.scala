@@ -70,6 +70,50 @@ object GraphMmQueries extends QueryPack {
         .limit(20)
     }),
 
+    // TEST-only (no oracle — the quotient keys above carry the hash
+    // gate for the same operators): the raw-scale skew runs the r7
+    // verdict asked for, timed by Bench every round and measured in
+    // BASELINE.md §graph-scale (graft.GraphBaseline regenerates the
+    // numbers). SemanticsSpec asserts their structural invariants.
+    "graph_pagerank_raw" -> ((s, d) => {
+      // the SAME PageRank operator on the raw customer→order FK graph
+      // at full id resolution (~165k nodes / 150k edges at sf0.1, vs
+      // the 1000-node quotient): typed prefixes keep the two FK id
+      // spaces disjoint. The graph is bipartite customer→order with
+      // every order a dangling sink — the leaky formulation's worst
+      // case (max dangling mass) and a real skew datapoint: hub
+      // customers fan rank out over hundreds of orders.
+      val edges = T.orders(s, d)
+        .groupBy(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("o:"), col("o_orderkey")).as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      graft.ops.PageRank.run(edges, PrDamping, PrIters)
+        .select(col("node"), round(col("pr"), 8).as("pr"))
+        .orderBy(col("pr").desc, col("node"))
+        .limit(50)
+    }),
+
+    "graph_triangles_raw" -> ((s, d) => {
+      // raw-scale triangle counting. The FK graph itself is bipartite —
+      // structurally triangle-free — so the raw exercise runs on the
+      // part co-purchase projection: parts co-occurring in one order,
+      // the classic market-basket graph. Edge generation is a per-order
+      // self-join bounded by lines-per-order (~7 → ≤21 pairs per
+      // order — bounded expansion, not quadratic), and the result has
+      // real power-law hubs (popular parts) and real closures, which is
+      // what the compact-forward orientation exists to survive.
+      val op = T.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op
+        .join(op.withColumnRenamed("p", "p2"), "ok")
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst"))
+      graft.ops.Triangles.perNode(edges)
+        .orderBy(col("n_tri").desc, col("node"))
+        .limit(20)
+    }),
+
     "multimodal_join" -> ((s, d) => {
       // text + vector sides joined 1:1 → per-(lang, label) profile.
       import graft.ops.VectorOps

@@ -187,6 +187,53 @@ class SemanticsSpec extends SparkSpec {
         s"over-represented ${r.getAs[String]("lang")} not downsampled"))
   }
 
+  test("graph_pagerank_raw: bipartite FK structure — sinks rank above sources, mass leaks") {
+    // on the raw customer→order graph every customer has zero in-edges
+    // (pr pinned at (1−d)/N from round 1) and every order is a dangling
+    // sink with at least its FK in-edge (pr strictly above the floor),
+    // so the top-50 must be all orders; and the leaky formulation never
+    // exceeds total mass 1.
+    val rows = SparkEntry.queries("graph_pagerank_raw")(spark, sf).collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getAs[String]("node").startsWith("o:")),
+      "a zero-in-edge customer out-ranked an order")
+    val prs = rows.map(_.getAs[Double]("pr"))
+    assert(prs.sameElements(prs.sortBy(-_)), "not rank-descending")
+    val full = graft.ops.PageRank.run(
+      spark.read.parquet(s"$sf/orders.parquet")
+        .groupBy(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("o:"), col("o_orderkey")).as("dst"))
+        .agg(count(lit(1)).cast("double").as("w")), 0.85, 3)
+    val n = full.count().toDouble
+    val floor = 0.15 / n
+    val (cs, os) = full.collect()
+      .map(r => (r.getAs[String]("node"), r.getAs[Double]("pr")))
+      .partition(_._1.startsWith("c:"))
+    assert(cs.forall(c => math.abs(c._2 - floor) < 1e-12),
+      "customer off the (1-d)/N floor")
+    assert(os.forall(_._2 > floor), "an order at/below the floor")
+    assert((cs ++ os).map(_._2).sum <= 1.0 + 1e-9, "leaky total mass exceeded 1")
+  }
+
+  test("graph_triangles_raw equals a driver-side brute-force on the co-purchase graph") {
+    val op = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = op.groupBy(_._1).values.flatMap { ls =>
+      val ps = ls.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = (pairs.toSeq.flatMap(e => Seq(e, e.swap)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val counts = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- pairs; c <- adj(a) & adj(b); if c > b)
+      Seq(a, b, c).foreach(n => counts(n) += 1)
+    val expected = counts.toSeq.sortBy { case (n, t) => (-t, n) }.take(20)
+    val got = SparkEntry.queries("graph_triangles_raw")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("n_tri"))).toSeq
+    assert(got == expected, s"top-20 mismatch: got $got expected $expected")
+  }
+
   test("dedup_span_apply equals a driver-side brute-force reference") {
     // independent reimplementation of the declared semantics with plain
     // Scala collections (the OpsSpec pattern): mine 10-gram occurrences,

@@ -5,8 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir, onlyNames @ _*) = args
+    val Array(sfArg, outDir, onlyNames @ _*) = args
     val only = onlyNames.toSet // empty = run everything (driver mode)
+    // multi-SF sweep mode (round-8): a comma-separated first arg runs
+    // the full inventory once per scale factor in ONE JVM/session,
+    // dumping to outDir/<sf-basename>/. The single-SF layout — what the
+    // driver's t2 gate invokes — is byte-identical to before.
+    val sfDirs = sfArg.split(',').toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,14 +27,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    for (sfDir <- sfDirs) {
+      val dest =
+        if (sfDirs.length == 1) outDir
+        else s"$outDir/${Paths.get(sfDir).getFileName}"
+      SparkEntry.queries
+        .filter { case (name, _) => only.isEmpty || only(name) }
+        .foreach { case (name, fn) =>
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$dest/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -46,6 +56,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sweep mode: tools/check.py reads <dir>/oracle_sql.json per SF dir
+    if (sfDirs.length > 1) sfDirs.foreach { sfDir =>
+      val dest = Paths.get(outDir, Paths.get(sfDir).getFileName.toString)
+      Files.writeString(dest.resolve("oracle_sql.json"), json)
+    }
     spark.stop()
   }
 }

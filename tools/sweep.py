@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Multi-SF correctness sweep (round-8 verdict item #3).
+
+The driver's t2 gate hash-checks the inventory at sf0.01 only;
+scale-dependent rounding/tie flukes (a double landing on a .5 boundary
+at one corpus size, a rank tie appearing at another) would sail through
+it. This target makes the three-scale sweep a one-command CI property:
+
+    python3 tools/sweep.py [outJson]
+
+runs `graft.Verify sf0.001,sf0.01,sf0.1 <tmp>` (one JVM, one session,
+full inventory per scale), then the DuckDB compare per scale, and
+writes ONE JSON summary (default SWEEP_r08.json) with per-SF pass/fail
+per key, the TEST-only keys, and the float-bearing keys called out —
+the keys whose outputs route doubles into rounds and so carry the
+residual cross-engine boundary risk the sweep exists to catch.
+"""
+import json, re, subprocess, sys, tempfile
+
+SFS = ["sf0.001", "sf0.01", "sf0.1"]
+TESTDATA = "/root/testdata"
+# double-derived outputs (rounded shares/rates/distances): the keys a
+# scale-dependent .5-boundary fluke would hit first (r7 verdict #3)
+FLOAT_SENSITIVE = ["sample_temperature", "quality_drift", "sim_kmeans",
+                   "graph_pagerank", "sim_quantize_int8", "agg_corr",
+                   "text_tfidf", "dedup_span_apply"]
+
+
+def main():
+    out_json = sys.argv[1] if len(sys.argv) > 1 else "SWEEP_r08.json"
+    tmp = tempfile.mkdtemp(prefix="sweep-")
+    sf_arg = ",".join(f"{TESTDATA}/{sf}" for sf in SFS)
+    subprocess.run(["sbt", "-batch", f"runMain graft.Verify {sf_arg} {tmp}"],
+                   check=True, capture_output=True, text=True)
+    sweep, totals = {}, {}
+    for sf in SFS:
+        proc = subprocess.run(
+            ["python3", "tools/check.py", f"{TESTDATA}/{sf}", f"{tmp}/{sf}"],
+            capture_output=True, text=True)
+        per = {}
+        for line in proc.stdout.splitlines():
+            m = re.match(r"(PASS|FAIL|NOTE) (\S+)", line)
+            if m:
+                per[m.group(2)] = {"PASS": "pass", "FAIL": "fail",
+                                   "NOTE": "test_only"}[m.group(1)]
+        sweep[sf] = per
+        totals[sf] = {
+            "pass": sum(1 for v in per.values() if v == "pass"),
+            "fail": sum(1 for v in per.values() if v == "fail"),
+            "test_only": sum(1 for v in per.values() if v == "test_only"),
+        }
+    keys = sorted(set().union(*[set(v) for v in sweep.values()]))
+    result = {
+        "sfs": SFS,
+        "totals": totals,
+        "float_sensitive": {
+            k: {sf: sweep[sf].get(k) for sf in SFS} for k in FLOAT_SENSITIVE},
+        "fails": {sf: sorted(k for k, v in per.items() if v == "fail")
+                  for sf, per in sweep.items()},
+        "keys": {k: {sf: sweep[sf].get(k) for sf in SFS} for k in keys},
+    }
+    with open(out_json, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=False)
+    print(json.dumps({"totals": totals, "fails": result["fails"]}))
+    if any(t["fail"] for t in totals.values()):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

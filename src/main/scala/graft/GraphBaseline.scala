@@ -39,9 +39,11 @@ object GraphBaseline {
       val bound = dag.groupBy("x").agg(count(lit(1)).as("od"))
         .agg(sum(col("od") * (col("od") - 1) / 2).cast("long")).head.getLong(0)
       val w = wedges.count()
+      // what actually reaches the closing exchange after the bloom
+      val pruned = ops.Triangles.prune(und, wedges).count()
       val tris = wedges
         .join(und, col("y") === col("a") && col("z") === col("b")).count()
-      s""""$tag":{"edges":$m,"wedges_naive":$naive,"wedges_bound":$bound,"wedges":$w,"triangles":$tris}"""
+      s""""$tag":{"edges":$m,"wedges_naive":$naive,"wedges_bound":$bound,"wedges":$w,"wedges_after_bloom":$pruned,"triangles":$tris}"""
     }
 
     val quotient = Tables.orders(spark, sfDir).select(

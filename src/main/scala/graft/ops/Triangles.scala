@@ -24,12 +24,55 @@ object Triangles {
     * @return (node, n_tri) — per-node triangle participation counts
     *         (each triangle counts once for each of its 3 corners)
     */
-  def perNode(edges: DataFrame): DataFrame = {
+  /** @param bloomPrune Bloom-filter the open wedges against the edge
+    *        set before the closing shuffle (see [[prune]]). OFF by
+    *        default: A/B-measured at sf0.1 local[32] (BASELINE.md
+    *        §graph-scale), the plain shape wins — the shuffle is
+    *        RAM-backed, so shipping the 5–9% closing survivors plus
+    *        the dead 91–95% costs less than building the 2 MB filter.
+    *        Turn it on when the closing exchange is NETWORK-bound
+    *        (multi-rack clusters): the pruned shuffle is 3.7× / 20.8×
+    *        smaller (quotient / raw co-purchase, measured row counts)
+    *        for one 2 MB broadcast. Result-identical either way —
+    *        both paths run against the same brute-force reference in
+    *        OpsSpec. */
+  def perNode(edges: DataFrame, bloomPrune: Boolean = false): DataFrame = {
     val (und, _, wedges) = stages(edges)
-    val tris = wedges.join(und, col("y") === col("a") && col("z") === col("b"))
+    val probe = if (bloomPrune) prune(und, wedges) else wedges
+    val tris = probe
+      .join(und, col("y") === col("a") && col("z") === col("b"))
     tris
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Bloom-prune open wedges against the canonical edge set BEFORE the
+    * closing shuffle: wedge→triangle selectivity is low — measured
+    * 26.7% quotient / 4.8% raw co-purchase (BASELINE.md §graph-scale)
+    * — so the closing join's shuffle input is mostly rows the probe
+    * will discard. A ~2 MB Bloom of xxhash64(a,b) over the edge set
+    * drops the dead wedges map-side between the wedge join and the
+    * closing exchange. The hash is Spark-internal — no cross-engine
+    * contract to honor — false positives die in the closing equi-join
+    * (measured fpp 0.22% on the raw graph), and false negatives are
+    * impossible, so the RESULT is unchanged. Sizing: 16 M bits / 2 M
+    * est. items; at larger edge counts the filter degrades gracefully
+    * toward no-op pruning, never toward wrong answers. */
+  private[graft] def prune(und: DataFrame, wedges: DataFrame): DataFrame = {
+    graft.GraftFunctions.register(und.sparkSession)
+    // might_contain demands a CONSTANT (or scalar subquery) filter, so
+    // the bloom rides as a literal: the aggregation itself is
+    // distributed (partial blooms OR-merged), only the finished 2 MB
+    // filter crosses the driver — a bounded scalar sized by the
+    // literals, not the data (the snapshot-diff base exception) — and
+    // ships to executors once per stage in the broadcast task binary.
+    val bf = und.agg(expr(
+      "graft_bloom_agg(xxhash64(a, b), CAST(2000000 AS LONG), CAST(16000000 AS LONG))").as("bf"))
+      .head.getAs[Array[Byte]](0)
+    wedges
+      .filter(call_function("graft_might_contain", lit(bf),
+        xxhash64(col("y"), col("z"))))
+      .select("x", "y", "z")
   }
 
   /** the algorithm's three intermediates — (canonical undirected edges,

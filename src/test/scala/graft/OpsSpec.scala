@@ -233,6 +233,12 @@ class OpsSpec extends SparkSpec {
       val got = graft.ops.Triangles.perNode(raw.toDF("src", "dst"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"trial $trial (nV=$nV nE=$nE): got $got expected $expected")
+      // the bloom-pruned closing path must be result-identical (false
+      // positives die in the closing join, false negatives impossible)
+      val gotBloom = graft.ops.Triangles
+        .perNode(raw.toDF("src", "dst"), bloomPrune = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotBloom == expected, s"trial $trial bloom path diverged")
     }
   }
 

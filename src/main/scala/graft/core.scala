@@ -114,6 +114,40 @@ object Tmp {
     } catch { case scala.util.control.NonFatal(_) => () }
 }
 
+/** Session-scoped memoized DataFrames (the shared-artifact pattern the
+  * Jaccard pair mining established in round 3): a mined intermediate
+  * that several query keys consume is built ONCE per (session, key),
+  * persisted MEMORY_AND_DISK, and read from cached partitions by every
+  * later consumer in the session (Verify, Bench, and the driver harness
+  * all run multiple consumers in one session). Entries live for the
+  * SESSION by design — they are the shared artifact, not per-call
+  * temps — and every entry of a SparkContext drops when that context
+  * ends (ONE listener per context), so a JVM that stops and recreates
+  * contexts never pins dead plans. Bench readers: whichever consuming
+  * key runs first pays the build; the family's SUM is the regression
+  * signal, not either key alone.
+  */
+object SessionMemo {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private val hooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
+
+  def apply(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    cache.computeIfAbsent((s, key), { _ =>
+      val sc = s.sparkContext
+      if (hooked.add(sc))
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            cache.keySet.removeIf(_._1.sparkContext eq sc)
+            hooked.remove(sc)
+          }
+        })
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+}
+
 /** Table loaders for the driver-generated parquet testdata. */
 object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =

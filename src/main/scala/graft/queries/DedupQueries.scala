@@ -23,39 +23,14 @@ object DedupQueries extends QueryPack {
 
   /** The capped-Jaccard pair mining feeds BOTH dedup_jaccard_pairs and
     * dedup_cluster_cc, and one session runs both (Verify, Bench, the
-    * driver harness) — so the mined (a, b, j) table is memoized and
-    * persisted per (session, sf dir): the ~3 s mining pipeline runs
-    * once and the second consumer reads cached partitions. The entry
-    * lives for the SESSION by design (it is the shared artifact, not a
-    * per-call temp) and every entry of a SparkContext is dropped when
-    * that context ends (ONE listener per context, not per entry), so a
-    * JVM that stops and recreates contexts never pins dead plans.
-    * Sessions discarded without stopping their context stay cached by
-    * design — the cache is the session-scoped artifact. Note for bench
-    * readers: whichever of the consuming keys runs first pays the
-    * mining; per-key vs_prev deltas on this family reflect cache-hit
-    * order, the family's SUM is the regression signal.
+    * driver harness) — so the mined (a, b, j) table is memoized via
+    * [[graft.SessionMemo]] (this mining is the pattern's original
+    * instance; round 8 extracted it for the span-dedup family): the
+    * ~3 s pipeline runs once per (session, sf dir) and the second
+    * consumer reads cached partitions.
     */
-  private val minedCache =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]()
-
-  private val evictionHooked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
-
   private def minedPairs(s: org.apache.spark.sql.SparkSession, d: String) =
-    minedCache.computeIfAbsent((s, d), { _ =>
-      val sc = s.sparkContext
-      if (evictionHooked.add(sc))
-        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-            minedCache.keySet.removeIf(_._1.sparkContext eq sc)
-            evictionHooked.remove(sc)
-          }
-        })
-      minePairs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    graft.SessionMemo(s, s"jaccard-pairs:$d")(minePairs(s, d))
 
   /** exact 3-shingle Jaccard ≥ 0.5 pairs (a < b) — see the
     * dedup_jaccard_pairs entry for the plan rationale. `private[graft]`

@@ -231,7 +231,18 @@ class PlanSpec extends SparkSpec {
     // per-map-partition SORT of the raw occurrence stream. Pin: zero
     // WindowExec, zero SortAggregate, zero cartesian, and every level
     // (gram df, coverage distinct, per-doc, per-lang) partial + final.
-    val p = planOf("dedup_span_apply")
+    // Pinned via the UN-memoized spanApplyRaw — the query key's plan
+    // hides the mining behind the SessionMemo InMemoryTableScan (the
+    // minedPairs precedent). CacheManager substitutes persisted
+    // fragments into ANY matching logical plan, so if another suite
+    // already ran the memoized key, even the raw plan would show the
+    // cache scan — drop cache entries first (later consumers simply
+    // recompute; correctness unaffected).
+    spark.catalog.clearCache()
+    val p = withConf("spark.sql.adaptive.enabled", "false") {
+      graft.queries.PipelineQueries.spanApplyRaw(spark, sf)
+        .queryExecution.executedPlan
+    }
     assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
       "dedup_span_apply grew a window over the raw gram stream")
     assert(p.collect {

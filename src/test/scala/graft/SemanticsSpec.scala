@@ -285,6 +285,31 @@ class SemanticsSpec extends SparkSpec {
       "corpus has duplicated spans (text_dup_spans finds them) — apply removed nothing")
   }
 
+  test("dedup_span_corpus is token-exact against the documents and the apply report") {
+    val corpus = SparkEntry.queries("dedup_span_corpus")(spark, sf).collect()
+    val report = SparkEntry.queries("dedup_span_apply")(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_touched"), r.getAs[Long]("toks_removed"))).toMap
+    // cross-key consistency: the artifact's touched-doc rows and
+    // removed-token sums must equal the report's per-lang accounting
+    val byLang = corpus.groupBy(_.getAs[String]("lang"))
+    report.foreach { case (lang, (touched, toks)) =>
+      val rows = byLang.getOrElse(lang, Array.empty)
+      assert(rows.length == touched, s"$lang touched-doc count")
+      assert(rows.map(_.getAs[Long]("n_removed")).sum == toks, s"$lang removed tokens")
+    }
+    // per-doc token arithmetic: kept + removed == original
+    val orig = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length.toLong).toMap
+    corpus.foreach { r =>
+      val clean = r.getAs[String]("clean_text")
+      val kept = if (clean.isEmpty) 0L else clean.split(" ", -1).length.toLong
+      assert(kept + r.getAs[Long]("n_removed") == orig(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")} token arithmetic")
+    }
+  }
+
   test("domain cap keeps exactly min(100, domain size) docs per source") {
     val rows = SparkEntry.queries("sample_domain_cap")(spark, sf).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))

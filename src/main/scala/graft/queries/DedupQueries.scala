@@ -109,6 +109,29 @@ object DedupQueries extends QueryPack {
       minedPairs(s, d).orderBy("a", "b")
     }),
 
+    "dedup_threshold_sweep" -> ((s, d) => {
+      // the threshold tuning curve a curation run reads before picking
+      // its near-dup cutoff: for each candidate threshold, how many
+      // pairs and how many distinct documents a j ≥ t dedup would
+      // touch. Rides the memoized ≥0.5 pair mining (its declared
+      // floor = the sweep's lowest band); the 5-row threshold table
+      // broadcasts, pair rows expand ≤5× + 2× (bounded — pairs are few
+      // by construction), and thresholds compare against the 4-dp
+      // ROUNDED j, so both engines select identical pair sets.
+      val th = s.range(1).select(explode(array(
+        lit(0.5), lit(0.6), lit(0.7), lit(0.8), lit(0.9))).as("t"))
+      val sel = minedPairs(s, d).crossJoin(broadcast(th))
+        .filter(col("j") >= col("t"))
+      val pr = sel.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+      val dd = sel.select(col("t"), explode(array(col("a"), col("b"))).as("doc"))
+        .groupBy("t").agg(countDistinct("doc").as("n_docs"))
+      th.join(pr, Seq("t"), "left").join(dd, Seq("t"), "left")
+        .select(col("t"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy("t")
+    }),
+
     "dedup_simhash" -> ((s, d) => {
       // 16-bit SimHash over token multiset; equal hashes → near-dup
       // bucket. Portable md5-derived bits, so the oracle reproduces the
@@ -218,6 +241,17 @@ object DedupQueries extends QueryPack {
 
     "dedup_jaccard_pairs" ->
       s"WITH $jaccardCtes\nSELECT a, b, j FROM j WHERE j >= 0.5 ORDER BY a, b",
+
+    "dedup_threshold_sweep" ->
+      s"""WITH $jaccardCtes,
+         |th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS t),
+         |sel AS (SELECT t, a, b FROM j, th WHERE j.j >= th.t),
+         |pr AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM sel GROUP BY t),
+         |dd AS (SELECT t, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+         |       FROM (SELECT t, unnest([a, b]) AS doc FROM sel) GROUP BY t)
+         |SELECT th.t, COALESCE(n_pairs, 0) AS n_pairs, COALESCE(n_docs, 0) AS n_docs
+         |FROM th LEFT JOIN pr USING (t) LEFT JOIN dd USING (t)
+         |ORDER BY th.t""".stripMargin,
 
     // same capped-Jaccard pair graph, closed transitively: reachability
     // via a recursive CTE, then MIN reachable id per vertex — exactly

@@ -61,13 +61,16 @@ object PipelineQueries extends QueryPack {
   // its SpanK positions (bounded SpanK× on DUP occurrences only, the
   // WAU bounded-explode precedent). One (doc_id, pos) equi-join then
   // marks removed tokens. No window, no cartesian, nothing driver-side
-  // (PlanSpec pins the raw shape via spanApplyRaw).
+  // (PlanSpec pins the raw shape via spanApplyOn).
 
   private val SpanK = 10
 
-  /** per-token stream (1-based pos, matching the oracle's t[i]). */
-  private def spanTokens(s: org.apache.spark.sql.SparkSession, d: String) =
-    T.documents(s, d)
+  /** per-token stream (1-based pos, matching the oracle's t[i]);
+    * `docs` needs (doc_id, lang, text) — parameterized so the
+    * randomized property tests can run the pipeline on generated
+    * corpora. */
+  private[graft] def spanTokens(docs: org.apache.spark.sql.DataFrame) =
+    docs
       .select(col("doc_id"), col("lang"),
         posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "tk")))
       .select(col("doc_id"), col("lang"), (col("p0") + 1).as("pos"), col("tk"))
@@ -75,13 +78,13 @@ object PipelineQueries extends QueryPack {
   /** covered (doc_id, pos) removal set — the expensive mined artifact,
     * consumed by BOTH span keys, so memoized per (session, sfDir). */
   private def spanCovered(s: org.apache.spark.sql.SparkSession, d: String) =
-    graft.SessionMemo(s, s"span-covered:$d")(spanCoveredRaw(s, d))
+    graft.SessionMemo(s, s"span-covered:$d")(spanCoveredOn(T.documents(s, d)))
 
   /** the un-memoized coverage mining (PlanSpec pins this plan — the
     * cached consumer plans hide it behind an InMemoryTableScan). */
-  private[graft] def spanCoveredRaw(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val occ = T.documents(s, d)
+  private[graft] def spanCoveredOn(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val occ = docs
       .select(col("doc_id"),
         posexplode(TextOps.shingles(TextOps.tokens(col("text")), SpanK))
           .as(Seq("p0", "g")))
@@ -135,10 +138,12 @@ object PipelineQueries extends QueryPack {
       .orderBy("lang")
   }
 
-  /** the full report on the UN-memoized mining, for PlanSpec. */
-  private[graft] def spanApplyRaw(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame =
-    spanApplyFrom(spanTokens(s, d), spanCoveredRaw(s, d))
+  /** the full report on the UN-memoized mining over an arbitrary docs
+    * frame — PlanSpec pins this plan; OpsSpec runs it on generated
+    * corpora. */
+  private[graft] def spanApplyOn(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    spanApplyFrom(spanTokens(docs), spanCoveredOn(docs))
 
   val queries: Map[String, QueryFn] = Map(
     "text_contamination" -> ((s, d) => {
@@ -215,7 +220,7 @@ object PipelineQueries extends QueryPack {
     }),
 
     "dedup_span_apply" -> ((s, d) =>
-      spanApplyFrom(spanTokens(s, d), spanCovered(s, d))),
+      spanApplyFrom(spanTokens(T.documents(s, d)), spanCovered(s, d))),
 
     "dedup_span_corpus" -> ((s, d) => {
       // the span-dedup ARTIFACT — the cleaned corpus itself, where
@@ -227,7 +232,7 @@ object PipelineQueries extends QueryPack {
       // reassembly pattern, an ObjectHashAggregate with partial+final
       // phases, never a window. Rides the same memoized coverage set
       // as the report key.
-      spanTokens(s, d)
+      spanTokens(T.documents(s, d))
         .join(spanCovered(s, d).withColumn("cov", lit(1)),
           Seq("doc_id", "pos"), "left")
         .groupBy("doc_id", "lang")
@@ -568,7 +573,7 @@ object PipelineQueries extends QueryPack {
   }
 
   /** shared DuckDB CTE prefix for the span-dedup family, textually
-    * parallel to [[spanTokens]]/[[spanCoveredRaw]]: tok = (pos, token,
+    * parallel to [[spanTokens]]/[[spanCoveredOn]]: tok = (pos, token,
     * token length), occ = gram occurrences, own/own2 = the two-phase
     * owner pick, rm = the covered (doc_id, pos) removal set. */
   private lazy val SpanCteSql =

@@ -242,6 +242,44 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("span-dedup apply == brute force on random corpora with seeded duplicate spans") {
+    // randomized corpora engineered to hit the edge cases the real
+    // fixture may not: docs shorter than K (no grams), docs that ARE
+    // exactly the duplicated span (fully covered → zero survivors),
+    // spans inserted at doc boundaries, and a small vocabulary so
+    // accidental cross-doc grams arise beyond the seeded ones.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813)
+    for (trial <- 1 to 2) {
+      val vocab = Vector.tabulate(25)(i => s"w$i")
+      val dupSpan = Vector.tabulate(13)(i => s"d$i") // > K: interior grams duplicate too
+      val nDocs = 18 + rnd.nextInt(18)
+      val docs = (0L until nDocs.toLong).map { id =>
+        val base = Vector.fill(8 + rnd.nextInt(45))(vocab(rnd.nextInt(vocab.size)))
+        val t = rnd.nextDouble() match {
+          case p if p < 0.10 => dupSpan // the span IS the doc
+          case p if p < 0.55 =>
+            val at = rnd.nextInt(base.size + 1)
+            base.take(at) ++ dupSpan ++ base.drop(at)
+          case _ => base
+        }
+        (id, if (id % 3 == 0) "aa" else "bb", t.toArray)
+      }
+      val expected = SpanRef.perLang(docs)
+      val df = docs.map { case (id, l, t) => (id, l, t.mkString(" ")) }
+        .toDF("doc_id", "lang", "text")
+      val got = graft.queries.PipelineQueries.spanApplyOn(df).collect()
+      assert(got.map(_.getAs[String]("lang")).toSet == expected.keySet, s"trial $trial langs")
+      got.foreach { r =>
+        val e = expected(r.getAs[String]("lang"))
+        assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_touched"),
+          r.getAs[Long]("n_surviving"), r.getAs[Long]("toks_removed"),
+          r.getAs[Long]("chars_removed")) == e,
+          s"trial $trial lang ${r.getAs[String]("lang")}")
+      }
+    }
+  }
+
   test("PageRank == driver-side reference recurrence on random weighted digraphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260812)

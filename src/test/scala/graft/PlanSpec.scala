@@ -231,7 +231,7 @@ class PlanSpec extends SparkSpec {
     // per-map-partition SORT of the raw occurrence stream. Pin: zero
     // WindowExec, zero SortAggregate, zero cartesian, and every level
     // (gram df, coverage distinct, per-doc, per-lang) partial + final.
-    // Pinned via the UN-memoized spanApplyRaw — the query key's plan
+    // Pinned via the UN-memoized spanApplyOn — the query key's plan
     // hides the mining behind the SessionMemo InMemoryTableScan (the
     // minedPairs precedent). CacheManager substitutes persisted
     // fragments into ANY matching logical plan, so if another suite
@@ -240,7 +240,8 @@ class PlanSpec extends SparkSpec {
     // recompute; correctness unaffected).
     spark.catalog.clearCache()
     val p = withConf("spark.sql.adaptive.enabled", "false") {
-      graft.queries.PipelineQueries.spanApplyRaw(spark, sf)
+      graft.queries.PipelineQueries
+        .spanApplyOn(spark.read.parquet(s"$sf/documents.parquet"))
         .queryExecution.executedPlan
     }
     assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,

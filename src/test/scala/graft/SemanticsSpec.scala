@@ -242,35 +242,11 @@ class SemanticsSpec extends SparkSpec {
     // positions, and account per lang. Any divergence between the
     // distributed plan and the spec (owner tie-break, coverage bounds,
     // the ±1 space arithmetic) breaks an exact Long comparison here.
-    val K = 10
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
-    val occ = docs.flatMap { case (id, _, t) =>
-      (0 to t.length - K).map(i => (t.slice(i, i + K).mkString(" "), id, i))
-    }
-    val owners = occ.groupBy(_._1).collect {
-      case (g, os) if os.map(_._2).distinct.length >= 2 =>
-        g -> os.map(o => (o._2, o._3)).min
-    }
-    val covered = occ
-      .filter { case (g, id, i) => owners.get(g).exists(_ != ((id, i))) }
-      .flatMap { case (_, id, i) => (i until i + K).map((id, _)) }
-      .toSet
-    val expected = docs.groupBy(_._2).map { case (lang, ds) =>
-      val per = ds.map { case (id, _, t) =>
-        val keptIdx = t.indices.filterNot(p => covered((id, p)))
-        val orig = t.map(_.length).sum + t.length - 1
-        val clean =
-          if (keptIdx.isEmpty) 0 else keptIdx.map(t(_).length).sum + keptIdx.length - 1
-        (t.length.toLong, keptIdx.length.toLong, orig.toLong, clean.toLong)
-      }
-      lang -> (per.length.toLong,
-        per.count(p => p._2 < p._1).toLong,
-        per.count(_._2 > 0).toLong,
-        per.map(p => p._1 - p._2).sum,
-        per.map(p => p._3 - p._4).sum)
-    }
+      .toSeq
+    val expected = SpanRef.perLang(docs)
     val rows = SparkEntry.queries("dedup_span_apply")(spark, sf).collect()
     assert(rows.map(_.getAs[String]("lang")).toSet == expected.keySet)
     rows.foreach { r =>

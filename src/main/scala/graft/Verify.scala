@@ -12,6 +12,10 @@ object Verify {
     // dumping to outDir/<sf-basename>/. The single-SF layout — what the
     // driver's t2 gate invokes — is byte-identical to before.
     val sfDirs = sfArg.split(',').toSeq
+    // two sfDirs sharing a basename would silently collide in one dest
+    // dir (r8 ADVICE) — reject up front, before any compute
+    require(sfDirs.map(p => Paths.get(p).getFileName.toString).distinct.size == sfDirs.size,
+      s"duplicate sf-dir basenames in $sfArg")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,6 +63,10 @@ object Verify {
     // sweep mode: tools/check.py reads <dir>/oracle_sql.json per SF dir
     if (sfDirs.length > 1) sfDirs.foreach { sfDir =>
       val dest = Paths.get(outDir, Paths.get(sfDir).getFileName.toString)
+      // the dir only exists if ≥1 parquet write succeeded for this SF —
+      // an all-failed SF must not throw away the other SFs' summary
+      // (r8 ADVICE)
+      Files.createDirectories(dest)
       Files.writeString(dest.resolve("oracle_sql.json"), json)
     }
     spark.stop()

@@ -133,19 +133,28 @@ object SessionMemo {
   private val hooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
 
-  def apply(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((s, key), { _ =>
-      val sc = s.sparkContext
-      if (hooked.add(sc))
-        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-            cache.keySet.removeIf(_._1.sparkContext eq sc)
-            hooked.remove(sc)
-          }
-        })
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+  def apply(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (s, key)
+    val hit = cache.get(k)
+    if (hit != null) return hit
+    val sc = s.sparkContext
+    if (hooked.add(sc))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          cache.keySet.removeIf(_._1.sparkContext eq sc)
+          hooked.remove(sc)
+        }
+      })
+    // build OUTSIDE the map lock (get/putIfAbsent, not computeIfAbsent):
+    // a build that transitively consults SessionMemo for another key in
+    // the same hash bin would deadlock or throw IllegalStateException
+    // inside computeIfAbsent (round-8 ADVICE — latent, now impossible).
+    // Concurrent-loser copies are unpersisted so nothing pins twice.
+    val built = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = cache.putIfAbsent(k, built)
+    if (prev == null) built else { built.unpersist(false); prev }
+  }
 }
 
 /** Table loaders for the driver-generated parquet testdata. */

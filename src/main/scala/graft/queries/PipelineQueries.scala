@@ -23,25 +23,46 @@ object PipelineQueries extends QueryPack {
   private val RePhone = "555-[0-9]{4}"
   private val ReIp = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
-  /** documents with deterministic PII appended to the doc_id%7==0 slice
-    * (email + phone + IPv4 derived from doc_id) as column `t2`. */
-  private def piiSeeded(s: org.apache.spark.sql.SparkSession, d: String) =
-    T.documents(s, d).withColumn("t2",
-      when(col("doc_id") % 7 === 0, concat(
-        col("text"), lit(" contact u"), col("doc_id").cast("string"),
-        lit("@example.com or 555-"),
-        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
-        lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".1")))
-        .otherwise(col("text")))
+  /** deterministic PII appended to the doc_id%7==0 slice (email + phone
+    * + IPv4 derived from doc_id) — the harness device that gives the
+    * scrubber known ground truth on a corpus with no natural PII.
+    * Parameterized on the base text column so text_pii_scrub (raw text)
+    * and pipeline_corpus (span-cleaned text) seed identically. */
+  private def seedPii(base: org.apache.spark.sql.Column) =
+    when(col("doc_id") % 7 === 0, concat(
+      base, lit(" contact u"), col("doc_id").cast("string"),
+      lit("@example.com or 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".1")))
+      .otherwise(base)
 
   /** the same seeding in DuckDB SQL (kept textually adjacent to
-    * [[piiSeeded]] — the two must derive identical t2). */
-  private val PiiSeededSql =
-    """SELECT lang, CASE WHEN doc_id % 7 = 0 THEN
-      |  text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' ||
-      |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
-      |  ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
-      |ELSE text END AS t2 FROM documents""".stripMargin
+    * [[seedPii]] — the two must derive identical values). */
+  private def seedPiiSql(base: String) =
+    s"""CASE WHEN doc_id % 7 = 0 THEN
+       |  $base || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' ||
+       |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+       |  ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+       |ELSE $base END""".stripMargin
+
+  /** documents with the seeded slice as column `t2`. */
+  private def piiSeeded(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.documents(s, d).withColumn("t2", seedPii(col("text")))
+
+  private def PiiSeededSql =
+    s"SELECT lang, ${seedPiiSql("text")} AS t2 FROM documents"
+
+  /** the three-regex scrub chain, shared by text_pii_scrub and
+    * pipeline_corpus (Spark + DuckDB forms kept adjacent). */
+  private def scrub(c: org.apache.spark.sql.Column) =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      ReEmail, "<EMAIL>"), RePhone, "<PHONE>"), ReIp, "<IP>")
+
+  private def scrubSql(e: String) =
+    s"""regexp_replace(regexp_replace(regexp_replace($e,
+       |  '$ReEmail', '<EMAIL>', 'g'),
+       |  '$RePhone', '<PHONE>', 'g'),
+       |  '$ReIp', '<IP>', 'g')""".stripMargin
 
   // ---- span-dedup family (substring-dedup APPLY + ARTIFACT) --------
   //
@@ -144,6 +165,55 @@ object PipelineQueries extends QueryPack {
   private[graft] def spanApplyOn(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     spanApplyFrom(spanTokens(docs), spanCoveredOn(docs))
+
+  // ---- curation-funnel flags (shared by report + artifact) ---------
+
+  /** per-doc funnel flag table: content hash + the cumulative stage
+    * predicates p1 (length floor) … p4 (exact-dedup representative).
+    * The expensive shared intermediate behind BOTH pipeline_funnel (the
+    * report aggregates it) and pipeline_corpus (the artifact filters
+    * p4) — memoized per (session, sfDir) like the span coverage set. */
+  private def funnelFlagged(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.SessionMemo(s, s"funnel-flags:$d")(funnelFlaggedOn(T.documents(s, d)))
+
+  /** the un-memoized flag builder (PlanSpec pins this plan — the
+    * memoized consumers hide it behind an InMemoryTableScan).
+    *
+    * ONE flag table: every stage predicate as a column, so the funnel
+    * is a single conditional-sum aggregate over it (instead of five
+    * filtered branches each re-deriving lineage — the flag shape scans
+    * the corpus 3× total: base+canon, bigrams, 5-grams). Every
+    * fraction is 4-dp rounded before its threshold compare, so both
+    * engines select identical survivor sets. */
+  private[graft] def funnelFlaggedOn(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // per-doc metrics, each a self-contained aggregate branch
+    val tbf = docs.select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(round(max("n") / sum("n"), 4).as("tbf"))
+    val sh = docs.select(col("doc_id"), explode(array_distinct(
+      TextOps.shingles(TextOps.tokens(col("text")), 5))).as("g"))
+    val bench = sh.filter(col("doc_id") < BenchCut)
+      .select("g").distinct().withColumn("hit", lit(1))
+    val cf = sh.filter(col("doc_id") >= BenchCut)
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(round(count(col("hit")) / count(lit(1)), 4).as("cf"))
+    val canon = array_join(array_sort(array_distinct(
+      TextOps.tokens(lower(trim(col("text")))))), " ")
+    val flags = docs.select(col("doc_id"), col("n_chars"), sha2(canon, 256).as("h"))
+      .join(tbf, Seq("doc_id"), "left")
+      .join(cf, Seq("doc_id"), "left")
+      .withColumn("p1", col("n_chars") >= 200)
+      .withColumn("p2", col("p1") && (col("tbf").isNull || col("tbf") < 0.2))
+      .withColumn("p3", col("p2") && col("doc_id") >= BenchCut &&
+        (col("cf").isNull || col("cf") <= 0.05))
+    val reps = flags.filter(col("p3")).groupBy("h").agg(min("doc_id").as("rep_doc"))
+    flags.join(reps, Seq("h"), "left")
+      .withColumn("p4",
+        coalesce(col("p3") && col("doc_id") === col("rep_doc"), lit(false)))
+  }
 
   val queries: Map[String, QueryFn] = Map(
     "text_contamination" -> ((s, d) => {
@@ -260,9 +330,7 @@ object PipelineQueries extends QueryPack {
         .withColumn("n_e", regexp_count(col("t2"), lit(ReEmail)))
         .withColumn("n_p", regexp_count(col("t2"), lit(RePhone)))
         .withColumn("n_i", regexp_count(col("t2"), lit(ReIp)))
-        .withColumn("scrubbed",
-          regexp_replace(regexp_replace(regexp_replace(col("t2"),
-            ReEmail, "<EMAIL>"), RePhone, "<PHONE>"), ReIp, "<IP>"))
+        .withColumn("scrubbed", scrub(col("t2")))
       counted.groupBy("lang").agg(
           count(lit(1)).as("n_docs"),
           sum(((col("n_e") + col("n_p") + col("n_i")) > 0).cast("long"))
@@ -285,42 +353,10 @@ object PipelineQueries extends QueryPack {
       // length floor → repetition cap (top-bigram fraction < 0.2) →
       // eval-slice removal + 5-gram decontamination (contam ≤ 5%) →
       // exact-dedup representatives. Every predicate compares the SAME
-      // 4-dp-rounded fraction on both engines. Each stage is the
-      // filter/groupBy shapes of its standalone key; at 100 TB a run
-      // would persist each stage's survivor set — here the branches
-      // re-derive lineage, which Spark pipelines into five scans of
-      // one table (a report, not a hot path).
-      val docs = T.documents(s, d)
-      // per-doc metrics, each a self-contained aggregate branch
-      val tbf = docs.select(col("doc_id"),
-          explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
-        .groupBy("doc_id").agg(round(max("n") / sum("n"), 4).as("tbf"))
-      val sh = docs.select(col("doc_id"), explode(array_distinct(
-        TextOps.shingles(TextOps.tokens(col("text")), 5))).as("g"))
-      val bench = sh.filter(col("doc_id") < BenchCut)
-        .select("g").distinct().withColumn("hit", lit(1))
-      val cf = sh.filter(col("doc_id") >= BenchCut)
-        .join(broadcast(bench), Seq("g"), "left")
-        .groupBy("doc_id")
-        .agg(round(count(col("hit")) / count(lit(1)), 4).as("cf"))
-      // ONE flag table: every stage predicate as a column, so the whole
-      // funnel is a single conditional-sum aggregate over it (instead
-      // of five filtered branches each re-deriving lineage — the flag
-      // shape scans the corpus 3× total: base+canon, bigrams, 5-grams)
-      val canon = array_join(array_sort(array_distinct(
-        TextOps.tokens(lower(trim(col("text")))))), " ")
-      val flags = docs.select(col("doc_id"), col("n_chars"), sha2(canon, 256).as("h"))
-        .join(tbf, Seq("doc_id"), "left")
-        .join(cf, Seq("doc_id"), "left")
-        .withColumn("p1", col("n_chars") >= 200)
-        .withColumn("p2", col("p1") && (col("tbf").isNull || col("tbf") < 0.2))
-        .withColumn("p3", col("p2") && col("doc_id") >= BenchCut &&
-          (col("cf").isNull || col("cf") <= 0.05))
-      val reps = flags.filter(col("p3")).groupBy("h").agg(min("doc_id").as("rep_doc"))
-      val flagged = flags.join(reps, Seq("h"), "left")
-        .withColumn("p4",
-          coalesce(col("p3") && col("doc_id") === col("rep_doc"), lit(false)))
+      // 4-dp-rounded fraction on both engines. The per-doc flag table
+      // is shared with pipeline_corpus (the artifact this funnel
+      // reports on) via funnelFlagged — built once per (session, sf).
+      val flagged = funnelFlagged(s, d)
       def cnt(p: org.apache.spark.sql.Column) = sum(when(p, 1L).otherwise(0L))
       def chars(p: org.apache.spark.sql.Column) =
         sum(when(p, col("n_chars")).otherwise(0L))
@@ -335,6 +371,50 @@ object PipelineQueries extends QueryPack {
             "'02_repetition', c2, h2, '03_decontam', c3, h3, " +
             "'04_exact_dedup', c4, h4) AS (stage, n_docs, n_chars)"))
         .orderBy("stage")
+    }),
+
+    "pipeline_corpus" -> ((s, d) => {
+      // the END-TO-END corpus artifact (r8 verdict #1) — the one
+      // materialized table a training run consumes, where
+      // pipeline_funnel is the report: length floor → repetition cap →
+      // decontamination → exact-dedup representatives (the funnel's p4
+      // survivor set, same memoized flag table) → span-cleaned text
+      // (the SessionMemo coverage set shared with dedup_span_apply/
+      // corpus) → PII-scrubbed → split-tagged (sample_split's md5
+      // buckets). Emits (doc_id, lang, split, clean_chars, clean_text)
+      // for every surviving doc.
+      //
+      // Scale shape: reconstruction (collect_list sorted in-array, the
+      // dedup_span_corpus pattern) is bounded to span-TOUCHED docs via
+      // a semi-join on the coverage set — an untouched survivor's text
+      // rides straight from the scan through one left join, never
+      // through the per-token aggregate. Scrub + split are per-row
+      // map-side; the PII seeding is the same harness device as
+      // text_pii_scrub (the synthetic corpus has no natural PII, so the
+      // %7 slice gets PII appended POST-span-clean — it cannot perturb
+      // the mining — and the placeholders in the artifact prove the
+      // scrubber ran against known ground truth).
+      val cov = spanCovered(s, d)
+      val touched = spanTokens(T.documents(s, d))
+        .join(cov.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .join(cov.withColumn("cv", lit(1)), Seq("doc_id", "pos"), "left")
+        .groupBy("doc_id")
+        .agg(array_join(transform(array_sort(collect_list(
+          when(col("cv").isNull, struct(col("pos"), col("tk"))))),
+          x => x.getField("tk")), " ").as("tc_text"))
+      val surv = funnelFlagged(s, d).filter(col("p4")).select("doc_id")
+      val b = TextOps.md5Long(col("doc_id").cast("string")) % 100
+      T.documents(s, d)
+        .join(surv, Seq("doc_id"), "left_semi")
+        .join(touched, Seq("doc_id"), "left")
+        .withColumn("clean_text",
+          scrub(seedPii(coalesce(col("tc_text"), col("text")))))
+        .withColumn("split",
+          when(b < 90, "train").when(b < 95, "val").otherwise("test"))
+        .select(col("doc_id"), col("lang"), col("split"),
+          length(col("clean_text")).cast("long").as("clean_chars"),
+          col("clean_text"))
+        .orderBy("doc_id")
     }),
 
     "sample_quality_weighted" -> ((s, d) => {
@@ -593,6 +673,34 @@ object PipelineQueries extends QueryPack {
        |         FROM occ o JOIN own2 w ON o.g = w.g
        |         WHERE NOT (o.doc_id = w.od AND o.pos = w.op)))""".stripMargin
 
+  /** shared DuckDB CTE chain for the curation funnel, textually
+    * parallel to [[funnelFlaggedOn]]: d = base docs, s1…s4 = the
+    * cumulative survivor sets (length floor, repetition cap, decontam,
+    * exact-dedup representatives). Shared by the funnel report and the
+    * pipeline_corpus artifact oracle. */
+  private lazy val FunnelCteSql =
+    s"""d AS (SELECT doc_id, lang, text, n_chars, string_split(text, ' ') AS t
+       |           FROM documents),
+       |s1 AS (SELECT * FROM d WHERE n_chars >= 200),
+       |bc AS (SELECT doc_id, g, COUNT(*) AS n
+       |       FROM (SELECT doc_id, unnest(${gramSql(2)}) AS g FROM s1)
+       |       GROUP BY 1, 2),
+       |tbf AS (SELECT doc_id, ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 4) AS tbf
+       |        FROM bc GROUP BY 1),
+       |s2 AS (SELECT s1.* FROM s1 LEFT JOIN tbf USING (doc_id)
+       |       WHERE tbf IS NULL OR tbf < 0.2),
+       |sh AS (SELECT doc_id, unnest(list_distinct(${gramSql(5)})) AS g FROM d),
+       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < $BenchCut),
+       |cf AS (SELECT s.doc_id, ROUND(CAST(COUNT(b.g) AS DOUBLE) / COUNT(*), 4) AS cf
+       |       FROM sh s LEFT JOIN bench b ON s.g = b.g
+       |       WHERE s.doc_id >= $BenchCut GROUP BY 1),
+       |s3 AS (SELECT s2.* FROM s2 LEFT JOIN cf USING (doc_id)
+       |       WHERE s2.doc_id >= $BenchCut AND (cf IS NULL OR cf <= 0.05)),
+       |s3h AS (SELECT *, sha256(array_to_string(list_sort(list_distinct(
+       |          string_split(lower(trim(text)), ' '))), ' ')) AS h FROM s3),
+       |reps AS (SELECT MIN(doc_id) AS doc_id FROM s3h GROUP BY h),
+       |s4 AS (SELECT s3h.* FROM s3h JOIN reps USING (doc_id))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_contamination" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -676,10 +784,7 @@ object PipelineQueries extends QueryPack {
          |         len(regexp_extract_all(t2, '$ReEmail')) AS ne,
          |         len(regexp_extract_all(t2, '$RePhone')) AS np,
          |         len(regexp_extract_all(t2, '$ReIp')) AS ni,
-         |         regexp_replace(regexp_replace(regexp_replace(t2,
-         |           '$ReEmail', '<EMAIL>', 'g'),
-         |           '$RePhone', '<PHONE>', 'g'),
-         |           '$ReIp', '<IP>', 'g') AS scrubbed
+         |         ${scrubSql("t2")} AS scrubbed
          |  FROM seeded)
          |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |       CAST(SUM(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
@@ -693,27 +798,7 @@ object PipelineQueries extends QueryPack {
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
 
     "pipeline_funnel" ->
-      s"""WITH d AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS t
-         |           FROM documents),
-         |s1 AS (SELECT * FROM d WHERE n_chars >= 200),
-         |bc AS (SELECT doc_id, g, COUNT(*) AS n
-         |       FROM (SELECT doc_id, unnest(${gramSql(2)}) AS g FROM s1)
-         |       GROUP BY 1, 2),
-         |tbf AS (SELECT doc_id, ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 4) AS tbf
-         |        FROM bc GROUP BY 1),
-         |s2 AS (SELECT s1.* FROM s1 LEFT JOIN tbf USING (doc_id)
-         |       WHERE tbf IS NULL OR tbf < 0.2),
-         |sh AS (SELECT doc_id, unnest(list_distinct(${gramSql(5)})) AS g FROM d),
-         |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < $BenchCut),
-         |cf AS (SELECT s.doc_id, ROUND(CAST(COUNT(b.g) AS DOUBLE) / COUNT(*), 4) AS cf
-         |       FROM sh s LEFT JOIN bench b ON s.g = b.g
-         |       WHERE s.doc_id >= $BenchCut GROUP BY 1),
-         |s3 AS (SELECT s2.* FROM s2 LEFT JOIN cf USING (doc_id)
-         |       WHERE s2.doc_id >= $BenchCut AND (cf IS NULL OR cf <= 0.05)),
-         |s3h AS (SELECT *, sha256(array_to_string(list_sort(list_distinct(
-         |          string_split(lower(trim(text)), ' '))), ' ')) AS h FROM s3),
-         |reps AS (SELECT MIN(doc_id) AS doc_id FROM s3h GROUP BY h),
-         |s4 AS (SELECT s3h.* FROM s3h JOIN reps USING (doc_id))
+      s"""WITH $FunnelCteSql
          |SELECT * FROM (
          |  SELECT '00_ingest' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |         CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_chars FROM d

@@ -20,6 +20,22 @@ object SimQueries extends QueryPack {
   private val DIM = 64
   private val PLANES = 8
 
+  /** cosine near-dup floor — the mining threshold AND the sweep's lowest
+    * band (the sweep can only read bands ≥ the mined floor). */
+  private val CosFloor = 0.35
+
+  /** the ≥ CosFloor cosine pair mining feeds BOTH dedup_embedding and
+    * dedup_embedding_sweep, and one session runs both — memoized via
+    * [[graft.SessionMemo]] exactly as the Jaccard mining feeds
+    * dedup_jaccard_pairs / dedup_cluster_cc / dedup_threshold_sweep.
+    * `mineCosPairs` stays exposed so PlanSpec pins the RAW blocked plan
+    * (the memoized key plans as an InMemoryTableScan). */
+  private def cosPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.SessionMemo(s, s"cos-pairs:$d")(mineCosPairs(s, d))
+
+  private[graft] def mineCosPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.ops.MetricBlocking.nearDupPairs(s, T.embeddings(s, d), CosFloor)
+
   val queries: Map[String, QueryFn] = Map(
     "sim_cosine_knn" -> ((s, d) => {
       // global top-20 most-similar pairs with a probe side capped at
@@ -65,8 +81,32 @@ object SimQueries extends QueryPack {
       // Exact result through the triangle-inequality cell blocking —
       // recall 1.0 by construction, no all-pairs cross join (see
       // ops/MetricBlocking.scala; oracle stays the brute-force SQL).
-      graft.ops.MetricBlocking.nearDupPairs(s, T.embeddings(s, d), 0.35)
-        .orderBy("a", "b")
+      // Mining memoized (cosPairs) so the sweep key reads the same
+      // persisted pair table instead of re-running the blocked join.
+      cosPairs(s, d).orderBy("a", "b")
+    }),
+
+    "dedup_embedding_sweep" -> ((s, d) => {
+      // the cosine-threshold tuning curve (r8 verdict #3) — the
+      // embedding-side twin of dedup_threshold_sweep: for each candidate
+      // cutoff ≥ the mined floor, how many pairs and distinct documents
+      // a sim ≥ t dedup would touch. Rides the memoized CosFloor pair
+      // mining (no second blocking pass in the plan); the 5-row
+      // threshold table broadcasts, pair rows expand ≤5× + 2× (bounded —
+      // pairs are few by construction), and thresholds compare the 4-dp
+      // ROUNDED sim so both engines select identical pair sets.
+      val th = s.range(1).select(explode(array(
+        lit(0.35), lit(0.5), lit(0.65), lit(0.8), lit(0.9))).as("t"))
+      val sel = cosPairs(s, d).crossJoin(broadcast(th))
+        .filter(col("sim") >= col("t"))
+      val pr = sel.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+      val dd = sel.select(col("t"), explode(array(col("a"), col("b"))).as("vec"))
+        .groupBy("t").agg(countDistinct("vec").as("n_vecs"))
+      th.join(pr, Seq("t"), "left").join(dd, Seq("t"), "left")
+        .select(col("t"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+        .orderBy("t")
     }),
 
     "sim_similarity_join" -> ((s, d) => {
@@ -345,8 +385,26 @@ object SimQueries extends QueryPack {
          |SELECT a.vec_id AS a, b.vec_id AS b,
          |       ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+         |WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= $CosFloor
          |ORDER BY a, b""".stripMargin,
+
+    // brute-force ≥ CosFloor pairs (the dedup_embedding oracle's j), then
+    // the same 5-band curve as the Jaccard sweep's oracle — thresholds
+    // compare the 4-dp ROUNDED sim on both engines
+    "dedup_embedding_sweep" ->
+      s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings),
+         |j AS (SELECT a.vec_id AS a, b.vec_id AS b,
+         |             ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+         |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |      WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= $CosFloor),
+         |th AS (SELECT unnest([0.35, 0.5, 0.65, 0.8, 0.9]) AS t),
+         |sel AS (SELECT t, a, b FROM j, th WHERE j.sim >= th.t),
+         |pr AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM sel GROUP BY t),
+         |dd AS (SELECT t, CAST(COUNT(DISTINCT vec) AS BIGINT) AS n_vecs
+         |       FROM (SELECT t, unnest([a, b]) AS vec FROM sel) GROUP BY t)
+         |SELECT th.t, COALESCE(n_pairs, 0) AS n_pairs, COALESCE(n_vecs, 0) AS n_vecs
+         |FROM th LEFT JOIN pr USING (t) LEFT JOIN dd USING (t)
+         |ORDER BY th.t""".stripMargin,
 
     "sim_embedding_norms" ->
       s"""SELECT label, CAST(COUNT(*) AS BIGINT) AS n,

@@ -72,7 +72,7 @@ class PlanSpec extends SparkSpec {
   test("pair-join family plans contain no CartesianProduct") {
     // every similarity / dedup / range-pair query must block, broadcast,
     // or bucket — a cartesian node means an O(n²) plan came back
-    val family = Seq("dedup_embedding", "dedup_minhash_lsh",
+    val family = Seq("dedup_minhash_lsh",
       "sim_ann_lsh", "sim_ann_ivf", "sim_similarity_join", "join_theta_range",
       "join_asof", "join_interval_bucketed", "join_skew_salted",
       "dedup_snapshot_diff")
@@ -80,14 +80,24 @@ class PlanSpec extends SparkSpec {
       val cart = planOf(name).collect { case c: CartesianProductExec => c }
       assert(cart.isEmpty, s"$name has a CartesianProduct node")
     }
-    // the Jaccard mining is memoized+persisted, so the QUERY plans as an
+    // the Jaccard and cosine minings are memoized+persisted, so the
+    // QUERY keys (dedup_jaccard_pairs, dedup_embedding) plan as an
     // InMemoryTableScan whose cached subtree `collect` never enters —
-    // pin the RAW mining plan instead, or the check is vacuous
-    val mining = withConf("spark.sql.adaptive.enabled", "false") {
-      graft.queries.DedupQueries.minePairs(spark, sf).queryExecution.executedPlan
+    // pin the RAW mining plans instead, or the check is vacuous
+    spark.catalog.clearCache()
+    withConf("spark.sql.adaptive.enabled", "false") {
+      val jaccard = graft.queries.DedupQueries.minePairs(spark, sf)
+        .queryExecution.executedPlan
+      assert(jaccard.collect { case c: CartesianProductExec => c }.isEmpty,
+        "dedup_jaccard_pairs mining has a CartesianProduct node")
+      val cos = graft.queries.SimQueries.mineCosPairs(spark, sf)
+        .queryExecution.executedPlan
+      assert(cos.collect { case c: CartesianProductExec => c }.isEmpty,
+        "dedup_embedding mining has a CartesianProduct node")
+      assert(cos.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, "dedup_embedding mining grew a window")
     }
-    assert(mining.collect { case c: CartesianProductExec => c }.isEmpty,
-      "dedup_jaccard_pairs mining has a CartesianProduct node")
   }
 
   test("agg_spatial_octree: every point scan is pruned to the embedding column") {
@@ -116,7 +126,8 @@ class PlanSpec extends SparkSpec {
       planOf(name).collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
     assert(windows("sim_ann_ivf").length == 1,
       s"sim_ann_ivf: expected only the top-k re-rank window")
-    assert(windows("dedup_embedding").isEmpty, "dedup_embedding grew a window")
+    // dedup_embedding's mining is memoized — its windowless pin lives in
+    // the pair-join family test against the RAW mineCosPairs plan
     assert(windows("sim_similarity_join").isEmpty, "sim_similarity_join grew a window")
   }
 

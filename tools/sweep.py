@@ -30,8 +30,15 @@ def main():
     out_json = sys.argv[1] if len(sys.argv) > 1 else "SWEEP_r08.json"
     tmp = tempfile.mkdtemp(prefix="sweep-")
     sf_arg = ",".join(f"{TESTDATA}/{sf}" for sf in SFS)
-    subprocess.run(["sbt", "-batch", f"runMain graft.Verify {sf_arg} {tmp}"],
-                   check=True, capture_output=True, text=True)
+    try:
+        subprocess.run(["sbt", "-batch", f"runMain graft.Verify {sf_arg} {tmp}"],
+                       check=True, capture_output=True, text=True)
+    except subprocess.CalledProcessError as e:
+        # CalledProcessError doesn't print captured output — a CI sweep
+        # failing in the build/run step must not be opaque (r8 ADVICE)
+        sys.stderr.write(e.stdout or "")
+        sys.stderr.write(e.stderr or "")
+        raise
     sweep, totals = {}, {}
     for sf in SFS:
         proc = subprocess.run(
@@ -39,7 +46,10 @@ def main():
             capture_output=True, text=True)
         per = {}
         for line in proc.stdout.splitlines():
-            m = re.match(r"(PASS|FAIL|NOTE) (\S+)", line)
+            # key name only — check.py's FAIL/NOTE lines carry a trailing
+            # colon ('FAIL name: ...') that r8's (\S+) captured into the
+            # key, splitting the namespace (r8 ADVICE)
+            m = re.match(r"(PASS|FAIL|NOTE) ([^\s:]+)", line)
             if m:
                 per[m.group(2)] = {"PASS": "pass", "FAIL": "fail",
                                    "NOTE": "test_only"}[m.group(1)]

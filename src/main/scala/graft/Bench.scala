@@ -41,6 +41,26 @@ object Bench {
   private def jmap(kvs: Seq[(String, Double)]): String =
     kvs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
 
+  // ---- per-key load/GC telemetry (r8/r9 verdict ask) ----------------
+  // The shared-box variance rule (min-of-2 on ≥2× movers) can bound a
+  // load spike but not ADJUDICATE one: a ×2.3 residual on an untouched
+  // key is either ambient load or a real regression, and only the
+  // telemetry tells them apart. Record, per key: the 1-min loadavg at
+  // key start and the JVM GC-ms spent during the key's (possibly
+  // re-run) timing — high load + flat GC = the box; flat load + GC
+  // spike = memory pressure inside this JVM (e.g. memoized persists
+  // squeezing execution memory).
+  private def loadAvg(): Double =
+    try new String(Files.readAllBytes(Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  private def gcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -81,32 +101,44 @@ object Bench {
     // recorded in r7). New keys therefore always get a second timing,
     // min kept — gated on prevLoaded so a missing/corrupt baseline file
     // doesn't silently double the whole run.
+    val loadStart = loadAvg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val load0 = loadAvg()
+      val gc0 = gcMs()
       val (v, ok) = time1(fn)
       val suspect = ok && prev.get(name).exists(p => p > 0 && v > 2 * p && v - p > 0.5)
       val firstRun = ok && prevLoaded && !prev.contains(name)
-      if (!suspect && !firstRun) (name, v, ok, false)
-      else {
-        val (v2, ok2) = time1(fn)
-        (name, if (ok2) math.min(v, v2) else v, ok, true)
-      }
+      val (vKept, rerun) =
+        if (!suspect && !firstRun) (v, false)
+        else {
+          val (v2, ok2) = time1(fn)
+          (if (ok2) math.min(v, v2) else v, true)
+        }
+      // GC attribution covers every attempt for the key (a re-run's GC
+      // is still this key's memory story); load is sampled at key start
+      (name, vKept, ok, rerun, gcMs() - gc0, load0)
     }
-    val qs = results.map { case (k, v, ok, _) =>
+    val qs = results.map { case (k, v, ok, _, _, _) =>
       "\"" + k + "\":" + (if (ok) f3(v) else "-1") }.mkString("{", ",", "}")
     val failed = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val reran = results.filter(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val deltas = results.collect { case (k, v, true, _) if prev.get(k).exists(_ >= 0) =>
+    val deltas = results.collect { case (k, v, true, _, _, _) if prev.get(k).exists(_ >= 0) =>
       k -> (v - prev(k)) }
     val vsPrev = jmap(deltas)
     val total = results.filter(_._3).map(_._2).sum
-    // the COMPLETE record — every key, every delta — for the next run
-    // and for humans; the printed line only summarizes it.
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"reran":$reran,"vs_prev":$vsPrev,"prev_loaded":$prevLoaded,"sf":"$sfDir"}"""
+    val gcJson = results.map { case (k, _, _, _, g, _) => "\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val loadJson = jmap(results.map { case (k, _, _, _, _, l) => k -> l })
+    val gcTotal = results.map(_._5).sum
+    val loadEnd = loadAvg()
+    // the COMPLETE record — every key, every delta, the telemetry — for
+    // the next run and for humans; the printed line only summarizes it.
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"reran":$reran,"vs_prev":$vsPrev,"prev_loaded":$prevLoaded,"gc_ms":$gcJson,"load":$loadJson,"gc_total_ms":$gcTotal,"load_start":${f3(loadStart)},"load_end":${f3(loadEnd)},"sf":"$sfDir"}"""
     try Files.write(Paths.get(PrevPath), full.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val slow10 = results.filter(_._3).sortBy(-_._2).take(10).map(r => r._1 -> r._2)
     val move10 = deltas.sortBy { case (_, d) => -math.abs(d) }.take(10)
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_keys":${results.length},"n_failed":${results.count(!_._3)},"failed":$failed,"reran":$reran,"prev_loaded":$prevLoaded,"queries":${jmap(slow10)},"vs_prev":${jmap(move10)},"full":"$PrevPath"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_keys":${results.length},"n_failed":${results.count(!_._3)},"failed":$failed,"reran":$reran,"prev_loaded":$prevLoaded,"gc_total_ms":$gcTotal,"load_start":${f3(loadStart)},"load_end":${f3(loadEnd)},"queries":${jmap(slow10)},"vs_prev":${jmap(move10)},"full":"$PrevPath"}"""
     spark.stop()
     // printed last so log noise can't interleave into the capture
     println(line)

@@ -150,10 +150,15 @@ object SessionMemo {
     // a build that transitively consults SessionMemo for another key in
     // the same hash bin would deadlock or throw IllegalStateException
     // inside computeIfAbsent (round-8 ADVICE — latent, now impossible).
-    // Concurrent-loser copies are unpersisted so nothing pins twice.
+    // On LOSING the race, the loser's copy is NOT unpersisted: Spark's
+    // CacheManager keys cache entries by canonicalized plan, so
+    // unpersisting the loser would also drop the winner's identical-plan
+    // entry, leaving the memoized frame silently recomputed ever after
+    // (r9 ADVICE). The duplicate persist of an identical plan is already
+    // a CacheManager no-op, so the loser costs nothing to leave be.
     val built = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prev = cache.putIfAbsent(k, built)
-    if (prev == null) built else { built.unpersist(false); prev }
+    if (prev == null) built else prev
   }
 }
 

@@ -166,6 +166,22 @@ object PipelineQueries extends QueryPack {
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     spanApplyFrom(spanTokens(docs), spanCoveredOn(docs))
 
+  /** span-cleaned text for the coverage-TOUCHED docs only (the
+    * pipeline_corpus reconstruction stage). The semi-join on the
+    * coverage doc set sits BELOW the posexplode — Catalyst does not
+    * push a semi-join through a Generate, so filtering first is the
+    * difference between exploding the whole corpus and exploding the
+    * few-% touched slice at 100 TB (r9 verdict #4). PlanSpec pins the
+    * join-under-Generate shape. */
+  private[graft] def reconstructTouched(docs: org.apache.spark.sql.DataFrame,
+      cov: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    spanTokens(docs.join(cov.select("doc_id").distinct(), Seq("doc_id"), "left_semi"))
+      .join(cov.withColumn("cv", lit(1)), Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(
+        when(col("cv").isNull, struct(col("pos"), col("tk"))))),
+        x => x.getField("tk")), " ").as("tc_text"))
+
   // ---- curation-funnel flags (shared by report + artifact) ---------
 
   /** per-doc funnel flag table: content hash + the cumulative stage
@@ -394,14 +410,7 @@ object PipelineQueries extends QueryPack {
       // %7 slice gets PII appended POST-span-clean — it cannot perturb
       // the mining — and the placeholders in the artifact prove the
       // scrubber ran against known ground truth).
-      val cov = spanCovered(s, d)
-      val touched = spanTokens(T.documents(s, d))
-        .join(cov.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-        .join(cov.withColumn("cv", lit(1)), Seq("doc_id", "pos"), "left")
-        .groupBy("doc_id")
-        .agg(array_join(transform(array_sort(collect_list(
-          when(col("cv").isNull, struct(col("pos"), col("tk"))))),
-          x => x.getField("tk")), " ").as("tc_text"))
+      val touched = reconstructTouched(T.documents(s, d), spanCovered(s, d))
       val surv = funnelFlagged(s, d).filter(col("p4")).select("doc_id")
       val b = TextOps.md5Long(col("doc_id").cast("string")) % 100
       T.documents(s, d)
@@ -811,6 +820,38 @@ object PipelineQueries extends QueryPack {
          |  UNION ALL SELECT '04_exact_dedup', CAST(COUNT(*) AS BIGINT),
          |         CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM s4
          |) ORDER BY stage""".stripMargin,
+
+    // the end-to-end artifact oracle (r9 verdict #1): the two mined CTE
+    // chains — SpanCteSql (the covered-position removal set `rm`, CTE
+    // names t/tok/occ/own/own2/rm) and FunnelCteSql (the cumulative
+    // survivor sets, d/s1../s4) — are disjoint in name and each already
+    // hash-matches standalone (dedup_span_corpus / pipeline_funnel), so
+    // the composition only adds the per-stage plumbing the Spark query
+    // runs: reconstruct touched docs, seed PII post-span-clean, scrub,
+    // split-tag, ORDER BY doc_id.
+    "pipeline_corpus" -> {
+      val h = graft.ops.TextOps.md5LongSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH $SpanCteSql,
+         |$FunnelCteSql,
+         |tc AS (SELECT tok.doc_id,
+         |              COALESCE(string_agg(CASE WHEN r.pos IS NULL THEN tok.tk END,
+         |                                  ' ' ORDER BY tok.pos), '') AS tc_text
+         |       FROM tok
+         |       JOIN (SELECT DISTINCT doc_id FROM rm) rd ON tok.doc_id = rd.doc_id
+         |       LEFT JOIN rm r ON tok.doc_id = r.doc_id AND tok.pos = r.pos
+         |       GROUP BY 1),
+         |base AS (SELECT s4.doc_id, s4.lang, COALESCE(tc.tc_text, s4.text) AS bt
+         |         FROM s4 LEFT JOIN tc USING (doc_id)),
+         |seeded AS (SELECT doc_id, lang, ${seedPiiSql("bt")} AS st FROM base),
+         |fin AS (SELECT doc_id, lang,
+         |               CASE WHEN ($h % 100) < 90 THEN 'train'
+         |                    WHEN ($h % 100) < 95 THEN 'val' ELSE 'test' END AS split,
+         |               ${scrubSql("st")} AS clean_text
+         |        FROM seeded)
+         |SELECT doc_id, lang, split,
+         |       CAST(len(clean_text) AS BIGINT) AS clean_chars, clean_text
+         |FROM fin ORDER BY doc_id""".stripMargin
+    },
 
     "sample_quality_weighted" -> {
       val h = graft.ops.TextOps.md5LongSql("CAST(doc_id AS VARCHAR)")

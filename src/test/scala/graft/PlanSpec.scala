@@ -205,13 +205,49 @@ class PlanSpec extends SparkSpec {
     // the funnel composes the engine's own filter shapes — it must
     // inherit their scale properties: the benchmark-gram dict ships as
     // a broadcast (as in text_contamination) and nothing degenerates
-    // into a cartesian or a raw-stream window
-    val p = planOf("pipeline_funnel")
+    // into a cartesian or a raw-stream window. The flag table is
+    // memoized (SessionMemo), so the QUERY key's plan hides the mining
+    // behind an InMemoryTableScan — pin the RAW funnelFlaggedOn plan
+    // instead (the minePairs/spanApplyOn precedent), cache cleared
+    // first so a prior consumer's persisted fragment can't substitute
+    // into even the raw plan (r9 ADVICE).
+    spark.catalog.clearCache()
+    val p = withConf("spark.sql.adaptive.enabled", "false") {
+      graft.queries.PipelineQueries
+        .funnelFlaggedOn(spark.read.parquet(s"$sf/documents.parquet"))
+        .queryExecution.executedPlan
+    }
     assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
       "funnel decontam stage must broadcast the benchmark gram dict")
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
     assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
       "funnel must stay window-free (all stages are aggregates/joins)")
+  }
+
+  test("pipeline_corpus: reconstruction explodes only the semi-joined touched slice") {
+    // the posexplode in reconstructTouched must run AFTER the semi-join
+    // on the coverage doc set — Catalyst does not push a semi-join
+    // below a Generate, so the join has to sit under it by construction
+    // (r9 verdict #4: exploding the whole corpus vs the few-% touched
+    // slice at 100 TB). Pin: the Generate's subtree contains the join.
+    import spark.implicits._
+    val docs = Seq((1L, "en", "a b c"), (2L, "en", "d e f"))
+      .toDF("doc_id", "lang", "text")
+    val cov = Seq((1L, 2L)).toDF("doc_id", "pos")
+    val p = withConf("spark.sql.adaptive.enabled", "false") {
+      graft.queries.PipelineQueries.reconstructTouched(docs, cov)
+        .queryExecution.executedPlan
+    }
+    val gens = p.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.length == 1, s"expected one Generate, got ${gens.length}")
+    val joinsBelow = gens.head.collect {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joinsBelow.nonEmpty,
+      "the touched-doc semi-join must sit BELOW the posexplode")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
   test("text_dup_spans: gram df is a partial-aggregated groupBy+join, not a window") {

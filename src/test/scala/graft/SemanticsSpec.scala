@@ -295,4 +295,65 @@ class SemanticsSpec extends SparkSpec {
       assert(kept == math.min(100L, docs), s"$src: kept $kept of $docs")
     }
   }
+
+  test("pipeline_corpus is consistent with the funnel, the span artifact, and the split") {
+    // cross-key consistency for the end-to-end artifact (r9 verdict #1
+    // fallback, kept alongside the DuckDB oracle): the corpus rows ARE
+    // the funnel's stage-4 survivors; a surviving span-touched doc's
+    // text is the dedup_span_corpus reconstruction (pre-seed/scrub — so
+    // compare on the %7!=0 slice the seeder leaves untouched); split
+    // tags match sample_split's md5 buckets doc for doc.
+    val corpus = SparkEntry.queries("pipeline_corpus")(spark, sf).collect()
+    val funnel = SparkEntry.queries("pipeline_funnel")(spark, sf).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(corpus.length.toLong == funnel("04_exact_dedup"),
+      s"corpus rows ${corpus.length} != funnel stage-4 ${funnel("04_exact_dedup")}")
+    val spanClean = SparkEntry.queries("dedup_span_corpus")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    val touchedChecked = corpus.count { r =>
+      val id = r.getAs[Long]("doc_id")
+      spanClean.get(id) match {
+        case Some(txt) if id % 7 != 0 => // seeder untouched ⇒ text comparable
+          assert(r.getAs[String]("clean_text") == txt, s"doc $id span text")
+          true
+        case _ => false
+      }
+    }
+    assert(touchedChecked > 0, "no span-touched survivor to cross-check")
+    // the split tag is pure doc_id arithmetic — recompute it per row
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    corpus.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // TextOps.md5Long: first 15 hex chars of the digest as a long
+      val hex = md5.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val b = java.lang.Long.parseLong(hex.substring(0, 15), 16) % 100
+      val expected = if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(r.getAs[String]("split") == expected, s"doc $id split tag")
+    }
+  }
+
+  test("stream_stateful_count replays identically under the RocksDB state store") {
+    // SURVEY §7.4.5 names RocksDB as the at-scale provider (state >
+    // executor memory); transformWithState already requires it, but the
+    // mapGroupsWithState/dropDuplicates family runs the default
+    // HDFS-backed store. Pin provider-independence: the same replay
+    // under RocksDB yields row-identical results (r9 verdict #5).
+    val default = SparkEntry.queries("stream_stateful_count")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = SparkEntry.queries("stream_stateful_count")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rocks == default,
+        s"RocksDB replay diverged: only-rocks=${(rocks -- default).take(3)} " +
+          s"only-default=${(default -- rocks).take(3)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

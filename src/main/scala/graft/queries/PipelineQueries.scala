@@ -231,6 +231,67 @@ object PipelineQueries extends QueryPack {
         coalesce(col("p3") && col("doc_id") === col("rep_doc"), lit(false)))
   }
 
+  // ---- snapshot diff (shared by the audit + the work plan) ---------
+
+  /** deterministically derived prev/curr corpus snapshots, full-outer
+    * joined with per-doc status — shared by dedup_snapshot_diff (the
+    * audit) and pipeline_incremental (the re-curation work plan).
+    *
+    * Snapshots derive from the shared input identically on BOTH
+    * engines: prev = every doc, original text; curr drops the %11
+    * slice (removed), appends ' rev2' to the %13 slice (changed), and
+    * re-ingests the %17 slice under doc_id + (max(doc_id)+1) (added) —
+    * an out-of-range base, so the synthetic ids can never collide with
+    * real doc_ids at ANY corpus size (the fixed +1e6 base used before
+    * round 7 silently turned 'added' rows into changed/unchanged
+    * matches past 1M docs). The base is one driver scalar from a
+    * min/max-pruned parquet scan. md5 is per-row map-side; the only
+    * shuffle is ONE full-outer hash-partitioned equi-join on doc_id —
+    * the shape holds at any snapshot size.
+    */
+  private def snapshotDiffed(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = T.documents(s, d)
+    val addBase = docs.agg(max("doc_id")).head.getLong(0) + 1L
+    val prev = docs.select(col("doc_id"), col("lang").as("p_lang"),
+      md5(col("text")).as("p_h"))
+    val curr = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        md5(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("h"))
+      .unionByName(docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + addBase).as("doc_id"), col("lang"),
+          md5(col("text")).as("h")))
+      .select(col("doc_id"), col("lang").as("c_lang"), col("h").as("c_h"))
+    prev.join(curr, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("p_h").isNull, "added")
+          .when(col("c_h").isNull, "removed")
+          .when(col("p_h") === col("c_h"), "unchanged")
+          .otherwise("changed"))
+      .withColumn("lang", coalesce(col("c_lang"), col("p_lang")))
+  }
+
+  /** the same derivation in DuckDB (kept textually adjacent to
+    * [[snapshotDiffed]] — the two must emit identical snapshots);
+    * yields CTE `snap(doc_id, status, lang)`. */
+  private lazy val SnapshotCteSql =
+    """prev AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+      |curr AS (
+      |  SELECT doc_id, lang,
+      |         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 11 != 0
+      |  UNION ALL
+      |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), lang, md5(text)
+      |  FROM documents WHERE doc_id % 17 = 0),
+      |snap AS (
+      |  SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+      |         CASE WHEN p.h IS NULL THEN 'added'
+      |              WHEN c.h IS NULL THEN 'removed'
+      |              WHEN p.h = c.h THEN 'unchanged' ELSE 'changed' END AS status,
+      |         COALESCE(c.lang, p.lang) AS lang
+      |  FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id)""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "text_contamination" -> ((s, d) => {
       // benchmark decontamination: a corpus doc is contaminated if it
@@ -554,43 +615,44 @@ object PipelineQueries extends QueryPack {
         .orderBy("lang", "shard")
     }),
 
-    "dedup_snapshot_diff" -> ((s, d) => {
+    "dedup_snapshot_diff" -> ((s, d) =>
       // incremental-ingest audit: diff the current corpus snapshot
       // against the previous one by (doc_id, content-hash) — the
       // bookkeeping an always-on pipeline runs so it re-dedups only
-      // what changed. Snapshots are derived deterministically from the
-      // shared input on BOTH engines: prev = every doc, original text;
-      // curr drops the %11 slice (removed), appends ' rev2' to the %13
-      // slice (changed), and re-ingests the %17 slice under
-      // doc_id + (max(doc_id)+1) (added) — an out-of-range base, so the
-      // synthetic ids can never collide with real doc_ids at ANY corpus
-      // size (the fixed +1e6 base used before round 7 silently turned
-      // 'added' rows into changed/unchanged matches past 1M docs). The
-      // base is one driver scalar from a min/max-pruned parquet scan.
-      // md5 is per-row map-side; the only shuffle is ONE full-outer
-      // hash-partitioned equi-join on doc_id + the tiny status
-      // aggregate — the shape holds at any snapshot size.
-      val docs = T.documents(s, d)
-      val addBase = docs.agg(max("doc_id")).head.getLong(0) + 1L
-      val prev = docs.select(col("doc_id"), col("lang").as("p_lang"),
-        md5(col("text")).as("p_h"))
-      val curr = docs.filter(col("doc_id") % 11 =!= 0)
-        .select(col("doc_id"), col("lang"),
-          md5(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
-            .otherwise(col("text"))).as("h"))
-        .unionByName(docs.filter(col("doc_id") % 17 === 0)
-          .select((col("doc_id") + addBase).as("doc_id"), col("lang"),
-            md5(col("text")).as("h")))
-        .select(col("doc_id"), col("lang").as("c_lang"), col("h").as("c_h"))
-      prev.join(curr, Seq("doc_id"), "full_outer")
-        .withColumn("status",
-          when(col("p_h").isNull, "added")
-            .when(col("c_h").isNull, "removed")
-            .when(col("p_h") === col("c_h"), "unchanged")
-            .otherwise("changed"))
-        .withColumn("lang", coalesce(col("c_lang"), col("p_lang")))
+      // what changed. Derivation + shape notes on [[snapshotDiffed]].
+      snapshotDiffed(s, d)
         .groupBy("status", "lang").agg(count(lit(1)).as("n"))
-        .orderBy("status", "lang")
+        .orderBy("status", "lang")),
+
+    "pipeline_incremental" -> ((s, d) => {
+      // the incremental re-curation WORK PLAN (what dedup_snapshot_diff
+      // audits, turned into the decision a continuously-ingesting
+      // pipeline acts on): per lang, how much of the new snapshot needs
+      // re-processing and how much rides the cached verdicts — an
+      // UNCHANGED doc (same content hash) keeps its funnel stage-4
+      // survivor verdict from the previous curation run (n_reuse, the
+      // verdict carry-forward); ADDED + CHANGED docs are the re-curate
+      // set; REMOVED docs retire. At 100 TB this accounting is the
+      // whole point of snapshotting: the expensive funnel re-runs on
+      // the few-% delta, never the corpus. Shape: the memoized flag
+      // table joins the diff on doc_id (hash join — synthetic added
+      // ids sit above max(doc_id), so they can never steal a cached
+      // verdict), one per-lang aggregate on top.
+      val p4 = funnelFlagged(s, d).filter(col("p4"))
+        .select(col("doc_id"), lit(1L).as("pp4"))
+      def cnt(st: String) =
+        sum(when(col("status") === st, 1L).otherwise(0L))
+      val reuse =
+        sum(when(col("status") === "unchanged" && col("pp4").isNotNull, 1L)
+          .otherwise(0L))
+      snapshotDiffed(s, d)
+        .join(p4, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(cnt("added").as("n_added"), cnt("changed").as("n_changed"),
+          cnt("removed").as("n_removed"), cnt("unchanged").as("n_unchanged"),
+          reuse.as("n_reuse"),
+          round(reuse / nullif(cnt("unchanged"), lit(0L)), 4).as("reuse_frac"))
+        .orderBy("lang")
     }),
 
     "quality_drift" -> ((s, d) => {
@@ -931,20 +993,31 @@ object PipelineQueries extends QueryPack {
     },
 
     "dedup_snapshot_diff" ->
-      """WITH prev AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
-        |curr AS (
-        |  SELECT doc_id, lang,
-        |         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) AS h
-        |  FROM documents WHERE doc_id % 11 != 0
-        |  UNION ALL
-        |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), lang, md5(text)
-        |  FROM documents WHERE doc_id % 17 = 0)
-        |SELECT CASE WHEN p.h IS NULL THEN 'added'
-        |            WHEN c.h IS NULL THEN 'removed'
-        |            WHEN p.h = c.h THEN 'unchanged' ELSE 'changed' END AS status,
-        |       COALESCE(c.lang, p.lang) AS lang, CAST(COUNT(*) AS BIGINT) AS n
-        |FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH $SnapshotCteSql
+         |SELECT status, lang, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM snap GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // snapshot diff × funnel verdicts: the CTE namespaces are disjoint
+    // (prev/curr/snap vs d/s1../s4), and each chain hash-matches
+    // standalone — the composition adds only the verdict LEFT JOIN
+    // (added ids sit above max(doc_id), so they never match a cached
+    // verdict) and the per-lang work-plan aggregate.
+    "pipeline_incremental" ->
+      s"""WITH $SnapshotCteSql,
+         |$FunnelCteSql
+         |SELECT lang,
+         |  CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         |  CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         |  CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+         |  CAST(SUM(CASE WHEN status = 'unchanged' AND k.doc_id IS NOT NULL
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_reuse,
+         |  ROUND(CAST(SUM(CASE WHEN status = 'unchanged' AND k.doc_id IS NOT NULL
+         |                  THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / NULLIF(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END), 0),
+         |        4) AS reuse_frac
+         |FROM snap LEFT JOIN (SELECT doc_id FROM s4) k ON snap.doc_id = k.doc_id
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "quality_drift" ->
       """WITH b AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents),

@@ -75,7 +75,7 @@ class PlanSpec extends SparkSpec {
     val family = Seq("dedup_minhash_lsh",
       "sim_ann_lsh", "sim_ann_ivf", "sim_similarity_join", "join_theta_range",
       "join_asof", "join_interval_bucketed", "join_skew_salted",
-      "dedup_snapshot_diff")
+      "dedup_snapshot_diff", "pipeline_incremental")
     family.foreach { name =>
       val cart = planOf(name).collect { case c: CartesianProductExec => c }
       assert(cart.isEmpty, s"$name has a CartesianProduct node")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables => T}
 import graft.mr.MapReduce
-import graft.multimodal.BinaryFeatures
+import graft.multimodal.{BinaryFeatures, WavCodec}
 import graft.ops.TextOps
 
 /** SURVEY.md §2B category I (rest) — BFS levels (Mimir's BFS app as
@@ -152,6 +152,43 @@ object GraphMmQueries extends QueryPack {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    "multimodal_audio_meta" -> ((s, d) => {
+      // REAL audio decode (the de-stubbed multimodal path): each doc_id
+      // deterministically synthesizes a PCM16 clip (rate/channels/
+      // frames/samples all doc_id arithmetic), encodes it as a
+      // standards-conformant RIFF/WAV byte payload — the %5 slice gets
+      // an extra LIST chunk, so only a genuine chunk-walking parser
+      // survives — and WavCodec.parse recovers the metadata + the exact
+      // integer sample digest from the BYTES. The oracle recomputes the
+      // expected values from the same arithmetic, so any parser bug
+      // (offset, sign extension, pad byte, chunk skip) hash-mismatches.
+      // Shape: encode→parse is per-row inside one mapPartitions (the
+      // codec-state boundary), the only shuffle is the 6-group profile.
+      import s.implicits._
+      T.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          // real pipeline: open the codec HERE, once per task.
+          ids.map { id =>
+            val rate = (8000 + (id % 3) * 4000).toInt
+            val channels = (1 + (id % 2)).toInt
+            val nFrames = 64 + (id % 128)
+            val total = (nFrames * channels).toInt
+            val samples = Array.tabulate[Short](total)(i =>
+              (((id * 31 + i.toLong * 17) % 65536) - 32768).toShort)
+            val wav = WavCodec.encodePcm16(rate, channels, samples,
+              extraChunk = id % 5 == 0)
+            val m = WavCodec.parse(wav)
+            (m.sampleRate.toLong, m.channels.toLong, m.nFrames,
+              m.durationUs, m.sumAbs)
+          }
+        }
+        .toDF("sample_rate", "n_channels", "nf", "dur", "sa")
+        .groupBy("sample_rate", "n_channels")
+        .agg(count(lit(1)).as("n_clips"), sum("nf").as("n_frames"),
+          sum("dur").as("dur_us"), sum("sa").as("sum_abs"))
+        .orderBy("sample_rate", "n_channels")
+    }),
+
     "mr_wordcount" -> ((s, d) => {
       // wordcount through the Mimir-style MapReduce facade (§2A):
       // map(tokenize) → map-side combine → reduce(sum).
@@ -272,6 +309,34 @@ object GraphMmQueries extends QueryPack {
         |              (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fr_crc
         |FROM f WHERE frame_idx % 4 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the Spark side synthesizes REAL WAV bytes and parses them back
+    // (WavCodec); the oracle recomputes the expected metadata + the
+    // exact Σ|sample| digest from the shared doc_id arithmetic — a
+    // parser bug anywhere in the byte path breaks the hash match.
+    // Integer division `//` mirrors the JVM's truncating long division.
+    "multimodal_audio_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         8000 + (doc_id % 3) * 4000 AS sample_rate,
+        |         1 + (doc_id % 2) AS n_channels,
+        |         64 + (doc_id % 128) AS nf
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, sample_rate, n_channels, nf,
+        |         unnest(range(0, nf * n_channels)) AS i
+        |  FROM p),
+        |a AS (
+        |  SELECT doc_id, sample_rate, n_channels, nf,
+        |         SUM(ABS(((doc_id * 31 + i * 17) % 65536) - 32768)) AS sa
+        |  FROM s GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(sample_rate AS BIGINT) AS sample_rate,
+        |       CAST(n_channels AS BIGINT) AS n_channels,
+        |       CAST(COUNT(*) AS BIGINT) AS n_clips,
+        |       CAST(SUM(nf) AS BIGINT) AS n_frames,
+        |       CAST(SUM((nf * 1000000) // sample_rate) AS BIGINT) AS dur_us,
+        |       CAST(SUM(sa) AS BIGINT) AS sum_abs
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "mr_wordcount" ->
       """SELECT word, CAST(COUNT(*) AS BIGINT) AS n

@@ -36,6 +36,57 @@ object SimQueries extends QueryPack {
   private[graft] def mineCosPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.ops.MetricBlocking.nearDupPairs(s, T.embeddings(s, d), CosFloor)
 
+  // ---- IVF scaffolding (shared by sim_ann_ivf + sim_ann_recall_sweep)
+
+  /** embeddings widened to double vectors. */
+  private def embDouble(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.embeddings(s, d)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+
+  /** ONE broadcastable row holding every IVF cell centroid
+    * (c_label, c, ||c||²), k = max(32, ⌈√n⌉) hash-bucket means —
+    * deterministic "k-means" both engines reproduce; k grows ~√n so
+    * per-cell lists stay ~√n at any scale. Memoized: the IVF key and
+    * the recall sweep both consume it. */
+  private def ivfCents(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.SessionMemo(s, s"ivf-cents:$d") {
+      graft.GraftFunctions.register(s)
+      val e = embDouble(s, d)
+      val kdf = e.agg(greatest(lit(32L), ceil(sqrt(count(lit(1)))).cast("long")).as("k"))
+      e.crossJoin(broadcast(kdf))
+        .select(pmod(col("vec_id"), col("k")).as("bucket"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("bucket", "pos").agg(avg("x").as("av"))
+        .groupBy("bucket")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("av")))),
+          _.getField("av")).as("c"))
+        .select(col("bucket").as("c_label"), col("c"),
+          expr("graft_dot(c, c)").as("cc"))
+        .agg(collect_list(struct(col("c_label"), col("c"), col("cc"))).as("cents"))
+    }
+
+  /** every vector's nearest-cell assignment (vec_id, unit vector u,
+    * cell): the rounded-L2 argmin over the broadcast centroid row as an
+    * inline array fold — the k-way expansion never becomes rows (the
+    * round-2 fix). Eagerly localCheckpoint'd so the two join branches of
+    * one consumer (and every later consumer — memoized) execute the
+    * centroid pipeline exactly once. */
+  private def ivfAssigned(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.SessionMemo(s, s"ivf-assigned:$d") {
+      graft.GraftFunctions.register(s)
+      embDouble(s, d).crossJoin(broadcast(ivfCents(s, d)))
+        .withColumn("vv", expr("graft_dot(v, v)"))
+        .withColumn("best", array_min(transform(col("cents"), ct =>
+          struct(
+            round(col("vv") - lit(2.0)
+                * graft.GraftFunctions.dotCol(s, col("v"), ct.getField("c"))
+              + ct.getField("cc"), 6).as("d2"),
+            ct.getField("c_label").as("c_label")))))
+        .select(col("vec_id"), col("v"), VectorOps.unit(col("v")).as("u"),
+          col("best.c_label").as("cell"))
+        .localCheckpoint(true)
+    }
+
   val queries: Map[String, QueryFn] = Map(
     "sim_cosine_knn" -> ((s, d) => {
       // global top-20 most-similar pairs with a probe side capped at
@@ -123,57 +174,14 @@ object SimQueries extends QueryPack {
     }),
 
     "sim_ann_ivf" -> ((s, d) => {
-      // IVF-style ANN: coarse quantization to the nearest of
-      // k = max(32, ⌈√n⌉) cell centroids (hash-bucket means: bucket =
-      // vec_id % k — deterministic "k-means" both engines reproduce),
-      // inverted-list search within the assigned cell, exact cosine
-      // re-rank, top-3 per probe. k grows ~√n so per-cell re-rank stays
-      // ~√n per probe at any scale (round 1 fixed k=10 degenerated); k
-      // is computed declaratively from COUNT(*) — a 1-row broadcast,
-      // no driver collect.
+      // IVF-style ANN: coarse quantization to the nearest hash-bucket
+      // centroid — the scaffolding (k = max(32, ⌈√n⌉) cells, ONE
+      // broadcast centroid row, inline rounded-L2 argmin assignment)
+      // now lives in ivfCents/ivfAssigned, shared with the recall
+      // sweep — then inverted-list search within the assigned cell,
+      // exact cosine re-rank, top-3 per probe.
       graft.GraftFunctions.register(s)
-      val e = T.embeddings(s, d)
-        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
-      val kdf = e.agg(greatest(lit(32L), ceil(sqrt(count(lit(1)))).cast("long")).as("k"))
-      // centroid per hash bucket, dimension-ordered; ||c||² precomputed
-      // per centroid (constant per cell — hoisted out of the per-vector
-      // argmin below)
-      val cent = e.crossJoin(broadcast(kdf))
-        .select(pmod(col("vec_id"), col("k")).as("bucket"),
-          posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("bucket", "pos").agg(avg("x").as("av"))
-        .groupBy("bucket")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("av")))),
-          _.getField("av")).as("c"))
-        .select(col("bucket").as("c_label"), col("c"),
-          expr("graft_dot(c, c)").as("cc"))
-      // assign each vector to its nearest centroid (rounded-L2 argmin,
-      // label tie-break — deterministic in both engines). Round 2 ran
-      // row_number() over the n×k centroid crossJoin — a sort-shuffle
-      // of n^1.5 rows that regressed the bench 2.2× and was the round-2
-      // verdict's one `weak` mark. Now all k centroids ride in ONE
-      // collected row (k ≈ √n, broadcast-sized by design) and the
-      // argmin is array_min over struct(d2, c_label) computed inline
-      // per vector: the k-way expansion never becomes rows, nothing
-      // shuffles, nothing sorts.
-      val cents = cent
-        .agg(collect_list(struct(col("c_label"), col("c"), col("cc"))).as("cents"))
-      // materialized ONCE (localCheckpoint → executor blocks, released
-      // by the ContextCleaner): probes and candidates both derive from
-      // `assigned`, and without pinning, the whole centroid pipeline —
-      // posexplode, two aggregates, broadcast, inline argmin — executed
-      // twice, once per join branch (measured ~2× on the key).
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("vv", expr("graft_dot(v, v)"))
-        .withColumn("best", array_min(transform(col("cents"), ct =>
-          struct(
-            round(col("vv") - lit(2.0)
-                * graft.GraftFunctions.dotCol(s, col("v"), ct.getField("c"))
-              + ct.getField("cc"), 6).as("d2"),
-            ct.getField("c_label").as("c_label")))))
-        .select(col("vec_id"), VectorOps.unit(col("v")).as("u"),
-          col("best.c_label").as("cell"))
-        .localCheckpoint(true)
+      val assigned = ivfAssigned(s, d)
       val probes = assigned.filter(col("vec_id") < 100)
         .select(col("vec_id").as("a"), col("u").as("ua"), col("cell"))
       val cands = assigned
@@ -187,6 +195,71 @@ object SimQueries extends QueryPack {
         .filter(col("rank") <= 3)
         .select("a", "rank", "b", "sim")
         .orderBy("a", "rank")
+    }),
+
+    "sim_ann_recall_sweep" -> ((s, d) => {
+      // the ANN tuning curve (the sweep family, similarity side): for
+      // nprobe ∈ {1, 2, 4} nearest cells searched per probe, recall@3
+      // against the exact top-3 plus the candidate-scan cost — the
+      // cost/recall table an ANN deployment reads to pick nprobe.
+      // Deterministic end to end: cell ranks break ties on (rounded
+      // d2, label), top-3 sets on (rounded sim desc, b); recall is the
+      // only double — a 4-dp round of two exact counts. The probe cap
+      // (vec_id < 100) is the declared bound on the exact baseline and
+      // the pools; candidates ride the memoized ivfAssigned, and the
+      // windows run over probe-capped pools, never the corpus.
+      graft.GraftFunctions.register(s)
+      val assigned = ivfAssigned(s, d)
+      // per-probe 4 nearest cells: the same broadcast-row fold as the
+      // argmin, array-sorted and sliced — the k-way expansion never
+      // becomes rows; only the top-4 slice explodes (arn = cell rank)
+      val pcells = embDouble(s, d).filter(col("vec_id") < 100)
+        .crossJoin(broadcast(ivfCents(s, d)))
+        .withColumn("vv", expr("graft_dot(v, v)"))
+        .withColumn("top4", slice(array_sort(transform(col("cents"), ct =>
+          struct(
+            round(col("vv") - lit(2.0)
+                * graft.GraftFunctions.dotCol(s, col("v"), ct.getField("c"))
+              + ct.getField("cc"), 6).as("d2"),
+            ct.getField("c_label").as("c_label")))), 1, 4))
+        .select(col("vec_id").as("a"), VectorOps.unit(col("v")).as("ua"),
+          posexplode(col("top4")).as(Seq("r0", "pc")))
+        .select(col("a"), col("ua"), (col("r0") + 1).cast("long").as("arn"),
+          col("pc.c_label").as("cell"))
+      val pool = pcells
+        .join(assigned.select(col("vec_id").as("b"), col("u").as("ub"),
+          col("cell")), Seq("cell"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          round(expr("graft_dot(ua, ub)"), 4).as("sim"), col("arn"))
+      val np = s.range(1).select(explode(array(
+        lit(1L), lit(2L), lit(4L))).as("nprobe"))
+      val expanded = pool.crossJoin(broadcast(np))
+        .filter(col("arn") <= col("nprobe"))
+      val wi = Window.partitionBy("nprobe", "a").orderBy(col("sim").desc, col("b"))
+      val ivf3 = expanded.withColumn("rk", row_number().over(wi))
+        .filter(col("rk") <= 3).select("nprobe", "a", "b")
+      // exact top-3 — the brute-force baseline the recall grades against
+      val probes = assigned.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("a"), col("u").as("ua"))
+      val all = assigned.select(col("vec_id").as("b"), col("u").as("ub"))
+      val we = Window.partitionBy("a").orderBy(col("sim").desc, col("b"))
+      val ex3 = probes.join(all, col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          round(expr("graft_dot(ua, ub)"), 4).as("sim"))
+        .withColumn("rk", row_number().over(we))
+        .filter(col("rk") <= 3).select("a", "b")
+      val nex = ex3.agg(count(lit(1)).as("n_exact"))
+      val hits = ivf3.join(ex3, Seq("a", "b"))
+        .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+      val cands = expanded.groupBy("nprobe").agg(count(lit(1)).as("n_cands"))
+      np.join(hits, Seq("nprobe"), "left").join(cands, Seq("nprobe"), "left")
+        .crossJoin(broadcast(nex))
+        .select(col("nprobe"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+          round(coalesce(col("n_hits"), lit(0L)) / col("n_exact"), 4).as("recall"))
+        .orderBy("nprobe")
     }),
 
     "sim_kmeans" -> ((s, d) => {
@@ -370,6 +443,62 @@ object SimQueries extends QueryPack {
          |         CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b) AS INT) AS rank
          |  FROM pairs)
          |SELECT a, rank, b, sim FROM ranked WHERE rank <= 3 ORDER BY a, rank""".stripMargin,
+
+    // same IVF scaffolding CTEs as sim_ann_ivf (kept textually parallel
+    // to ivfCents/ivfAssigned), extended with the per-probe cell
+    // ranking (arn ≤ 4), the nprobe ∈ {1,2,4} candidate pools, and the
+    // brute-force exact top-3 the recall grades against.
+    "sim_ann_recall_sweep" ->
+      s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings),
+         |k AS (SELECT GREATEST(32, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM e),
+         |ex AS (SELECT vec_id % (SELECT k FROM k) AS bucket,
+         |              unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+         |cent AS (
+         |  SELECT bucket AS c_label, list(av ORDER BY pos) AS c
+         |  FROM (SELECT bucket, pos, AVG(x) AS av FROM ex GROUP BY bucket, pos)
+         |  GROUP BY bucket),
+         |assigned AS (
+         |  SELECT vec_id, v, c_label AS cell,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS arn
+         |  FROM (SELECT e.vec_id, e.v, cent.c_label,
+         |               ROUND(list_dot_product(e.v, e.v)
+         |                     - 2.0 * list_dot_product(e.v, cent.c)
+         |                     + list_dot_product(cent.c, cent.c), 6) AS d2
+         |        FROM e CROSS JOIN cent)),
+         |cells AS (SELECT vec_id, v, cell FROM assigned WHERE arn = 1),
+         |pcells AS (SELECT vec_id, v, cell, arn FROM assigned
+         |           WHERE arn <= 4 AND vec_id < 100),
+         |np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+         |pool AS (
+         |  SELECT p.vec_id AS a, c.vec_id AS b,
+         |         ROUND(list_cosine_similarity(p.v, c.v), 4) AS sim, p.arn
+         |  FROM pcells p JOIN cells c ON p.cell = c.cell AND p.vec_id <> c.vec_id),
+         |expanded AS (SELECT np.nprobe, pool.* FROM pool JOIN np ON pool.arn <= np.nprobe),
+         |ivf3 AS (
+         |  SELECT nprobe, a, b FROM (
+         |    SELECT nprobe, a, b,
+         |           ROW_NUMBER() OVER (PARTITION BY nprobe, a ORDER BY sim DESC, b) AS rk
+         |    FROM expanded) WHERE rk <= 3),
+         |ex3 AS (
+         |  SELECT a, b FROM (
+         |    SELECT p.vec_id AS a, c.vec_id AS b,
+         |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |             ORDER BY ROUND(list_cosine_similarity(p.v, c.v), 4) DESC, c.vec_id) AS rk
+         |    FROM e p JOIN e c ON p.vec_id <> c.vec_id
+         |    WHERE p.vec_id < 100) WHERE rk <= 3),
+         |nex AS (SELECT COUNT(*) AS n_exact FROM ex3),
+         |hits AS (SELECT nprobe, COUNT(*) AS n_hits
+         |         FROM ivf3 JOIN ex3 USING (a, b) GROUP BY 1),
+         |cands AS (SELECT nprobe, COUNT(*) AS n_cands FROM expanded GROUP BY 1)
+         |SELECT CAST(np.nprobe AS BIGINT) AS nprobe,
+         |       CAST(nex.n_exact AS BIGINT) AS n_exact,
+         |       CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(COALESCE(cands.n_cands, 0) AS BIGINT) AS n_cands,
+         |       ROUND(CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / nex.n_exact, 4) AS recall
+         |FROM np CROSS JOIN nex
+         |LEFT JOIN hits ON np.nprobe = hits.nprobe
+         |LEFT JOIN cands ON np.nprobe = cands.nprobe
+         |ORDER BY nprobe""".stripMargin,
 
     "sim_similarity_join" ->
       s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings)

@@ -171,6 +171,32 @@ object ExtQueries extends QueryPack {
     "ts_active_users" -> ((s, d) => TrailingActive.spark(s, d, 7, "wau")),
     "ts_active_monthly" -> ((s, d) => TrailingActive.spark(s, d, 30, "mau")),
 
+    "ts_active_hll" -> ((s, d) => {
+      // the scale path TrailingActive's scaladoc prescribes for windows
+      // beyond ~30 days, delivered as a key: ONE mergeable DataSketches
+      // HLL partial per day (hll_sketch_agg over that day's users), then
+      // the trailing-30 window unions the ≤30 per-day partials per
+      // window end (hll_union_agg) and reads the estimate. The exact
+      // variant explodes N × |distinct (user, day)| rows; this explodes
+      // N × |days| SKETCHES (~KB each) — window cost independent of user
+      // cardinality, which is what makes quarterly/annual actives
+      // tractable at 100 TB. TEST-only by nature (sketch bytes are
+      // implementation-defined — no DuckDB parity); SemanticsSpec pins
+      // the estimate within 5% of the exact ts_active_monthly, window
+      // for window.
+      val daily = T.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy("day").agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val days = daily.select("day")
+      daily
+        .select(col("sk"),
+          explode(expr("sequence(day, date_add(day, 29))")).as("win_end"))
+        .join(days.withColumnRenamed("day", "win_end"), Seq("win_end"), "left_semi")
+        .groupBy("win_end")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("mau_est"))
+        .orderBy("win_end")
+    }),
+
     "ts_retention_cohort" -> ((s, d) => {
       // signup-cohort retention (the other half of the engagement pair
       // with ts_active_users): cohort = users by first-signup day;

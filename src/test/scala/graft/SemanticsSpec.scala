@@ -333,6 +333,22 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("ts_active_hll estimates the exact 30-day MAU within 5%, window for window") {
+    // the sketch path must cover the same window ends as the exact key
+    // and land within standard HLL error (lgK default 12 → ~1.6% RSE;
+    // 5% is the generous gate the other sketch keys use)
+    val exact = SparkEntry.queries("ts_active_monthly")(spark, sf)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val est = SparkEntry.queries("ts_active_hll")(spark, sf)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet, "window ends differ from the exact key")
+    exact.foreach { case (w, ex) =>
+      val e = est(w)
+      assert(math.abs(e - ex).toDouble / ex <= 0.05,
+        s"window $w: estimate $e vs exact $ex exceeds 5%")
+    }
+  }
+
   test("stream_stateful_count replays identically under the RocksDB state store") {
     // SURVEY §7.4.5 names RocksDB as the at-scale provider (state >
     // executor memory); transformWithState already requires it, but the

@@ -444,6 +444,36 @@ class PlanSpec extends SparkSpec {
     }.isEmpty, "sample_temperature must stay window-free")
   }
 
+  test("multimodal_audio_meta: one 1-column scan into MapPartitions, partial+final agg") {
+    // the codec round trip must stay a map-side pass: the scan reads
+    // ONLY doc_id (everything else is synthesized/parsed in the task),
+    // and the 6-group profile aggregates partial + final
+    val p = planOf("multimodal_audio_meta")
+    val scans = p.collect { case sc: FileSourceScanExec => sc }
+    assert(scans.length == 1)
+    assert(scans.head.requiredSchema.fieldNames.toSeq == Seq("doc_id"),
+      s"scan reads ${scans.head.requiredSchema.fieldNames.mkString(",")}")
+    assert(p.collect { case a: HashAggregateExec => a }.length >= 2,
+      "profile aggregate must run partial (map-side) + final")
+    assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty)
+  }
+
+  test("ts_active_hll: the window explode generates sketches, never raw events") {
+    // the key's whole point: per-day HLL partials aggregate FIRST
+    // (partial+final), and the trailing-window Generate expands |days|
+    // sketch rows — if the Generate ever sits below the day-level
+    // aggregate it is exploding raw events and the scale story is gone
+    val p = planOf("ts_active_hll")
+    val gens = p.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.length == 1, s"expected one Generate, got ${gens.length}")
+    val aggsBelow = gens.head.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(aggsBelow.length >= 2,
+      "per-day sketch aggregate (partial+final) must sit BELOW the window explode")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("agg_group_pricing: filter and column pruning reach the parquet scan") {
     val p = planOf("agg_group_pricing")
     val scan = p.collect { case s: FileSourceScanExec => s }.head

@@ -9,13 +9,13 @@ import org.apache.spark.sql.functions._
   * a whole batch of rows — the Spark-side shape you'd use with a real
   * image/audio codec on a 1000-executor cluster.
   *
-  * The image/video byte decoder is STUBBED (this container ships no
-  * media libraries): [[decodeStub]] derives deterministic pseudo-
-  * features from the bytes. Swap [[decodeStub]] for a real codec
-  * without touching the pipeline shape. The AUDIO path is NOT a stub:
-  * [[WavCodec]] is a real RIFF/PCM16 encoder + chunk-walking parser
-  * (PCM needs nothing beyond byte arithmetic), exercised end-to-end by
-  * the multimodal_audio_meta key.
+  * The COMPRESSED-codec byte decoder is STUBBED (this container ships
+  * no media libraries — JPEG, H.264): [[decodeStub]] derives
+  * deterministic pseudo-features from the bytes; swap it for a real
+  * codec without touching the pipeline shape. The uncompressed paths
+  * are NOT stubs: [[WavCodec]] (RIFF/PCM16, chunk-walking parser) and
+  * [[PpmCodec]] (netpbm P6, tokenizing header scanner) are real codecs
+  * exercised end-to-end by multimodal_audio_meta / multimodal_image_meta.
   */
 object BinaryFeatures {
 

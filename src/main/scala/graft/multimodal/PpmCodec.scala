@@ -1,0 +1,79 @@
+package graft.multimodal
+
+/** Real, dependency-free PPM (P6, binary RGB) codec — the image twin of
+  * [[WavCodec]]: PPM is a genuine image interchange format (netpbm)
+  * whose binary form needs nothing beyond byte arithmetic, so the image
+  * decode path carries a REAL header scanner + pixel reader. The parser
+  * reads any conformant P6 file: it tokenizes the header (arbitrary
+  * whitespace, `#` comments anywhere between tokens — the
+  * multimodal_image_meta key emits a comment on a deterministic slice so
+  * a hardcoded-offset "parser" fails the oracle), honors maxval, and
+  * digests the raw RGB plane. With WAV + PPM real, the [[BinaryFeatures]]
+  * stub only stands in for compressed codecs (JPEG, H.264) that
+  * genuinely need external libraries.
+  */
+object PpmCodec {
+
+  /** header fields + exact per-channel integer digests. */
+  case class PpmMeta(width: Int, height: Int, maxval: Int,
+      sumR: Long, sumG: Long, sumB: Long)
+
+  /** encode an RGB byte plane (r,g,b interleaved, values 0..maxval) as
+    * binary PPM; `comment` adds a header comment line. */
+  def encodeP6(width: Int, height: Int, pixels: Array[Byte],
+      comment: Boolean = false): Array[Byte] = {
+    require(pixels.length == width * height * 3, "pixel plane size mismatch")
+    val header = new StringBuilder("P6\n")
+    if (comment) header.append("# graft synthetic clip\n")
+    header.append(width).append(' ').append(height).append("\n255\n")
+    val hb = header.toString.getBytes("US-ASCII")
+    val out = new Array[Byte](hb.length + pixels.length)
+    System.arraycopy(hb, 0, out, 0, hb.length)
+    System.arraycopy(pixels, 0, out, hb.length, pixels.length)
+    out
+  }
+
+  /** parse any binary P6: tokenizing header scanner (whitespace +
+    * comments), then the raw plane. Throws IllegalArgumentException on
+    * malformed input — corrupt payloads surface, never decode to
+    * garbage. */
+  def parse(bytes: Array[Byte]): PpmMeta = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+      "not a binary PPM (P6) payload")
+    var off = 2
+    // header token scanner: skip whitespace and # comments, read an int
+    def nextInt(): Int = {
+      while (off < bytes.length &&
+          (bytes(off) == ' ' || bytes(off) == '\t' ||
+            bytes(off) == '\n' || bytes(off) == '\r' || bytes(off) == '#')) {
+        if (bytes(off) == '#')
+          while (off < bytes.length && bytes(off) != '\n') off += 1
+        else off += 1
+      }
+      val start = off
+      while (off < bytes.length && bytes(off) >= '0' && bytes(off) <= '9') off += 1
+      require(off > start, s"expected header integer at byte $start")
+      new String(bytes, start, off - start, "US-ASCII").toInt
+    }
+    val width = nextInt()
+    val height = nextInt()
+    val maxval = nextInt()
+    require(width > 0 && height > 0, "degenerate dimensions")
+    require(maxval > 0 && maxval < 256, s"only 1-byte-per-sample PPM (maxval=$maxval)")
+    off += 1 // exactly ONE whitespace byte separates maxval from the plane
+    val n = width * height * 3
+    require(off + n <= bytes.length, "pixel plane overruns payload")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var j = 0
+    while (j < n) {
+      val v = (bytes(off + j) & 0xff).toLong
+      (j % 3: @annotation.switch) match {
+        case 0 => sr += v
+        case 1 => sg += v
+        case 2 => sb += v
+      }
+      j += 1
+    }
+    PpmMeta(width, height, maxval, sr, sg, sb)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables => T}
 import graft.mr.MapReduce
-import graft.multimodal.{BinaryFeatures, WavCodec}
+import graft.multimodal.{BinaryFeatures, PpmCodec, WavCodec}
 import graft.ops.TextOps
 
 /** SURVEY.md §2B category I (rest) — BFS levels (Mimir's BFS app as
@@ -189,6 +189,36 @@ object GraphMmQueries extends QueryPack {
         .orderBy("sample_rate", "n_channels")
     }),
 
+    "multimodal_image_meta" -> ((s, d) => {
+      // REAL image decode (the PPM twin of multimodal_audio_meta): each
+      // doc_id synthesizes an RGB plane from shared arithmetic, encodes
+      // it as a binary netpbm P6 image — the %4 slice gets a header
+      // comment line, so only a genuine tokenizing header scanner
+      // survives — and PpmCodec.parse recovers dimensions plus exact
+      // per-channel sums FROM THE BYTES. Oracle recomputes expectations
+      // from the arithmetic; profile per width bucket.
+      import s.implicits._
+      T.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          // real pipeline: open the codec HERE, once per task.
+          ids.map { id =>
+            val w = (4 + id % 13).toInt
+            val h = (3 + id % 7).toInt
+            val px = Array.tabulate[Byte](w * h * 3)(j =>
+              ((id * 7 + j.toLong * 13) % 256).toByte)
+            val m = PpmCodec.parse(
+              PpmCodec.encodeP6(w, h, px, comment = id % 4 == 0))
+            (m.width.toLong, m.height.toLong,
+              m.width.toLong * m.height, m.sumR, m.sumG, m.sumB)
+          }
+        }
+        .toDF("w", "h", "px", "sr", "sg", "sb")
+        .groupBy(col("w").as("width"))
+        .agg(count(lit(1)).as("n_images"), sum("px").as("n_pixels"),
+          sum("sr").as("sum_r"), sum("sg").as("sum_g"), sum("sb").as("sum_b"))
+        .orderBy("width")
+    }),
+
     "mr_wordcount" -> ((s, d) => {
       // wordcount through the Mimir-style MapReduce facade (§2A):
       // map(tokenize) → map-side combine → reduce(sum).
@@ -337,6 +367,29 @@ object GraphMmQueries extends QueryPack {
         |       CAST(SUM((nf * 1000000) // sample_rate) AS BIGINT) AS dur_us,
         |       CAST(SUM(sa) AS BIGINT) AS sum_abs
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // PPM twin of the WAV oracle: per-channel sums recomputed from the
+    // shared pixel arithmetic (channel = byte index % 3).
+    "multimodal_image_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id, 4 + (doc_id % 13) AS w, 3 + (doc_id % 7) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS j
+        |  FROM p),
+        |a AS (
+        |  SELECT doc_id, w, h,
+        |         SUM(CASE WHEN j % 3 = 0 THEN (doc_id * 7 + j * 13) % 256 ELSE 0 END) AS sr,
+        |         SUM(CASE WHEN j % 3 = 1 THEN (doc_id * 7 + j * 13) % 256 ELSE 0 END) AS sg,
+        |         SUM(CASE WHEN j % 3 = 2 THEN (doc_id * 7 + j * 13) % 256 ELSE 0 END) AS sb
+        |  FROM s GROUP BY 1, 2, 3)
+        |SELECT CAST(w AS BIGINT) AS width,
+        |       CAST(COUNT(*) AS BIGINT) AS n_images,
+        |       CAST(SUM(w * h) AS BIGINT) AS n_pixels,
+        |       CAST(SUM(sr) AS BIGINT) AS sum_r,
+        |       CAST(SUM(sg) AS BIGINT) AS sum_g,
+        |       CAST(SUM(sb) AS BIGINT) AS sum_b
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "mr_wordcount" ->
       """SELECT word, CAST(COUNT(*) AS BIGINT) AS n

@@ -48,4 +48,38 @@ class WavCodecSpec extends AnyFunSuite {
     noFmt(12) = 'j' // corrupt the fmt tag → chunk now unknown, skipped
     intercept[IllegalArgumentException](WavCodec.parse(noFmt))
   }
+
+  // ---- PPM (P6) — the image twin ------------------------------------
+
+  import graft.multimodal.PpmCodec
+
+  private def plane(w: Int, h: Int): Array[Byte] =
+    Array.tabulate[Byte](w * h * 3)(j => ((j * 89) % 256).toByte)
+
+  test("PPM encode→parse round-trips dimensions and per-channel sums") {
+    val px = plane(5, 4)
+    val m = PpmCodec.parse(PpmCodec.encodeP6(5, 4, px))
+    assert(m.width == 5 && m.height == 4 && m.maxval == 255)
+    def ch(c: Int) = px.indices.filter(_ % 3 == c).map(j => (px(j) & 0xff).toLong).sum
+    assert((m.sumR, m.sumG, m.sumB) == (ch(0), ch(1), ch(2)))
+  }
+
+  test("PPM header scanner walks comments between any tokens") {
+    val px = plane(3, 2)
+    val plain = PpmCodec.parse(PpmCodec.encodeP6(3, 2, px))
+    val commented = PpmCodec.parse(PpmCodec.encodeP6(3, 2, px, comment = true))
+    assert(commented == plain, "header comment must not perturb the decode")
+    // comment in an unusual spot (between width and height) still parses
+    val weird = ("P6\n3 # cols\n 2\n255\n").getBytes("US-ASCII") ++ px
+    assert(PpmCodec.parse(weird) == plain)
+  }
+
+  test("PPM malformed payloads fail loudly") {
+    val ok = PpmCodec.encodeP6(3, 2, plane(3, 2))
+    intercept[IllegalArgumentException](PpmCodec.parse("P5\n1 1\n255\n".getBytes))
+    intercept[IllegalArgumentException](PpmCodec.parse(ok.dropRight(2))) // short plane
+    // 2-byte-per-sample maxval is out of scope and must be rejected
+    intercept[IllegalArgumentException](
+      PpmCodec.parse("P6\n1 1\n65535\n".getBytes ++ new Array[Byte](6)))
+  }
 }

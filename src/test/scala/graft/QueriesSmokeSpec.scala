@@ -30,6 +30,30 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
   }
 
+  /** the TEST-only allowlist — keys whose semantics cannot back a hash
+    * oracle (probabilistic sketches/recall, trigger-dependent streaming,
+    * raw-scale graph shapes) and instead carry ScalaTest semantic
+    * assertions. Keep in sync with SURVEY §2B-as-built. */
+  private val declaredTestOnly = Set(
+    "agg_approx_hll", "agg_approx_quantile", "agg_approx_topk",
+    "agg_bloom_filter", "dedup_minhash_lsh", "graph_pagerank_raw",
+    "graph_triangles_raw", "stream_dedup_stateful", "stream_stateful_count",
+    "stream_watermark_late", "ts_active_hll")
+
+  test("every query key is oracled or explicitly declared TEST-only") {
+    // the oracle-parity invariant, made structural (the r9 verdict's
+    // pipeline_corpus slipped through with neither): a new key without
+    // a DuckDB oracle fails here unless DELIBERATELY allowlisted above
+    val unverified =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- declaredTestOnly
+    assert(unverified.isEmpty,
+      s"keys with neither oracle nor TEST-only declaration: $unverified")
+    val stale = declaredTestOnly & SparkEntry.oracleSql.keySet
+    assert(stale.isEmpty, s"TEST-declared keys that now have oracles: $stale")
+    val gone = declaredTestOnly -- SparkEntry.queries.keySet
+    assert(gone.isEmpty, s"TEST-declared keys no longer in the inventory: $gone")
+  }
+
   test("golden pins: wordcount top word and flagship nations") {
     val wc = SparkEntry.queries("text_wordcount")(spark, sf).limit(1).collect()(0)
     // sf0.001 corpus: 'key' is the most frequent token (measured fixture)

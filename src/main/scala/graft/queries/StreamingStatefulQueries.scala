@@ -17,7 +17,8 @@ object StreamingStatefulQueries extends QueryPack {
     "stream_stateful_count" -> ((s, d) => StreamingJobs.statefulCount(s, d)),
     "stream_stream_join" -> ((s, d) => StreamingJobs.streamStreamJoin(s, d)),
     "stream_tws_agg" -> ((s, d) => StreamingJobs.transformWithStateAgg(s, d)),
-    "stream_foreachbatch_sink" -> ((s, d) => StreamingJobs.foreachBatchSink(s, d))
+    "stream_foreachbatch_sink" -> ((s, d) => StreamingJobs.foreachBatchSink(s, d)),
+    "stream_available_now" -> ((s, d) => StreamingJobs.availableNowDrain(s, d))
   )
 
   /** The inner stream–stream join IS oracled: inner joins emit matches
@@ -51,6 +52,14 @@ object StreamingStatefulQueries extends QueryPack {
     // finalized window exactly once, so the external parquet sink's
     // union-of-batches equals the batch tumbling aggregate.
     "stream_foreachbatch_sink" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    // the AvailableNow drain replays the same in-order backlog through
+    // bounded micro-batches (maxFilesPerTrigger=1) and self-terminates;
+    // Append-mode emission parity gives the identical batch aggregate.
+    "stream_available_now" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type,
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin

@@ -465,6 +465,91 @@ object StreamingJobs {
     } finally quietDelete(java.nio.file.Paths.get(outDir))
   }
 
+  /** the production "drain the backlog" mode: every staged chunk file
+    * sits in the watched dir UP FRONT, and one Trigger.AvailableNow run
+    * with maxFilesPerTrigger = 1 drains them as bounded micro-batches,
+    * then self-terminates — the pattern a periodic (cron-style) ingest
+    * job runs instead of an always-on stream. Append-mode watermark
+    * parity needs event-time-ordered discovery: stageChunks lands each
+    * id-range chunk in exactly ONE file (repartition by chunk), and the
+    * files are moved in with chunk-ordered names AND strictly increasing
+    * mtimes, so the source's (mtime, path) discovery order equals event
+    * order whichever key it sorts by; the terminal flush chunk advances
+    * the watermark past every real window. Result = the batch tumbling
+    * aggregate — the same oracle as stream_foreachbatch_sink.
+    */
+  def availableNowDrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir = Tmp.dir("an_sink").toString
+    try {
+      val nChunks = 2L
+      val ev = events(spark, sfDir)
+      val (n, maxTs) = bounds(ev)
+      val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
+      val staged = ev.withColumn("chunk",
+          floor(col("event_id") / lit(per.toDouble)).cast("long"))
+        .unionByName(flushRows(spark, maxTs, nChunks, 1))
+      val watch = Tmp.dir("an_watch")
+      val ckpt = Tmp.dir("an_ckpt").toString
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      var stage: String = null
+      try {
+        stage = stageChunks(staged, "an")
+        assertStagedWithin(stage, nChunks)
+        // pre-load the full backlog, discovery-ordered by chunk
+        val t0 = System.currentTimeMillis()
+        for (c <- 0L to nChunks) {
+          val dir = java.nio.file.Paths.get(stage, s"chunk=$c")
+          if (Files.exists(dir)) {
+            val listing = Files.list(dir)
+            try {
+              val files = listing.iterator()
+              var i = 0
+              while (files.hasNext) {
+                val f = files.next()
+                if (f.getFileName.toString.endsWith(".parquet")) {
+                  val dst = watch.resolve(f"c$c%03d_$i.parquet")
+                  Files.move(f, dst)
+                  Files.setLastModifiedTime(dst,
+                    java.nio.file.attribute.FileTime.fromMillis(t0 + c * 1000))
+                  i += 1
+                }
+              }
+            } finally listing.close()
+          }
+        }
+        val schema = org.apache.spark.sql.types.StructType(
+          staged.schema.filterNot(_.name == "chunk"))
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(watch.toString)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("ws"), col("event_type"), col("n"))
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            df.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          }
+          .start()
+        q.awaitTermination() // AvailableNow self-terminates when drained
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        Seq(Option(stage).map(java.nio.file.Paths.get(_).getParent).orNull,
+          watch, java.nio.file.Paths.get(ckpt)).foreach(quietDelete)
+      }
+      spark.read.parquet(outDir)
+        .drop("batch") // sink-layout partition col — never a payload
+        .filter(col("event_type") =!= "___flush")
+        .select("ws", "event_type", "n")
+        .orderBy("ws", "event_type")
+        .localCheckpoint(true)
+    } finally quietDelete(java.nio.file.Paths.get(outDir))
+  }
+
   case class UserState(n: Long, lastSeenUs: Long)
   case class UserCount(user_id: Long, n: Long, last_seen_us: Long)
 

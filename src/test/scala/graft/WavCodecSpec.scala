@@ -74,6 +74,35 @@ class WavCodecSpec extends AnyFunSuite {
     assert(PpmCodec.parse(weird) == plain)
   }
 
+  test("WAV round-trips 200 random clips exactly (seeded property)") {
+    val rnd = new scala.util.Random(20260813)
+    (1 to 200).foreach { i =>
+      val rate = 1 + rnd.nextInt(96000)
+      val channels = 1 + rnd.nextInt(8)
+      val frames = rnd.nextInt(80) // 0 frames is a legal (empty) clip
+      val samples = Array.fill[Short](frames * channels)(
+        (rnd.nextInt(65536) - 32768).toShort)
+      val m = WavCodec.parse(
+        WavCodec.encodePcm16(rate, channels, samples, extraChunk = i % 3 == 0))
+      assert(m.sampleRate == rate && m.channels == channels, s"case $i header")
+      assert(m.nFrames == frames, s"case $i frames")
+      assert(m.sumAbs == samples.map(s => math.abs(s.toLong)).sum, s"case $i digest")
+    }
+  }
+
+  test("PPM round-trips 200 random planes exactly (seeded property)") {
+    val rnd = new scala.util.Random(20260813)
+    (1 to 200).foreach { i =>
+      val w = 1 + rnd.nextInt(24)
+      val h = 1 + rnd.nextInt(24)
+      val px = Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte)
+      val m = PpmCodec.parse(PpmCodec.encodeP6(w, h, px, comment = i % 3 == 0))
+      assert(m.width == w && m.height == h, s"case $i header")
+      def ch(c: Int) = px.indices.filter(_ % 3 == c).map(j => (px(j) & 0xff).toLong).sum
+      assert((m.sumR, m.sumG, m.sumB) == (ch(0), ch(1), ch(2)), s"case $i digest")
+    }
+  }
+
   test("PPM malformed payloads fail loudly") {
     val ok = PpmCodec.encodeP6(3, 2, plane(3, 2))
     intercept[IllegalArgumentException](PpmCodec.parse("P5\n1 1\n255\n".getBytes))

@@ -87,6 +87,19 @@ object SimQueries extends QueryPack {
         .localCheckpoint(true)
     }
 
+  /** trained-cell assignment for the k-means IVF variant: 2 Lloyd
+    * rounds (ops/KMeans — cells already hash-matched by the sim_kmeans
+    * oracle) joined back to unit vectors. Memoized + eagerly
+    * checkpointed like ivfAssigned. */
+  private def kmAssigned(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.SessionMemo(s, s"ivf-km:$d") {
+      val e = embDouble(s, d)
+      graft.ops.KMeans.assignments(s, e, KmK, KmIters)
+        .join(e, "vec_id")
+        .select(col("vec_id"), VectorOps.unit(col("v")).as("u"), col("cell"))
+        .localCheckpoint(true)
+    }
+
   val queries: Map[String, QueryFn] = Map(
     "sim_cosine_knn" -> ((s, d) => {
       // global top-20 most-similar pairs with a probe side capped at
@@ -262,6 +275,32 @@ object SimQueries extends QueryPack {
         .orderBy("nprobe")
     }),
 
+    "sim_ann_ivf_kmeans" -> ((s, d) => {
+      // IVF with TRAINED coarse cells: the identical inverted-list
+      // search as sim_ann_ivf, but cells come from 2 Lloyd rounds
+      // (ops/KMeans, k=16) instead of hash buckets — the index-quality
+      // knob sim_ann_recall_sweep shows hash-bucket cells lack (trained
+      // cells put neighbors together, so the same single-cell probe
+      // recovers far more of the exact top-3 — measured in
+      // SemanticsSpec). The Lloyd cell sets already hash-match DuckDB
+      // (sim_kmeans), so the search tail rides the proven contract.
+      graft.GraftFunctions.register(s)
+      val assigned = kmAssigned(s, d)
+      val probes = assigned.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("a"), col("u").as("ua"), col("cell"))
+      val cands = assigned
+        .select(col("vec_id").as("b"), col("u").as("ub"), col("cell"))
+      val w = Window.partitionBy("a").orderBy(col("sim").desc, col("b"))
+      probes.join(cands, Seq("cell"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          round(expr("graft_dot(ua, ub)"), 4).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("a", "rank", "b", "sim")
+        .orderBy("a", "rank")
+    }),
+
     "sim_kmeans" -> ((s, d) => {
       // embedding k-means (Lloyd): the clustering step behind
       // cluster-balanced sampling and mixture analysis — k=16 cells,
@@ -333,8 +372,10 @@ object SimQueries extends QueryPack {
   private val KmIters = 2
 
   /** ops/KMeans unrolled as a CTE chain generated from the shared
-    * constants (the agg_spatial_octree / graph_pagerank pattern). */
-  private def kmeansSql(k: Int, iters: Int): String = {
+    * constants (the agg_spatial_octree / graph_pagerank pattern);
+    * yields CTEs up to `a$iters(vec_id, v, cell, d2)` — shared by the
+    * sim_kmeans oracle and the trained-IVF search oracle. */
+  private def kmeansCte(k: Int, iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""ex$i AS (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos
          |          FROM a${i - 1}),
@@ -352,12 +393,15 @@ object SimQueries extends QueryPack {
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
          |    FROM d$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, $vd AS v FROM embeddings),
        |a0 AS (SELECT vec_id, v, vec_id % $k AS cell FROM e),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def kmeansSql(k: Int, iters: Int): String =
+    s"""WITH ${kmeansCte(k, iters)}
        |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(d2), 2) AS inertia
        |FROM a$iters GROUP BY cell ORDER BY cell""".stripMargin
-  }
 
   private def annSql: String = {
     val buckets = (0 until PLANES).map { j =>
@@ -390,6 +434,22 @@ object SimQueries extends QueryPack {
     "sim_ann_lsh" -> annSql,
 
     "sim_kmeans" -> kmeansSql(KmK, KmIters),
+
+    // the trained-cell IVF search: the sim_kmeans CTE chain (cells
+    // a$KmIters) + the sim_ann_ivf search tail
+    "sim_ann_ivf_kmeans" ->
+      s"""WITH ${kmeansCte(KmK, KmIters)},
+         |pairs AS (
+         |  SELECT p.vec_id AS a, c.vec_id AS b,
+         |         ROUND(list_cosine_similarity(p.v, c.v), 4) AS sim
+         |  FROM a$KmIters p JOIN a$KmIters c
+         |    ON p.cell = c.cell AND p.vec_id <> c.vec_id
+         |  WHERE p.vec_id < 100),
+         |ranked AS (
+         |  SELECT a, b, sim,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b) AS INT) AS rank
+         |  FROM pairs)
+         |SELECT a, rank, b, sim FROM ranked WHERE rank <= 3 ORDER BY a, rank""".stripMargin,
 
     "sim_quantize_int8" ->
       s"""WITH e AS (SELECT vec_id, label, $vd AS v FROM embeddings),

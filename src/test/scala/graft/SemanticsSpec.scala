@@ -349,6 +349,39 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("trained IVF cells beat hash-bucket cells on recall@3") {
+    // the index-quality claim behind sim_ann_ivf_kmeans: Lloyd-trained
+    // coarse cells put neighbors together, so the same single-cell
+    // search recovers strictly more of the exact top-3 than hash
+    // buckets (measured ~3× at sf0.001/sf0.01 — everything here is
+    // deterministic, so the comparison cannot flake)
+    def top3(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hash = top3("sim_ann_ivf")
+    val trained = top3("sim_ann_ivf_kmeans")
+    // exact top-3 via a driver-side brute force over unit vectors
+    // (fine at the test SF), same rounded-sim + b tie-break contract
+    import graft.ops.VectorOps
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        VectorOps.unit(VectorOps.toDouble(
+          org.apache.spark.sql.functions.col("embedding"))).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val exactSet = e.filter(_._1 < 100).flatMap { case (a, ua) =>
+      e.filter(_._1 != a)
+        .map { case (b, ub) =>
+          val sim = math.rint(ua.zip(ub).map { case (x, y) => x * y }.sum * 1e4) / 1e4
+          (b, sim)
+        }
+        .sortBy { case (b, sim) => (-sim, b) }
+        .take(3).map { case (b, _) => (a, b) }
+    }.toSet
+    val rHash = (hash & exactSet).size.toDouble / exactSet.size
+    val rTrained = (trained & exactSet).size.toDouble / exactSet.size
+    assert(rTrained > rHash,
+      s"trained recall $rTrained not above hash-bucket recall $rHash")
+  }
+
   test("stream_stateful_count replays identically under the RocksDB state store") {
     // SURVEY §7.4.5 names RocksDB as the at-scale provider (state >
     // executor memory); transformWithState already requires it, but the

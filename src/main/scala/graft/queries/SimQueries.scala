@@ -301,6 +301,29 @@ object SimQueries extends QueryPack {
         .orderBy("a", "rank")
     }),
 
+    "sample_cluster_cap" -> ((s, d) => {
+      // cluster-balanced (semantic-diversity) sampling — the
+      // embedding-space twin of sample_domain_cap: cap each LEARNED
+      // cluster (the memoized 2-Lloyd-round cells) at 50 vectors chosen
+      // by portable md5 order, so no semantic mode dominates the
+      // mixture; per-cell kept/total accounting. Same scale shape as
+      // the domain cap: the rank ≤ K filter compiles to
+      // WindowGroupLimit (K rows per map task, pinned there), the
+      // md5-order survivor set is rerun-stable and engine-independent.
+      val K = 50
+      val cells = kmAssigned(s, d).select(col("vec_id"), col("cell"))
+      val w = Window.partitionBy("cell")
+        .orderBy(graft.ops.TextOps.md5Long(col("vec_id").cast("string")),
+          col("vec_id"))
+      val kept = cells.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .groupBy("cell").agg(count(lit(1)).as("n_kept"))
+      cells.groupBy("cell").agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("cell"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .orderBy("cell")
+    }),
+
     "sim_kmeans" -> ((s, d) => {
       // embedding k-means (Lloyd): the clustering step behind
       // cluster-balanced sampling and mixture analysis — k=16 cells,
@@ -434,6 +457,17 @@ object SimQueries extends QueryPack {
     "sim_ann_lsh" -> annSql,
 
     "sim_kmeans" -> kmeansSql(KmK, KmIters),
+
+    "sample_cluster_cap" -> {
+      val h = graft.ops.TextOps.md5LongSql("CAST(vec_id AS VARCHAR)")
+      s"""WITH ${kmeansCte(KmK, KmIters)},
+         |r AS (SELECT vec_id, cell,
+         |             ROW_NUMBER() OVER (PARTITION BY cell ORDER BY $h, vec_id) AS rk
+         |      FROM a$KmIters)
+         |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN rk <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM r GROUP BY cell ORDER BY cell""".stripMargin
+    },
 
     // the trained-cell IVF search: the sim_kmeans CTE chain (cells
     // a$KmIters) + the sim_ann_ivf search tail

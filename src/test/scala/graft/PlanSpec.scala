@@ -415,6 +415,20 @@ class PlanSpec extends SparkSpec {
       "quantization grew an exchange beyond bounds/report/sort")
   }
 
+  test("sample_cluster_cap: the rank≤K filter compiles to WindowGroupLimit") {
+    // same contract as sample_domain_cap, over the memoized trained
+    // cells: InferWindowGroupLimit must still fire with an
+    // InMemoryTableScan input — a hot cluster ships K rows per map
+    // task, never its whole vector set
+    val p = planOf("sample_cluster_cap")
+    val limits = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.length >= 2,
+      s"expected partial (map-side) + final WindowGroupLimit, got ${limits.length}")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("sample_domain_cap: the rank≤K filter compiles to WindowGroupLimit") {
     // the whole point of the rank-filter formulation: Catalyst's
     // InferWindowGroupLimit rewrites rk≤100 into WindowGroupLimitExec,

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded k-core peeling — the degeneracy-ordering primitive a link
+  * graph audit runs to separate a crawl's dense "core" (link farms,
+  * navigational hubs) from its tree-like fringe. Exact convergence is
+  * data-dependent, so the OPERATOR contract is a fixed round count
+  * (the PageRank/BFS precedent: iteration count is part of the
+  * declared semantics, making the result engine-portable): each round
+  * recomputes degrees on the surviving subgraph and drops every node
+  * with degree < k, together with its edges.
+  *
+  * Scale shape per round: one hash aggregate for degrees (the node
+  * stream is the edge list exploded both ways — map-side combinable)
+  * and two semi-joins of the edge list against the surviving node set,
+  * all hash-partitioned equi-ops; rounds are a small constant, so the
+  * whole peel is a fixed-depth chain of shuffles on `node` — no
+  * driver-side iteration state beyond the loop counter.
+  */
+object KCore {
+
+  /** @param edges  (src, dst) long columns; directed multigraph in —
+    *               normalized inside to a simple undirected graph
+    *               (orientation-canonicalized, dedup'd, self-loops
+    *               dropped)
+    * @param k      peel threshold: nodes with degree < k drop
+    * @param rounds fixed peel rounds (the declared semantics)
+    * @return (node, deg) — nodes surviving all rounds, with their
+    *         degree in the FINAL surviving subgraph
+    */
+  def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    def degrees(e: DataFrame) = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    var e = und
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select("node")
+      e = e.join(keep, e("a") === keep("node"), "left_semi")
+      e = e.join(keep, e("b") === keep("node"), "left_semi")
+    }
+    degrees(e)
+  }
+}

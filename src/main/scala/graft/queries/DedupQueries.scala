@@ -39,8 +39,25 @@ object DedupQueries extends QueryPack {
     * traverses, which would make a no-cartesian pin on the query
     * vacuous.
     */
-  private[graft] def minePairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val docs = T.documents(s, d)
+  private[graft] def minePairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    minePairBase(s, d)
+      .withColumn("j", round(col("inter").cast("double")
+        / (col("sza") + col("szb") - col("inter")), 4))
+      .filter(col("j") >= 0.5)
+      .select("a", "b", "j")
+
+  /** the shared capped-shingle pair mining: every co-sharing pair
+    * `a < b` with its shared-shingle count and both set sizes —
+    * Jaccard (minePairs) and the overlap coefficient
+    * (dedup_containment) are both one map-side expression over this
+    * table, so the inverted-index pipeline exists once. */
+  private[graft] def minePairBase(s: org.apache.spark.sql.SparkSession, d: String) =
+    minePairBaseOn(T.documents(s, d))
+
+  /** same mining over an arbitrary (doc_id, text) corpus —
+    * dedup_containment feeds it the excerpt-seeded corpus. */
+  private[graft] def minePairBaseOn(corpus: org.apache.spark.sql.DataFrame) = {
+    val docs = corpus
       .select(col("doc_id"), array_distinct(
         TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
     val inv0 = docs.select(col("doc_id"), explode(col("sh")).as("s"))
@@ -67,10 +84,6 @@ object DedupQueries extends QueryPack {
     inter
       .join(broadcast(sizes.toDF("a", "sza")), "a")
       .join(broadcast(sizes.toDF("b", "szb")), "b")
-      .withColumn("j", round(col("inter").cast("double")
-        / (col("sza") + col("szb") - col("inter")), 4))
-      .filter(col("j") >= 0.5)
-      .select("a", "b", "j")
   }
 
   val queries: Map[String, QueryFn] = Map(
@@ -107,6 +120,39 @@ object DedupQueries extends QueryPack {
       // Mining body lives in minePairs; memoized via minedPairs so
       // dedup_cluster_cc consumes the same persisted pair table.
       minedPairs(s, d).orderBy("a", "b")
+    }),
+
+    "dedup_containment" -> ((s, d) => {
+      // doc-in-doc detection: the overlap coefficient
+      // |A∩B| / min(|A|,|B|) flags a small document embedded in a big
+      // one (boilerplate, quoted articles, page-of-a-book) — exactly
+      // the pairs Jaccard DILUTES, because the union in its denominator
+      // is dominated by the big doc. The synthetic corpus carries no
+      // natural partial containment, so (the PII-scrub seeding
+      // precedent) a deterministic excerpt corpus is ingested first on
+      // BOTH engines: the %29 slice re-enters as its own first-40%-of-
+      // tokens excerpt under an out-of-range id. Each excerpt's shingle
+      // run is contiguous in its parent, so ov(excerpt, parent) = 1.0
+      // while their Jaccard ~0.4 sits BELOW dedup_jaccard_pairs' 0.5
+      // floor — the asymmetric measure finds precisely what the
+      // symmetric one cannot. Same capped inverted-index mining
+      // (complete: ov > 0 requires a shared shingle; the DF cap bounds
+      // every posting-list bucket), then the coefficient is one
+      // map-side expression over (inter, sza, szb). Decision on the
+      // 4-dp ROUNDED value, so both engines keep identical pair sets.
+      val docs = T.documents(s, d)
+      val base = docs.agg(max("doc_id")).head.getLong(0) + 1L
+      val toks = TextOps.tokens(col("text"))
+      val excerpts = docs.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + base).as("doc_id"),
+          array_join(slice(toks, lit(1), greatest(lit(3),
+            floor(size(toks) * lit(2) / lit(5)).cast("int"))), " ").as("text"))
+      minePairBaseOn(docs.select("doc_id", "text").unionByName(excerpts))
+        .withColumn("ov", round(col("inter").cast("double")
+          / least(col("sza"), col("szb")), 4))
+        .filter(col("ov") >= 0.8)
+        .select(col("a"), col("b"), col("inter"), col("ov"))
+        .orderBy("a", "b")
     }),
 
     "dedup_threshold_sweep" -> ((s, d) => {
@@ -213,10 +259,12 @@ object DedupQueries extends QueryPack {
 
   /** capped-Jaccard CTE chain ending in `j(a, b, j)` — shared by the
     * pair oracle and the cluster (connected-components) oracle. */
-  private lazy val jaccardCtes =
+  private lazy val jaccardCtes = jaccardCtesOn("documents")
+
+  private def jaccardCtesOn(tbl: String) =
     s"""s AS (
        |  SELECT doc_id, list_distinct($shingle3) AS sh
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $tbl)),
        |inv0 AS (SELECT doc_id, unnest(sh) AS sg FROM s),
        |keep AS (SELECT sg FROM inv0 GROUP BY sg HAVING COUNT(*) <= $HotShingleDfCap),
        |inv AS (SELECT doc_id, sg FROM inv0 JOIN keep USING (sg)),
@@ -241,6 +289,24 @@ object DedupQueries extends QueryPack {
 
     "dedup_jaccard_pairs" ->
       s"WITH $jaccardCtes\nSELECT a, b, j FROM j WHERE j >= 0.5 ORDER BY a, b",
+
+    // same inverted index over the excerpt-seeded corpus, overlap
+    // coefficient instead of Jaccard
+    "dedup_containment" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+         |         array_to_string(list_slice(string_split(text, ' '), 1,
+         |           GREATEST(3, CAST(FLOOR(len(string_split(text, ' ')) * 2 / 5) AS INT))), ' ')
+         |  FROM documents WHERE doc_id % 29 = 0),
+         |${jaccardCtesOn("corpus")}
+         |SELECT a, b, CAST(n AS BIGINT) AS inter,
+         |       ROUND(CAST(n AS DOUBLE) / LEAST(sa.sz, sb.sz), 4) AS ov
+         |FROM inter JOIN sz sa ON inter.a = sa.doc_id
+         |           JOIN sz sb ON inter.b = sb.doc_id
+         |WHERE ROUND(CAST(n AS DOUBLE) / LEAST(sa.sz, sb.sz), 4) >= 0.8
+         |ORDER BY a, b""".stripMargin,
 
     "dedup_threshold_sweep" ->
       s"""WITH $jaccardCtes,

@@ -23,6 +23,13 @@ object Ext3Queries extends QueryPack {
   /** session gap: events ≥ this many µs apart start a new session. */
   private val SessionGapUs = 1800000000L // 30 min
 
+  /** quality_outliers' seeded effective length — one SQL text evaluated
+    * verbatim by BOTH engines (Spark via `expr`). */
+  private val GlitchLenSql =
+    """CASE WHEN doc_id % 31 = 0 THEN n_chars * 20
+      |     WHEN doc_id % 37 = 0 THEN 12
+      |     ELSE n_chars END""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "win_sessionize" -> ((s, d) => {
       // µs arithmetic (unix_micros ≡ epoch_us) — second-granularity
@@ -152,6 +159,46 @@ object Ext3Queries extends QueryPack {
       checks.crossJoin(orphans)
     }),
 
+    "quality_outliers" -> ((s, d) => {
+      // robust length-outlier audit (the filter a curation run applies
+      // before quality scoring trusts mean/stddev): per lang, median
+      // and MAD of the effective length, then docs beyond med ± 2·MAD
+      // flagged low/high, with an id-sum checksum pinning exact
+      // membership. The synthetic lengths are a tight uniform band with
+      // no natural outliers, so a deterministic ingest-glitch slice is
+      // seeded identically on both engines first (the PII-scrub
+      // precedent): %31 docs as 20× concat blowups, %37 docs as
+      // 12-char fragments — and the point of the robust pair is
+      // visible in the output: the seeded ~5% barely moves med/MAD
+      // while the contrast column `mean` (plain AVG) shifts hard.
+      // Median and MAD stay EXACT across engines: lengths are
+      // integral, so every interpolated median is x or x.5 — both
+      // binary-exact — and |len − med| is again integral-or-half, so
+      // the decision thresholds are identical doubles on both sides.
+      // Scale shape: two aggregate passes over documents plus two
+      // broadcast joins of the per-lang stats row (percentile's sketch
+      // is bounded by DISTINCT length values per lang, not rows).
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("lang"), expr(GlitchLenSql).as("len"))
+      val med = docs.groupBy("lang")
+        .agg(expr("percentile(len, 0.5)").as("med"))
+      val withMed = docs.join(broadcast(med), "lang")
+      val mad = withMed.groupBy("lang")
+        .agg(expr("percentile(abs(len - med), 0.5)").as("mad"))
+      withMed.join(broadcast(mad), "lang")
+        .withColumn("lo", col("len") < col("med") - lit(2) * col("mad"))
+        .withColumn("hi", col("len") > col("med") + lit(2) * col("mad"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          first("med").as("med"), first("mad").as("mad"),
+          round(avg("len"), 2).as("mean"),
+          sum(col("lo").cast("long")).as("n_low"),
+          sum(col("hi").cast("long")).as("n_high"),
+          sum(when(col("lo") || col("hi"), col("doc_id"))
+            .otherwise(lit(0L))).as("out_idsum"))
+        .orderBy("lang")
+    }),
+
     "join_exists_subquery" -> ((s, d) => {
       // correlated EXISTS + NOT EXISTS; Catalyst decorrelates to a left
       // semi join and a left anti join on o_custkey — same physical
@@ -261,6 +308,27 @@ object Ext3Queries extends QueryPack {
         |        WHERE NOT EXISTS (SELECT 1 FROM customer c
         |                          WHERE c.c_custkey = o.o_custkey)) AS orphan_orders
         |FROM orders""".stripMargin,
+
+    "quality_outliers" ->
+      s"""WITH dl AS (
+        |  SELECT doc_id, lang, ($GlitchLenSql) AS len FROM documents),
+        |med AS (
+        |  SELECT lang, quantile_cont(len, 0.5) AS med
+        |  FROM dl GROUP BY lang),
+        |mad AS (
+        |  SELECT d.lang, quantile_cont(ABS(d.len - m.med), 0.5) AS mad
+        |  FROM dl d JOIN med m ON d.lang = m.lang GROUP BY d.lang)
+        |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       ANY_VALUE(m.med) AS med, ANY_VALUE(x.mad) AS mad,
+        |       ROUND(AVG(d.len), 2) AS mean,
+        |       CAST(SUM(CASE WHEN d.len < m.med - 2 * x.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |       CAST(SUM(CASE WHEN d.len > m.med + 2 * x.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |       CAST(SUM(CASE WHEN d.len < m.med - 2 * x.mad
+        |                       OR d.len > m.med + 2 * x.mad
+        |                     THEN d.doc_id ELSE 0 END) AS BIGINT) AS out_idsum
+        |FROM dl d JOIN med m ON d.lang = m.lang
+        |          JOIN mad x ON d.lang = x.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "join_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c

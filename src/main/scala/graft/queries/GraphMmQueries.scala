@@ -70,6 +70,34 @@ object GraphMmQueries extends QueryPack {
         .limit(20)
     }),
 
+    "graph_kcore" -> ((s, d) => {
+      // bounded k-core peeling on the same 1000-node order-FK quotient
+      // graph as graph_pagerank/graph_triangles — the dense-core vs
+      // fringe separation a link-graph audit reads. k is data-derived
+      // as CEIL(0.8 × average degree) (two dimension-sized aggregate
+      // jobs for the scalar) — scale-adaptive so the peel tracks the
+      // quotient graph's density at every SF, and the 0.8 margin keeps
+      // the core non-empty: peeling a near-random graph AT its average
+      // degree cascades to nothing (measured: k=30 → 0 survivors at
+      // sf0.01; k=24 → a real 158-node core). KCoreRounds fixed rounds
+      // are the declared, engine-portable semantics (the PageRank
+      // precedent). Integer degrees → exact parity; the oracle unrolls
+      // the identical peel as a CTE chain.
+      val edges = T.orders(s, d).select(
+        pmod(col("o_custkey"), lit(1000L)).as("src"),
+        pmod(col("o_orderkey"), lit(1000L)).as("dst"))
+      val und = edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val ne = und.count()
+      val nv = und.select(explode(array(col("a"), col("b"))).as("n"))
+        .distinct().count()
+      val k = math.ceil(1.6 * ne / nv).toInt
+      graft.ops.KCore.peel(edges, k, KCoreRounds)
+        .orderBy("node")
+    }),
+
     // TEST-only (no oracle — the quotient keys above carry the hash
     // gate for the same operators): the raw-scale skew runs the r7
     // verdict asked for, timed by Bench every round and measured in
@@ -236,6 +264,36 @@ object GraphMmQueries extends QueryPack {
   /** PageRank constants shared by the query and the generated oracle. */
   private val PrDamping = 0.85
   private val PrIters = 3
+  private val KCoreRounds = 3
+
+  /** the k-core oracle: the identical fixed-round peel unrolled as a
+    * CTE chain over the shared 1000-node quotient graph. */
+  private def kcoreSql(rounds: Int): String = {
+    val und =
+      """und AS (
+        |  SELECT DISTINCT LEAST(o_custkey % 1000, o_orderkey % 1000) AS a,
+        |         GREATEST(o_custkey % 1000, o_orderkey % 1000) AS b
+        |  FROM orders WHERE o_custkey % 1000 != o_orderkey % 1000),
+        |kk AS (
+        |  SELECT CAST(CEIL(1.6 * (SELECT COUNT(*) FROM und)
+        |    / (SELECT COUNT(DISTINCT n) FROM
+        |       (SELECT a AS n FROM und UNION ALL SELECT b FROM und))) AS BIGINT) AS k),
+        |e0 AS (SELECT a, b FROM und)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""d${i - 1} AS (
+         |  SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+         |  (SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
+         |kp$i AS (SELECT node FROM d${i - 1}, kk WHERE deg >= k),
+         |e$i AS (
+         |  SELECT a, b FROM e${i - 1}
+         |  WHERE a IN (SELECT node FROM kp$i) AND b IN (SELECT node FROM kp$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $und,
+       |$steps
+       |SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+       |(SELECT a AS n FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |GROUP BY 1 ORDER BY node""".stripMargin
+  }
 
   /** the same recurrence as ops/PageRank, unrolled as a CTE chain —
     * generated from the shared constants so query and oracle cannot
@@ -268,6 +326,8 @@ object GraphMmQueries extends QueryPack {
 
   val oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pagerankSql(PrDamping, PrIters),
+
+    "graph_kcore" -> kcoreSql(KCoreRounds),
 
     // brute-force id-ordered 3-way join — orientation-independent, so
     // it oracles the compact-forward operator's output exactly

@@ -23,6 +23,23 @@ object PipelineQueries extends QueryPack {
   private val RePhone = "555-[0-9]{4}"
   private val ReIp = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
+  /** HTML tag matcher (text_html_strip) — same semantics in Java regex
+    * and DuckDB's RE2: a literal '<', any non-'>' run, '>'. */
+  private val ReTag = "<[^>]*>"
+
+  /** deterministic markup wrapped around the doc_id%19==0 slice — the
+    * seeding device (PII precedent) that gives the tag stripper known
+    * ground truth on a plain-text corpus. One SQL text evaluated
+    * verbatim by BOTH engines (Spark via `expr`): a class attribute
+    * varying with doc_id, nested tags, a self-closing tag, and an
+    * anchor whose interior text must SURVIVE the strip. */
+  private val HtmlSeedSql =
+    """CASE WHEN doc_id % 19 = 0 THEN
+      |  '<div class="d' || CAST(doc_id % 5 AS STRING) || '"><p>' || text ||
+      |  '</p><br/><a href="http://x.test/' || CAST(doc_id AS STRING) ||
+      |  '">link</a></div>'
+      |ELSE text END""".stripMargin
+
   /** deterministic PII appended to the doc_id%7==0 slice (email + phone
     * + IPv4 derived from doc_id) — the harness device that gives the
     * scrubber known ground truth on a corpus with no natural PII.
@@ -250,6 +267,20 @@ object PipelineQueries extends QueryPack {
     * the shape holds at any snapshot size.
     */
   private def snapshotDiffed(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    prevCurrJoined(s, d)
+      .withColumn("status",
+        when(col("p_h").isNull, "added")
+          .when(col("c_h").isNull, "removed")
+          .when(col("p_h") === col("c_h"), "unchanged")
+          .otherwise("changed"))
+      .withColumn("lang", coalesce(col("c_lang"), col("p_lang")))
+
+  /** the full-outer (doc_id → p_h, c_h) snapshot join underneath
+    * [[snapshotDiffed]], with both content hashes intact — merge_scd2
+    * needs the hash PAIR (its history rows carry one hash per
+    * version), the diff only the comparison verdict. */
+  private def prevCurrJoined(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val docs = T.documents(s, d)
     val addBase = docs.agg(max("doc_id")).head.getLong(0) + 1L
@@ -264,18 +295,12 @@ object PipelineQueries extends QueryPack {
           md5(col("text")).as("h")))
       .select(col("doc_id"), col("lang").as("c_lang"), col("h").as("c_h"))
     prev.join(curr, Seq("doc_id"), "full_outer")
-      .withColumn("status",
-        when(col("p_h").isNull, "added")
-          .when(col("c_h").isNull, "removed")
-          .when(col("p_h") === col("c_h"), "unchanged")
-          .otherwise("changed"))
-      .withColumn("lang", coalesce(col("c_lang"), col("p_lang")))
   }
 
   /** the same derivation in DuckDB (kept textually adjacent to
     * [[snapshotDiffed]] — the two must emit identical snapshots);
     * yields CTE `snap(doc_id, status, lang)`. */
-  private lazy val SnapshotCteSql =
+  private lazy val PrevCurrCteSql =
     """prev AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
       |curr AS (
       |  SELECT doc_id, lang,
@@ -283,7 +308,10 @@ object PipelineQueries extends QueryPack {
       |  FROM documents WHERE doc_id % 11 != 0
       |  UNION ALL
       |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), lang, md5(text)
-      |  FROM documents WHERE doc_id % 17 = 0),
+      |  FROM documents WHERE doc_id % 17 = 0)""".stripMargin
+
+  private lazy val SnapshotCteSql =
+    s"""$PrevCurrCteSql,
       |snap AS (
       |  SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
       |         CASE WHEN p.h IS NULL THEN 'added'
@@ -419,6 +447,34 @@ object PipelineQueries extends QueryPack {
           sum((regexp_count(col("scrubbed"), lit(ReEmail))
             + regexp_count(col("scrubbed"), lit(RePhone))
             + regexp_count(col("scrubbed"), lit(ReIp))).cast("long"))
+            .as("n_residual"))
+        .orderBy("lang")
+    }),
+
+    "text_html_strip" -> ((s, d) => {
+      // markup/boilerplate removal (the extraction step upstream of
+      // every text filter: web-crawled corpora arrive as HTML): strip
+      // tags to recover clean text, with per-lang accounting of what
+      // was removed. The synthetic corpus is plain text, so (the PII
+      // seeding precedent) a deterministic %19 slice is wrapped in
+      // markup derived from doc_id first — identically on both engines
+      // — and the stripper runs against known ground truth: every tag
+      // must go, tag-interior text ("link") must survive. One map-side
+      // pass (regex count + replace per row); the only shuffle is the
+      // per-lang aggregate; n_residual re-probes the cleaned text and
+      // must be 0.
+      val cleaned = T.documents(s, d)
+        .withColumn("t2", expr(HtmlSeedSql))
+        .withColumn("n_tags", regexp_count(col("t2"), lit(ReTag)))
+        .withColumn("clean", regexp_replace(col("t2"), ReTag, ""))
+      cleaned.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum((col("n_tags") > 0).cast("long")).as("n_markup_docs"),
+          sum(col("n_tags").cast("long")).as("n_tags"),
+          sum((length(col("t2")) - length(col("clean"))).cast("long"))
+            .as("chars_removed"),
+          sum(length(col("clean")).cast("long")).as("len_clean"),
+          sum(regexp_count(col("clean"), lit(ReTag)).cast("long"))
             .as("n_residual"))
         .orderBy("lang")
     }),
@@ -623,6 +679,36 @@ object PipelineQueries extends QueryPack {
       snapshotDiffed(s, d)
         .groupBy("status", "lang").agg(count(lit(1)).as("n"))
         .orderBy("status", "lang")),
+
+    "merge_scd2" -> ((s, d) => {
+      // the MERGE/upsert that dedup_snapshot_diff audits, applied as a
+      // slowly-changing-dimension type-2 history: one row per document
+      // VERSION with a validity interval over the two snapshot batches
+      // — unchanged docs keep their open batch-1 row; changed docs
+      // close batch 1 (vto=2) and open a batch-2 row; removed docs
+      // close with no successor; added docs open at batch 2. At scale
+      // the shape is prevCurrJoined's single full-outer equi-join on
+      // doc_id; the ≤2 history rows per doc come from one map-side
+      // explode of a 2-slot struct array — no second shuffle, no
+      // window. Total order (doc_id, vfrom) is unique by construction.
+      val el = "struct<h:string,vfrom:int,vto:int>"
+      prevCurrJoined(s, d)
+        .withColumn("lang", coalesce(col("c_lang"), col("p_lang")))
+        .select(col("doc_id"), col("lang"), explode(array(
+          when(col("p_h").isNotNull, struct(
+            col("p_h").as("h"), lit(1).as("vfrom"),
+            when(col("c_h").isNull || col("c_h") =!= col("p_h"), lit(2))
+              .otherwise(lit(null)).cast("int").as("vto"))).cast(el),
+          when(col("c_h").isNotNull &&
+              (col("p_h").isNull || col("p_h") =!= col("c_h")), struct(
+            col("c_h").as("h"), lit(2).as("vfrom"),
+            lit(null).cast("int").as("vto"))).cast(el))).as("r"))
+        .filter(col("r").isNotNull)
+        .select(col("doc_id"), col("lang"), col("r.h").as("h"),
+          col("r.vfrom").as("vfrom"), col("r.vto").as("vto"),
+          col("r.vto").isNull.cast("int").as("is_current"))
+        .orderBy("doc_id", "vfrom")
+    }),
 
     "pipeline_incremental" -> ((s, d) => {
       // the incremental re-curation WORK PLAN (what dedup_snapshot_diff
@@ -848,6 +934,22 @@ object PipelineQueries extends QueryPack {
          |SELECT doc_id, lang, CAST(n_removed AS BIGINT) AS n_removed, clean_text
          |FROM st WHERE n_removed > 0 ORDER BY doc_id""".stripMargin,
 
+    "text_html_strip" ->
+      s"""WITH w AS (
+         |  SELECT lang, ($HtmlSeedSql) AS t2 FROM documents),
+         |c AS (
+         |  SELECT lang, t2,
+         |         len(regexp_extract_all(t2, '$ReTag')) AS nt,
+         |         regexp_replace(t2, '$ReTag', '', 'g') AS clean
+         |  FROM w)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN nt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_markup_docs,
+         |       CAST(SUM(nt) AS BIGINT) AS n_tags,
+         |       CAST(SUM(len(t2) - len(clean)) AS BIGINT) AS chars_removed,
+         |       CAST(SUM(len(clean)) AS BIGINT) AS len_clean,
+         |       CAST(SUM(len(regexp_extract_all(clean, '$ReTag'))) AS BIGINT) AS n_residual
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
     "text_pii_scrub" ->
       s"""WITH seeded AS ($PiiSeededSql),
          |c AS (
@@ -996,6 +1098,28 @@ object PipelineQueries extends QueryPack {
       s"""WITH $SnapshotCteSql
          |SELECT status, lang, CAST(COUNT(*) AS BIGINT) AS n
          |FROM snap GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the same prev/curr snapshots, applied as an SCD-2 upsert: UNION
+    // of the closed/open history rows the Spark side derives from its
+    // 2-slot struct explode
+    "merge_scd2" ->
+      s"""WITH $PrevCurrCteSql,
+         |m AS (
+         |  SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+         |         COALESCE(c.lang, p.lang) AS lang,
+         |         p.h AS p_h, c.h AS c_h
+         |  FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id),
+         |hist AS (
+         |  SELECT doc_id, lang, p_h AS h, 1 AS vfrom,
+         |         CASE WHEN c_h IS NULL OR c_h != p_h THEN 2 END AS vto
+         |  FROM m WHERE p_h IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, lang, c_h, 2, NULL
+         |  FROM m WHERE c_h IS NOT NULL AND (p_h IS NULL OR p_h != c_h))
+         |SELECT doc_id, lang, h, CAST(vfrom AS INT) AS vfrom,
+         |       CAST(vto AS INT) AS vto,
+         |       CAST(CASE WHEN vto IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+         |FROM hist ORDER BY doc_id, vfrom""".stripMargin,
 
     // snapshot diff × funnel verdicts: the CTE namespaces are disjoint
     // (prev/curr/snap vs d/s1../s4), and each chain hash-matches

@@ -164,6 +164,43 @@ object ExtQueries extends QueryPack {
         .orderBy("event_type", "h")
     }),
 
+    "ts_anomaly" -> ((s, d) => {
+      // trailing z-score anomaly flags on the daily event-count series
+      // — the volume-spike alert an ingest pipeline runs per source.
+      // Daily counts are uniform by construction, so a deterministic
+      // spike slice is seeded identically on both engines first (the
+      // glitch-seeding precedent): day-of-month 13 triples. Mean/std
+      // come from the 7 STRICTLY PRECEDING days over INTEGER counts —
+      // the day under test is excluded from its own baseline, else the
+      // spike inflates its own std and masks itself (measured: the
+      // trailing-inclusive frame flags nothing). Σn and Σn² are exact
+      // longs, so mean, the sample-variance rational, and the IEEE
+      // sqrt are identical doubles on both engines, and the
+      // |n−mean| > 3σ decision is exact. Full frames only (x ≥ 7);
+      // the aggregate-then-window shape keeps the windowed stream at
+      // types × days rows, never raw events.
+      val daily = T.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n0"))
+        .withColumn("n",
+          when(dayofmonth(col("day")) === 13, col("n0") * 3).otherwise(col("n0")))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val wf = w.rowsBetween(-7, -1)
+      daily.select(col("event_type"), col("day"), col("n"),
+          (row_number().over(w) - 1).as("x"),
+          sum("n").over(wf).as("s1"),
+          sum(col("n") * col("n")).over(wf).as("s2"))
+        .filter(col("x") >= 7)
+        .withColumn("mean", col("s1").cast("double") / 7.0)
+        .withColumn("std", sqrt((lit(7) * col("s2") - col("s1") * col("s1"))
+          .cast("double") / (7.0 * 6.0)))
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("mean"), 4).as("mean"), round(col("std"), 4).as("std"),
+          (abs(col("n").cast("double") - col("mean")) > lit(3) * col("std"))
+            .cast("int").as("is_anomaly"))
+        .orderBy("event_type", "day")
+    }),
+
     // trailing-7-day (WAU) and trailing-30-day (MAU) active users —
     // the deliberate pair, one shape, window length the only knob
     // (the r7 verdict's watch item: the 30-day variant must adopt the
@@ -303,6 +340,29 @@ object ExtQueries extends QueryPack {
         |       levenshtein(p_name, 'forest green') AS lev_fixed,
         |       levenshtein(p_name, p_brand) AS lev_brand
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "ts_anomaly" ->
+      """WITH d0 AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n0
+        |  FROM events GROUP BY 1, 2),
+        |d1 AS (
+        |  SELECT event_type, day,
+        |         CASE WHEN EXTRACT(day FROM day) = 13 THEN n0 * 3 ELSE n0 END AS n
+        |  FROM d0),
+        |f AS (
+        |  SELECT event_type, day, n,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS x,
+        |         SUM(n) OVER w AS s1, SUM(n * n) OVER w AS s2
+        |  FROM d1
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+        |       ROUND(CAST(s1 AS DOUBLE) / 7.0, 4) AS mean,
+        |       ROUND(SQRT(CAST(7 * s2 - s1 * s1 AS DOUBLE) / (7.0 * 6.0)), 4) AS std,
+        |       CAST(CASE WHEN ABS(CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / 7.0)
+        |                      > 3 * SQRT(CAST(7 * s2 - s1 * s1 AS DOUBLE) / (7.0 * 6.0))
+        |                 THEN 1 ELSE 0 END AS INT) AS is_anomaly
+        |FROM f WHERE x >= 7 ORDER BY event_type, day""".stripMargin,
 
     "ts_gapfill" ->
       """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt

@@ -64,6 +64,37 @@ object WindowQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    "win_linreg" -> ((s, d) => {
+      // trailing least-squares slope per user — the local-trend signal
+      // a metric stream feeds into drift alerts: over the last 6
+      // events (5 preceding + current, full frames only), regress
+      // value on the per-user sequence index. EXACT parity by
+      // construction: x is an integer index, y is the 2-dp value
+      // recovered into DECIMAL (the Sql.lineNet precedent), so every
+      // windowed sum (Σx, Σy, Σxy, Σx², all decimal/integer) is exact
+      // and associative on both engines; the single double division at
+      // the end consumes identical operands. One hash shuffle into
+      // user partitions; frames evaluate streaming within each sorted
+      // partition.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wf = w.rowsBetween(-5, 0)
+      val e = T.events(s, d).select(col("user_id"), col("ts"),
+          col("event_id"), col("value").cast("decimal(12,2)").as("y"))
+        .withColumn("x", (row_number().over(w) - 1).cast("long"))
+      e.select(col("user_id"), col("event_id"), col("x"),
+          count(lit(1)).over(wf).as("n"),
+          sum(col("x")).over(wf).as("sx"),
+          sum(col("y")).over(wf).as("sy"),
+          sum(col("x") * col("y")).over(wf).as("sxy"),
+          sum(col("x") * col("x")).over(wf).as("sxx"))
+        .filter(col("x") >= 5)
+        .select(col("user_id"), col("event_id"), col("x"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 4)
+            .as("slope"))
+        .orderBy("user_id", "x")
+    }),
+
     "win_first_last" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -129,6 +160,24 @@ object WindowQueries extends QueryPack {
         |       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
         |                              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS hour_sum
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "win_linreg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(value AS DECIMAL(12,2)) AS y,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS x
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, x,
+        |         COUNT(*) OVER w AS n,
+        |         SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+        |         SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sxx
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY x
+        |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, x,
+        |       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope
+        |FROM f WHERE x >= 5 ORDER BY user_id, x""".stripMargin,
 
     "win_first_last" ->
       """SELECT o_orderkey, o_custkey,

@@ -75,7 +75,8 @@ class PlanSpec extends SparkSpec {
     val family = Seq("dedup_minhash_lsh",
       "sim_ann_lsh", "sim_ann_ivf", "sim_similarity_join", "join_theta_range",
       "join_asof", "join_interval_bucketed", "join_skew_salted",
-      "dedup_snapshot_diff", "pipeline_incremental")
+      "dedup_snapshot_diff", "pipeline_incremental",
+      "dedup_containment", "graph_kcore")
     family.foreach { name =>
       val cart = planOf(name).collect { case c: CartesianProductExec => c }
       assert(cart.isEmpty, s"$name has a CartesianProduct node")
@@ -413,6 +414,35 @@ class PlanSpec extends SparkSpec {
     // with corpus size except the map pass itself
     assert(p.collect { case e: ShuffleExchangeExec => e }.length <= 4,
       "quantization grew an exchange beyond bounds/report/sort")
+  }
+
+  test("merge_scd2: history explode sits above the one full-outer join") {
+    // the ≤2 history rows per doc must come from a map-side Generate
+    // AFTER the snapshot join — a Generate below it would explode
+    // pre-join rows and double the shuffle; a window anywhere means the
+    // versioning degenerated into a sort. Exchanges: two join inputs +
+    // the final ORDER BY range partition.
+    val p = planOf("merge_scd2")
+    val gens = p.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.length == 1, s"expected one Generate, got ${gens.length}")
+    assert(gens.head.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+      "the full-outer snapshot join must sit UNDER the history explode")
+    assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty)
+    assert(p.collect { case e: ShuffleExchangeExec => e }.length <= 3,
+      "merge_scd2 grew an exchange beyond join inputs + final sort")
+  }
+
+  test("win_linreg: both window passes reuse one user_id partitioning") {
+    // x (row_number) and the frame sums are separate window passes, but
+    // both partition by user_id — Catalyst must not add a second hash
+    // exchange between them (≤2 exchanges: the window hash + the final
+    // ORDER BY range)
+    val p = planOf("win_linreg")
+    val wins = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty && wins.length <= 2,
+      s"expected 1-2 window passes, got ${wins.length}")
+    assert(p.collect { case e: ShuffleExchangeExec => e }.length <= 2,
+      "the frame-sums pass must reuse the row_number pass's partitioning")
   }
 
   test("sample_cluster_cap: the rank≤K filter compiles to WindowGroupLimit") {

@@ -33,6 +33,59 @@ class SemanticsSpec extends SparkSpec {
     assert(high.subsetOf(lsh), s"LSH missed high-J pairs: ${high -- lsh}")
   }
 
+  test("merge_scd2 history is consistent with the snapshot diff's verdicts") {
+    // cross-key invariant over the SAME prev/curr derivation: a changed
+    // doc contributes exactly two history rows (closed + open), every
+    // other status one — so total rows and the open-row count are both
+    // linear functions of the diff's per-status counts.
+    val diff = SparkEntry.queries("dedup_snapshot_diff")(spark, sf)
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+      .withDefaultValue(0L)
+    val hist = SparkEntry.queries("merge_scd2")(spark, sf).cache()
+    try {
+      val total = hist.count()
+      val open = hist.filter(col("is_current") === 1).count()
+      val closed = hist.filter(col("vto").isNotNull).count()
+      assert(total == diff("unchanged") + diff("added") + diff("removed")
+        + 2 * diff("changed"),
+        s"history rows $total vs diff $diff")
+      assert(open == diff("unchanged") + diff("added") + diff("changed"))
+      assert(closed == diff("removed") + diff("changed"))
+    } finally hist.unpersist()
+  }
+
+  test("dedup_containment: every seeded excerpt is found fully contained in its parent") {
+    // the seeding contract: the %29 slice's excerpt (parent_id + base)
+    // shares a contiguous shingle run with its parent, so the pair
+    // (parent, excerpt) must surface with overlap coefficient 1.0 —
+    // unless the excerpt is too short to carry a 3-shingle at all.
+    val docs = T.documents(spark, sf)
+    val base = docs.agg(max("doc_id")).head.getLong(0) + 1L
+    val eligible = docs.filter(col("doc_id") % 29 === 0)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = SparkEntry.queries("dedup_containment")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val excerptPairs = pairs.filter { case (a, b, _) => b - base == a }
+    assert(excerptPairs.nonEmpty, "no excerpt-in-parent pairs surfaced")
+    excerptPairs.foreach { case (a, b, ov) =>
+      assert(ov == 1.0, s"excerpt $b in parent $a has ov $ov != 1.0")
+    }
+    // completeness: every eligible seeded excerpt is recovered
+    val found = excerptPairs.map(_._1).toSet
+    assert(eligible.subsetOf(found),
+      s"seeded excerpts missed by the mining: ${eligible -- found}")
+  }
+
+  test("ts_anomaly flags the seeded day-13 spike") {
+    val rows = SparkEntry.queries("ts_anomaly")(spark, sf).collect()
+    val day13 = rows.filter(_.getTimestamp(1).toLocalDateTime.getDayOfMonth == 13)
+    assert(day13.nonEmpty, "no day-13 rows in the full-frame output")
+    assert(day13.exists(_.getInt(5) == 1),
+      "the seeded 3x day-13 spike was not flagged by the 3-sigma fence")
+  }
+
   test("streaming watermark job drops held-back late events") {
     val streamed = SparkEntry.queries("stream_watermark_late")(spark, sf)
       .agg(sum("n")).collect()(0).getLong(0)

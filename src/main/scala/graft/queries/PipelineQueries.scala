@@ -451,6 +451,32 @@ object PipelineQueries extends QueryPack {
         .orderBy("lang")
     }),
 
+    "pipeline_shards" -> ((s, d) => {
+      // the training-export shard audit: assign every document to one
+      // of 16 output shards by portable content-independent hash (the
+      // md5-of-id device every sampler here uses), then publish the
+      // balance sheet a dataloader team reads before training — per
+      // shard: docs, tokens, chars, and the doc-count skew vs the ideal
+      // uniform share. Hash sharding is the 100 TB answer to "no shard
+      // may be a hot spot": the audit PROVES balance instead of
+      // assuming it. One aggregate shuffle on the 16-value shard key
+      // (map-side combined); the global total rides a broadcast of the
+      // 16-row aggregate, never a second corpus pass.
+      val docs = T.documents(s, d)
+        .withColumn("shard",
+          pmod(TextOps.md5Long(col("doc_id").cast("string")), lit(16L)))
+        .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
+      val per = docs.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          sum(col("n_chars").cast("long")).as("n_chars"))
+      val tot = per.agg(sum("n_docs").as("total"))
+      per.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_chars"),
+          round(col("n_docs").cast("double")
+            / (col("total").cast("double") / 16.0), 4).as("skew"))
+        .orderBy("shard")
+    }),
+
     "text_html_strip" -> ((s, d) => {
       // markup/boilerplate removal (the extraction step upstream of
       // every text filter: web-crawled corpora arrive as HTML): strip
@@ -933,6 +959,21 @@ object PipelineQueries extends QueryPack {
          |       GROUP BY 1, 2)
          |SELECT doc_id, lang, CAST(n_removed AS BIGINT) AS n_removed, clean_text
          |FROM st WHERE n_removed > 0 ORDER BY doc_id""".stripMargin,
+
+    "pipeline_shards" ->
+      s"""WITH sh AS (
+         |  SELECT ${TextOps.md5LongSql("CAST(doc_id AS STRING)")} % 16 AS shard,
+         |         len(string_split(text, ' ')) AS n_tok, n_chars
+         |  FROM documents),
+         |per AS (
+         |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         |  FROM sh GROUP BY shard)
+         |SELECT shard, n_docs, n_tokens, n_chars,
+         |       ROUND(CAST(n_docs AS DOUBLE)
+         |             / (CAST((SELECT SUM(n_docs) FROM per) AS DOUBLE) / 16.0), 4) AS skew
+         |FROM per ORDER BY shard""".stripMargin,
 
     "text_html_strip" ->
       s"""WITH w AS (

@@ -108,6 +108,36 @@ object ScalarFnQueries extends QueryPack {
           col("s.o_orderdate").as("dt"))
         .orderBy(col("p").desc, col("o_orderkey"))
         .limit(50)
+    }),
+
+    "fn_url" -> ((s, d) => {
+      // URL decomposition via Spark's parse_url built-in — the
+      // provenance-extraction step a web corpus runs before per-domain
+      // policy (dedup caps, licence filters, domain mixing). URLs are
+      // synthesized from the shared columns (the corpus carries no
+      // natural ones), parsed back with parse_url(HOST/PATH/QUERY key),
+      // then profiled per host. The oracle decomposes the same strings
+      // with anchored regexes, NULLIF-normalized to parse_url's
+      // NULL-on-missing contract (the %13 slice omits the query string
+      // to exercise it). Pure map-side derivation; one profile shuffle.
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.org/docs/"), col("lang"), lit("/"),
+        col("doc_id").cast("string"),
+        when(col("doc_id") % 13 === 0, lit(""))
+          .otherwise(concat(lit("?ref=r"), (col("doc_id") % 7).cast("string"),
+            lit("&fmt=txt"))))
+      T.documents(s, d)
+        .withColumn("url", url)
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("ref")).as("n_refs"),
+          sum(isnull(col("ref")).cast("long")).as("n_noquery"),
+          countDistinct(col("path")).as("n_paths"))
+        .orderBy("host")
     })
   )
 
@@ -174,6 +204,29 @@ object ScalarFnQueries extends QueryPack {
     "fn_struct" ->
       """SELECT o_orderkey, o_totalprice AS p, o_orderdate AS dt
         |FROM orders
-        |ORDER BY p DESC, o_orderkey LIMIT 50""".stripMargin
+        |ORDER BY p DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    // same synthesized URLs decomposed with anchored regexes; NULLIF('')
+    // mirrors parse_url's NULL-on-missing
+    "fn_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'https://' || source || '.example.org/docs/' || lang || '/'
+        |           || CAST(doc_id AS STRING)
+        |           || CASE WHEN doc_id % 13 = 0 THEN ''
+        |                   ELSE '?ref=r' || CAST(doc_id % 7 AS STRING) || '&fmt=txt' END
+        |           AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |         NULLIF(regexp_extract(url, '^https?://([^/:?#]+)', 1), '') AS host,
+        |         NULLIF(regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1), '') AS path,
+        |         NULLIF(regexp_extract(url, '[?&]ref=([^&#]*)', 1), '') AS ref
+        |  FROM u)
+        |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(DISTINCT ref) AS BIGINT) AS n_refs,
+        |       CAST(SUM(CASE WHEN ref IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_noquery,
+        |       CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths
+        |FROM p GROUP BY host ORDER BY host""".stripMargin
   )
 }

@@ -33,11 +33,49 @@ object PpmCodec {
     out
   }
 
-  /** parse any binary P6: tokenizing header scanner (whitespace +
-    * comments), then the raw plane. Throws IllegalArgumentException on
-    * malformed input — corrupt payloads surface, never decode to
-    * garbage. */
-  def parse(bytes: Array[Byte]): PpmMeta = {
+  /** nearest-neighbor 2× downsample as a REAL byte-level transform:
+    * decode the P6 plane, keep every even-coordinate pixel
+    * (out(x,y) = in(2x,2y), so out dims are ceil(in/2)), re-encode as
+    * P6. This is the decode→transform→encode shape a thumbnailing /
+    * vision-preprocessing stage runs per row; any offset or stride bug
+    * changes the re-parsed digests and fails the oracle. */
+  def downsample2(bytes: Array[Byte]): Array[Byte] = {
+    val (w, h, pixels) = decodeP6(bytes)
+    val w2 = (w + 1) / 2
+    val h2 = (h + 1) / 2
+    val out = new Array[Byte](w2 * h2 * 3)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val src = (2 * y * w + 2 * x) * 3
+        val dst = (y * w2 + x) * 3
+        out(dst) = pixels(src)
+        out(dst + 1) = pixels(src + 1)
+        out(dst + 2) = pixels(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    encodeP6(w2, h2, out)
+  }
+
+  /** full decode: header fields + the raw interleaved RGB plane (the
+    * transform-path entry; [[parse]] stays the digest-only reader).
+    * The plane is located by re-scanning the header — NOT by counting
+    * back from the end — so payloads with trailing bytes decode the
+    * same plane [[parse]] digests. */
+  def decodeP6(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val (w, h, _, off) = header(bytes)
+    val n = w * h * 3
+    val plane = new Array[Byte](n)
+    System.arraycopy(bytes, off, plane, 0, n)
+    (w, h, plane)
+  }
+
+  /** tokenizing P6 header scan shared by [[parse]] and [[decodeP6]]:
+    * (width, height, maxval, plane offset). */
+  private def header(bytes: Array[Byte]): (Int, Int, Int, Int) = {
     require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
       "not a binary PPM (P6) payload")
     var off = 2
@@ -61,8 +99,18 @@ object PpmCodec {
     require(width > 0 && height > 0, "degenerate dimensions")
     require(maxval > 0 && maxval < 256, s"only 1-byte-per-sample PPM (maxval=$maxval)")
     off += 1 // exactly ONE whitespace byte separates maxval from the plane
+    require(off + width * height * 3 <= bytes.length,
+      "pixel plane overruns payload")
+    (width, height, maxval, off)
+  }
+
+  /** parse any binary P6: tokenizing header scanner (whitespace +
+    * comments), then the raw plane. Throws IllegalArgumentException on
+    * malformed input — corrupt payloads surface, never decode to
+    * garbage. */
+  def parse(bytes: Array[Byte]): PpmMeta = {
+    val (width, height, maxval, off) = header(bytes)
     val n = width * height * 3
-    require(off + n <= bytes.length, "pixel plane overruns payload")
     var sr = 0L; var sg = 0L; var sb = 0L
     var j = 0
     while (j < n) {

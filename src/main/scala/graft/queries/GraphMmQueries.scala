@@ -247,6 +247,37 @@ object GraphMmQueries extends QueryPack {
         .orderBy("width")
     }),
 
+    "multimodal_resize" -> ((s, d) => {
+      // the decode→TRANSFORM→encode path (thumbnailing / vision
+      // preprocessing): synthesize the same P6 payloads as
+      // multimodal_image_meta, nearest-neighbor 2×-downsample THE
+      // BYTES (PpmCodec.downsample2: real decode, stride-2 plane walk,
+      // real re-encode), then re-parse the resized image and profile
+      // its dimensions + exact channel digests. The oracle recomputes
+      // the even-coordinate pixel sums arithmetically, so any stride,
+      // offset, or re-encode bug hash-mismatches. One mapPartitions
+      // pass; the only shuffle is the per-width profile.
+      import s.implicits._
+      T.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val w = (4 + id % 13).toInt
+            val h = (3 + id % 7).toInt
+            val px = Array.tabulate[Byte](w * h * 3)(j =>
+              ((id * 7 + j.toLong * 13) % 256).toByte)
+            val m = PpmCodec.parse(PpmCodec.downsample2(
+              PpmCodec.encodeP6(w, h, px, comment = id % 4 == 0)))
+            (m.width.toLong, m.height.toLong,
+              m.width.toLong * m.height, m.sumR, m.sumG, m.sumB)
+          }
+        }
+        .toDF("w", "h", "px", "sr", "sg", "sb")
+        .groupBy(col("w").as("width"))
+        .agg(count(lit(1)).as("n_images"), sum("px").as("n_pixels"),
+          sum("sr").as("sum_r"), sum("sg").as("sum_g"), sum("sb").as("sum_b"))
+        .orderBy("width")
+    }),
+
     "mr_wordcount" -> ((s, d) => {
       // wordcount through the Mimir-style MapReduce facade (§2A):
       // map(tokenize) → map-side combine → reduce(sum).
@@ -430,6 +461,35 @@ object GraphMmQueries extends QueryPack {
 
     // PPM twin of the WAV oracle: per-channel sums recomputed from the
     // shared pixel arithmetic (channel = byte index % 3).
+    // the resized plane's expectations, recomputed arithmetically: out
+    // pixel (x2, y2) reads source index (2*y2*w + 2*x2)*3 + channel
+    "multimodal_resize" ->
+      """WITH p AS (
+        |  SELECT doc_id, 4 + (doc_id % 13) AS w, 3 + (doc_id % 7) AS h
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, w, (w + 1) // 2 AS w2, (h + 1) // 2 AS h2 FROM p),
+        |s AS (
+        |  SELECT doc_id, w, w2, h2, unnest(range(0, w2 * h2)) AS p2
+        |  FROM q),
+        |c AS (
+        |  SELECT doc_id, w2, h2,
+        |         (2 * (p2 // w2) * w + 2 * (p2 % w2)) * 3 AS j0
+        |  FROM s),
+        |a AS (
+        |  SELECT doc_id, w2, h2,
+        |         SUM((doc_id * 7 + j0 * 13) % 256) AS sr,
+        |         SUM((doc_id * 7 + (j0 + 1) * 13) % 256) AS sg,
+        |         SUM((doc_id * 7 + (j0 + 2) * 13) % 256) AS sb
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT CAST(w2 AS BIGINT) AS width,
+        |       CAST(COUNT(*) AS BIGINT) AS n_images,
+        |       CAST(SUM(w2 * h2) AS BIGINT) AS n_pixels,
+        |       CAST(SUM(sr) AS BIGINT) AS sum_r,
+        |       CAST(SUM(sg) AS BIGINT) AS sum_g,
+        |       CAST(SUM(sb) AS BIGINT) AS sum_b
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "multimodal_image_meta" ->
       """WITH p AS (
         |  SELECT doc_id, 4 + (doc_id % 13) AS w, 3 + (doc_id % 7) AS h

@@ -103,6 +103,29 @@ class WavCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("PPM downsample2 picks exactly the even-coordinate pixels (seeded property)") {
+    val rnd = new scala.util.Random(20260814)
+    (1 to 100).foreach { i =>
+      val w = 1 + rnd.nextInt(24)
+      val h = 1 + rnd.nextInt(24)
+      val px = Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte)
+      val small = PpmCodec.downsample2(PpmCodec.encodeP6(w, h, px, comment = i % 3 == 0))
+      val (w2, h2, out) = PpmCodec.decodeP6(small)
+      assert(w2 == (w + 1) / 2 && h2 == (h + 1) / 2, s"case $i dims")
+      for (y <- 0 until h2; x <- 0 until w2; c <- 0 until 3)
+        assert(out((y * w2 + x) * 3 + c) == px((2 * y * w + 2 * x) * 3 + c),
+          s"case $i pixel ($x,$y,$c)")
+    }
+  }
+
+  test("PPM decodeP6 locates the plane by header scan, not payload tail") {
+    val px = plane(3, 2)
+    val withTrailing = PpmCodec.encodeP6(3, 2, px) ++ Array[Byte](9, 9, 9)
+    val (w, h, out) = PpmCodec.decodeP6(withTrailing)
+    assert(w == 3 && h == 2 && out.sameElements(px),
+      "trailing bytes must not shift the decoded plane")
+  }
+
   test("PPM malformed payloads fail loudly") {
     val ok = PpmCodec.encodeP6(3, 2, plane(3, 2))
     intercept[IllegalArgumentException](PpmCodec.parse("P5\n1 1\n255\n".getBytes))

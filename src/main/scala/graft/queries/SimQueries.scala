@@ -340,6 +340,43 @@ object SimQueries extends QueryPack {
         .orderBy("cell")
     }),
 
+    "sim_quantize_pq" -> ((s, d) => {
+      // product quantization — the OTHER vector-store compression
+      // axis: where sim_quantize_int8 narrows every coordinate (4×),
+      // PQ replaces whole subvectors with trained codebook ids
+      // (64 floats → 4 one-byte codes, 64×). The 64-dim space splits
+      // into 4 independent 16-dim subspaces; each trains its own
+      // 16-centroid codebook through the SAME deterministic Lloyd
+      // operator the IVF index uses (hash init, rounded argmin), so
+      // the per-vector squared reconstruction error is EXACTLY the sum
+      // of the four assigned d2s — no vector reassembly pass. Reported
+      // per label: avg reconstruction MSE (the compression-quality
+      // number a deployment reads next to int8's) and distinct-code
+      // utilization (how much of the 16⁴ code space the corpus
+      // occupies). Scale shape: 4 independent Lloyd trainings (each a
+      // broadcast-assign + per-(cell,dim) partial aggregate per round)
+      // and one 4-way equi-join on vec_id.
+      val e = T.embeddings(s, d).select(col("vec_id"), col("label"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+      val parts = (0 until PqM).map { m =>
+        graft.ops.KMeans.assignments(s,
+            e.select(col("vec_id"), slice(col("v"), m * PqSub + 1, PqSub).as("v")),
+            PqK, KmIters)
+          .select(col("vec_id"), col("cell").as(s"c$m"), col("d2").as(s"e$m"))
+      }
+      val joined = parts.foldLeft(e.select("vec_id", "label"))(_.join(_, "vec_id"))
+      joined
+        .withColumn("code",
+          ((col("c0") * 16 + col("c1")) * 16 + col("c2")) * 16 + col("c3"))
+        .withColumn("mse",
+          (col("e0") + col("e1") + col("e2") + col("e3")) / lit(DIM.toDouble))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg("mse"), 8).as("avg_mse"),
+          countDistinct("code").as("n_codes"))
+        .orderBy("label")
+    }),
+
     "sim_quantize_int8" -> ((s, d) => {
       // scalar int8 quantization audit — the vector-store compression
       // step (4× smaller index) and its reconstruction-error report.
@@ -394,32 +431,43 @@ object SimQueries extends QueryPack {
   private val KmK = 16
   private val KmIters = 2
 
+  /** product-quantization constants: M subspaces × Sub dims, K codes. */
+  private val PqM = 4
+  private val PqSub = DIM / PqM
+  private val PqK = 16
+
   /** ops/KMeans unrolled as a CTE chain generated from the shared
     * constants (the agg_spatial_octree / graph_pagerank pattern);
     * yields CTEs up to `a$iters(vec_id, v, cell, d2)` — shared by the
     * sim_kmeans oracle and the trained-IVF search oracle. */
-  private def kmeansCte(k: Int, iters: Int): String = {
+  /** Lloyd rounds as CTE text over an arbitrary (vec_id, v) source CTE,
+    * all names `$p`-prefixed so several independent trainings (the PQ
+    * subspaces) coexist in one WITH clause. */
+  private def kmeansRounds(p: String, src: String, k: Int, iters: Int): String = {
     val rounds = (1 to iters).map { i =>
-      s"""ex$i AS (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos
-         |          FROM a${i - 1}),
-         |cent$i AS (
+      s"""${p}ex$i AS (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+         |          FROM ${p}a${i - 1}),
+         |${p}cent$i AS (
          |  SELECT cell AS c_label, list(av ORDER BY pos) AS c
-         |  FROM (SELECT cell, pos, AVG(x) AS av FROM ex$i GROUP BY cell, pos)
+         |  FROM (SELECT cell, pos, AVG(x) AS av FROM ${p}ex$i GROUP BY cell, pos)
          |  GROUP BY cell),
-         |d$i AS (
+         |${p}d$i AS (
          |  SELECT e.vec_id, e.v, c.c_label,
          |         ROUND(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.c)
          |               + list_dot_product(c.c, c.c), 6) AS d2
-         |  FROM e CROSS JOIN cent$i c),
-         |a$i AS (
+         |  FROM $src e CROSS JOIN ${p}cent$i c),
+         |${p}a$i AS (
          |  SELECT vec_id, v, c_label AS cell, d2 FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
-         |    FROM d$i) WHERE rn = 1)""".stripMargin
+         |    FROM ${p}d$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, $vd AS v FROM embeddings),
-       |a0 AS (SELECT vec_id, v, vec_id % $k AS cell FROM e),
+    s"""${p}a0 AS (SELECT vec_id, v, vec_id % $k AS cell FROM $src),
        |$rounds""".stripMargin
   }
+
+  private def kmeansCte(k: Int, iters: Int): String =
+    s"""e AS (SELECT vec_id, $vd AS v FROM embeddings),
+       |${kmeansRounds("", "e", k, iters)}""".stripMargin
 
   private def kmeansSql(k: Int, iters: Int): String =
     s"""WITH ${kmeansCte(k, iters)}
@@ -484,6 +532,28 @@ object SimQueries extends QueryPack {
          |         CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b) AS INT) AS rank
          |  FROM pairs)
          |SELECT a, rank, b, sim FROM ranked WHERE rank <= 3 ORDER BY a, rank""".stripMargin,
+
+    // four independent per-subspace Lloyd chains (prefixed CTE names),
+    // then the code/error join — reconstruction error IS Σ subspace d2
+    "sim_quantize_pq" -> {
+      val subs = (0 until PqM).map { m =>
+        s"""s$m AS (SELECT vec_id, v[${m * PqSub + 1}:${(m + 1) * PqSub}] AS v FROM e),
+           |${kmeansRounds(s"p${m}_", s"s$m", PqK, KmIters)}""".stripMargin
+      }.mkString(",\n")
+      val joins = (0 until PqM).map(m =>
+        s"JOIN p${m}_a$KmIters q$m ON e.vec_id = q$m.vec_id").mkString(" ")
+      s"""WITH e AS (SELECT vec_id, label, $vd AS v FROM embeddings),
+         |$subs,
+         |j AS (
+         |  SELECT e.label,
+         |         ((q0.cell * 16 + q1.cell) * 16 + q2.cell) * 16 + q3.cell AS code,
+         |         (q0.d2 + q1.d2 + q2.d2 + q3.d2) / $DIM.0 AS mse
+         |  FROM e $joins)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         |       ROUND(AVG(mse), 8) AS avg_mse,
+         |       CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes
+         |FROM j GROUP BY label ORDER BY label""".stripMargin
+    },
 
     "sim_quantize_int8" ->
       s"""WITH e AS (SELECT vec_id, label, $vd AS v FROM embeddings),

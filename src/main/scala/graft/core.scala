@@ -130,22 +130,47 @@ object Tmp {
 object SessionMemo {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
+  private val pairCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
   private val hooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
 
-  def apply(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val k = (s, key)
-    val hit = cache.get(k)
-    if (hit != null) return hit
+  private def hook(s: SparkSession): Unit = {
     val sc = s.sparkContext
     if (hooked.add(sc))
       sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           cache.keySet.removeIf(_._1.sparkContext eq sc)
+          pairCache.keySet.removeIf(_._1.sparkContext eq sc)
           hooked.remove(sc)
         }
       })
+  }
+
+  /** [[apply]] for artifacts that are TWO frames from one build (PQ's
+    * codes + codebooks): the expensive build runs once; both results
+    * persist. Same race contract as apply — the loser's copies are
+    * left un-unpersisted (plan-keyed CacheManager). */
+  def pair(s: SparkSession, key: String)(
+      build: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    val k = (s, key)
+    val hit = pairCache.get(k)
+    if (hit != null) return hit
+    hook(s)
+    val (a, b) = build
+    val built = (
+      a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val prev = pairCache.putIfAbsent(k, built)
+    if (prev == null) built else prev
+  }
+
+  def apply(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (s, key)
+    val hit = cache.get(k)
+    if (hit != null) return hit
+    hook(s)
     // build OUTSIDE the map lock (get/putIfAbsent, not computeIfAbsent):
     // a build that transitively consults SessionMemo for another key in
     // the same hash bin would deadlock or throw IllegalStateException

@@ -39,28 +39,44 @@ object KMeans {
     * @return (vec_id, cell, d2) — final assignment with its rounded
     *         squared distance to the assigned centroid
     */
-  def assignments(s: SparkSession, e: DataFrame, k: Int, iters: Int): DataFrame = {
+  def assignments(s: SparkSession, e: DataFrame, k: Int, iters: Int): DataFrame =
+    trained(s, e, k, iters)._1.select("vec_id", "cell", "d2")
+
+  /** [[assignments]] plus the codebook the final argmin ran against —
+    * (assignments, centroids (c_label, c, cc)). Consumers that search
+    * or reconstruct AGAINST the trained cells (PQ's ADC lookup tables)
+    * need the centroid table itself, not just the memberships. */
+  def trained(s: SparkSession, e: DataFrame, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     graft.GraftFunctions.register(s)
     var assigned = e.select(col("vec_id"), col("v"),
       pmod(col("vec_id"), lit(k.toLong)).as("cell"),
       lit(0.0).as("d2"))
+    var cents: DataFrame = null
     for (_ <- 1 to iters) {
+      cents = centroidsOf(assigned)
       // materialized per round (localCheckpoint): the next round's
       // centroid aggregate and the final consumer both read `assigned`,
       // and unpinned lineage would re-run every earlier round twice
-      assigned = lloydRound(s, e, assigned).localCheckpoint(true)
+      assigned = assignStep(s, e, cents).localCheckpoint(true)
     }
-    assigned.select("vec_id", "cell", "d2")
+    (assigned, cents)
   }
 
   /** one un-materialized Lloyd round (update + assign) — exposed so
     * PlanSpec can pin the per-round physical shape, which the
-    * localCheckpoint in [[assignments]] otherwise hides behind an
+    * localCheckpoint in [[trained]] otherwise hides behind an
     * in-memory scan. */
   private[graft] def lloydRound(s: SparkSession, e: DataFrame,
       assigned: DataFrame): DataFrame = {
     graft.GraftFunctions.register(s) // idempotent; direct callers (tests)
-    val cent = assigned
+    assignStep(s, e, centroidsOf(assigned))
+  }
+
+  /** UPDATE step: per-(cell, dim) partial-aggregated means re-assembled
+    * into the (c_label, c, ||c||²) codebook table. */
+  private def centroidsOf(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("cell", "pos").agg(avg("x").as("av"))
       .groupBy("cell")
@@ -68,6 +84,11 @@ object KMeans {
         _.getField("av")).as("c"))
       .select(col("cell").as("c_label"), col("c"),
         expr("graft_dot(c, c)").as("cc"))
+
+  /** ASSIGN step: one broadcast row of all centroids, inline rounded
+    * argmin — the k-way expansion never becomes rows. */
+  private def assignStep(s: SparkSession, e: DataFrame,
+      cent: DataFrame): DataFrame = {
     val cents = cent
       .agg(collect_list(struct(col("c_label"), col("c"), col("cc"))).as("cents"))
     e.crossJoin(broadcast(cents))

@@ -100,6 +100,29 @@ object SimQueries extends QueryPack {
         .localCheckpoint(true)
     }
 
+  /** the PQ index, trained once per (session, sf): 4 per-subspace
+    * 16-centroid Lloyd codebooks. Returns (codes, codebooks): codes =
+    * (vec_id, label, c0..c3, e0..e3) — per-vector subspace cells and
+    * rounded squared distances; codebooks = (m, cell, c, cc). Shared
+    * by sim_quantize_pq (compression audit) and sim_ann_pq_adc (the
+    * ADC search) via the SessionMemo pair. */
+  private def pqTrained(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.SessionMemo.pair(s, s"pq-train:$d") {
+      val e = T.embeddings(s, d).select(col("vec_id"), col("label"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+      val ms = (0 until PqM).map { m =>
+        val (asg, cent) = graft.ops.KMeans.trained(s,
+          e.select(col("vec_id"), slice(col("v"), m * PqSub + 1, PqSub).as("v")),
+          PqK, KmIters)
+        (asg.select(col("vec_id"), col("cell").as(s"c$m"), col("d2").as(s"e$m")),
+          cent.select(lit(m).as("m"), col("c_label").as("cell"),
+            col("c"), col("cc")))
+      }
+      val codes = ms.map(_._1)
+        .foldLeft(e.select("vec_id", "label"))(_.join(_, "vec_id"))
+      (codes, ms.map(_._2).reduce(_ unionByName _))
+    }
+
   val queries: Map[String, QueryFn] = Map(
     "sim_cosine_knn" -> ((s, d) => {
       // global top-20 most-similar pairs with a probe side capped at
@@ -355,17 +378,9 @@ object SimQueries extends QueryPack {
       // utilization (how much of the 16⁴ code space the corpus
       // occupies). Scale shape: 4 independent Lloyd trainings (each a
       // broadcast-assign + per-(cell,dim) partial aggregate per round)
-      // and one 4-way equi-join on vec_id.
-      val e = T.embeddings(s, d).select(col("vec_id"), col("label"),
-        VectorOps.toDouble(col("embedding")).as("v"))
-      val parts = (0 until PqM).map { m =>
-        graft.ops.KMeans.assignments(s,
-            e.select(col("vec_id"), slice(col("v"), m * PqSub + 1, PqSub).as("v")),
-            PqK, KmIters)
-          .select(col("vec_id"), col("cell").as(s"c$m"), col("d2").as(s"e$m"))
-      }
-      val joined = parts.foldLeft(e.select("vec_id", "label"))(_.join(_, "vec_id"))
-      joined
+      // and one 4-way equi-join on vec_id — trained ONCE per (session,
+      // sf) via the pair memo; sim_ann_pq_adc searches the same index.
+      pqTrained(s, d)._1
         .withColumn("code",
           ((col("c0") * 16 + col("c1")) * 16 + col("c2")) * 16 + col("c3"))
         .withColumn("mse",
@@ -375,6 +390,71 @@ object SimQueries extends QueryPack {
           round(avg("mse"), 8).as("avg_mse"),
           countDistinct("code").as("n_codes"))
         .orderBy("label")
+    }),
+
+    "sim_ann_pq_adc" -> ((s, d) => {
+      // the search side of the PQ index: asymmetric distance
+      // computation. A probe's L2 distance to a compressed vector is
+      // approximated from its codes alone — per subspace, the term
+      // ||c||² − 2·q_m·c is PRECOMPUTED per (probe, subspace, cell)
+      // into a lookup table of nq × 4 × 16 rows, so scoring a
+      // candidate is FOUR table lookups + a sum, never a 64-dim float
+      // dot. That table-lookup structure is the whole point of PQ at
+      // 100 TB: the index holds 4 bytes/vector and the scan does no
+      // vector math. Graded like sim_ann_recall_sweep: recall@3 of the
+      // ADC top-3 against the exact L2 top-3 (PQ approximates L2, so
+      // the baseline is L2, not cosine). Deterministic: codes ride the
+      // hash-matched Lloyd contract, ADC sums are identical rounded
+      // operands in a fixed order, ranks tie-break on (rounded dist,
+      // id). The probe cap (vec_id < 100) bounds the exact baseline;
+      // the candidate side is lookup-joins, broadcast LUT.
+      graft.GraftFunctions.register(s)
+      val (codes, cents) = pqTrained(s, d)
+      val e = embDouble(s, d)
+      val probes = e.filter(col("vec_id") < 100)
+      // (qid, m, cell, term): the per-subspace ADC lookup table
+      val lut = probes.select(col("vec_id").as("qid"),
+          posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+            s"m -> slice(v, m * $PqSub + 1, $PqSub))")).as(Seq("m", "qm")))
+        .join(broadcast(cents), Seq("m"))
+        .select(col("qid"), col("m"), col("cell"),
+          (col("cc") - lit(2.0) * graft.GraftFunctions.dotCol(s, col("qm"), col("c")))
+            .as("term"))
+      // four lookup joins in FIXED order (never a groupBy-sum of the
+      // terms: a 4-double sum's fold order is partition-dependent, and
+      // an ulp flip under the 6-dp round would reorder ranks) — the
+      // first join fans each candidate out to its matching probes, the
+      // rest attach one term each on (qid, c_m)
+      val luts = (0 until PqM).map(m => lut.filter(col("m") === m)
+        .select(col("qid").as(s"qid$m"), col("cell").as(s"lc$m"),
+          col("term").as(s"t$m")))
+      val adc = (1 until PqM).foldLeft(
+          codes.select(col("vec_id").as("b"), col("c0"), col("c1"), col("c2"), col("c3"))
+            .join(broadcast(luts(0)), col("c0") === col("lc0"))) {
+          (acc, m) => acc.join(broadcast(luts(m)),
+            col("qid0") === col(s"qid$m") && col(s"c$m") === col(s"lc$m"))
+        }
+        .filter(col("b") =!= col("qid0"))
+        .select(col("qid0").as("qid"), col("b"),
+          round(col("t0") + col("t1") + col("t2") + col("t3"), 6).as("adist"))
+      val wa = Window.partitionBy("qid").orderBy(col("adist"), col("b"))
+      val pq3 = adc.withColumn("rk", row_number().over(wa))
+        .filter(col("rk") <= 3).select(col("qid").as("a"), col("b"))
+      // exact L2 top-3 baseline (||q−x||² ranks as −2·q·x + ||x||²)
+      val all = e.select(col("vec_id").as("b"), col("v").as("vb"))
+      val we = Window.partitionBy("a").orderBy(col("dist"), col("b"))
+      val ex3 = probes.select(col("vec_id").as("a"), col("v").as("va"))
+        .join(all, col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          round(expr("graft_dot(vb, vb)")
+            - lit(2.0) * expr("graft_dot(va, vb)"), 6).as("dist"))
+        .withColumn("rk", row_number().over(we))
+        .filter(col("rk") <= 3).select("a", "b")
+      val nex = ex3.agg(count(lit(1)).as("n_exact"))
+      val hits = pq3.join(ex3, Seq("a", "b")).agg(count(lit(1)).as("n_hits"))
+      nex.crossJoin(hits)
+        .select(col("n_exact"), col("n_hits"),
+          round(col("n_hits") / col("n_exact"), 4).as("recall"))
     }),
 
     "sim_quantize_int8" -> ((s, d) => {
@@ -532,6 +612,64 @@ object SimQueries extends QueryPack {
          |         CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b) AS INT) AS rank
          |  FROM pairs)
          |SELECT a, rank, b, sim FROM ranked WHERE rank <= 3 ORDER BY a, rank""".stripMargin,
+
+    // the ADC search over the same four Lloyd chains: per-(probe,
+    // subspace, cell) term lookup table, four fixed-order lookup
+    // joins, recall@3 vs the exact L2 top-3
+    "sim_ann_pq_adc" -> {
+      val subs = (0 until PqM).map { m =>
+        s"""s$m AS (SELECT vec_id, v[${m * PqSub + 1}:${(m + 1) * PqSub}] AS v FROM e),
+           |${kmeansRounds(s"p${m}_", s"s$m", PqK, KmIters)}""".stripMargin
+      }.mkString(",\n")
+      val cb = (0 until PqM).map(m =>
+        s"SELECT $m AS m, c_label AS cell, c, list_dot_product(c, c) AS cc FROM p${m}_cent$KmIters")
+        .mkString("\n  UNION ALL ")
+      val codeJoins = (0 until PqM).map(m =>
+        s"JOIN p${m}_a$KmIters q$m ON e.vec_id = q$m.vec_id").mkString(" ")
+      val lutJoins = (1 until PqM).map(m =>
+        s"JOIN lut l$m ON l$m.m = $m AND l$m.qid = l0.qid AND codes.c$m = l$m.cell")
+        .mkString("\n  ")
+      s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings),
+         |$subs,
+         |codes AS (
+         |  SELECT e.vec_id AS b, ${(0 until PqM).map(m => s"q$m.cell AS c$m").mkString(", ")}
+         |  FROM e $codeJoins),
+         |cb AS (
+         |  $cb),
+         |qs AS (
+         |  SELECT vec_id AS qid, m,
+         |         list_slice(v, m * $PqSub + 1, (m + 1) * $PqSub) AS qm
+         |  FROM e, (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m)
+         |  WHERE vec_id < 100),
+         |lut AS (
+         |  SELECT qid, qs.m, cell, cc - 2.0 * list_dot_product(qm, c) AS term
+         |  FROM qs JOIN cb ON qs.m = cb.m),
+         |adc AS (
+         |  SELECT l0.qid, codes.b,
+         |         ROUND(l0.term + l1.term + l2.term + l3.term, 6) AS adist
+         |  FROM codes
+         |  JOIN lut l0 ON l0.m = 0 AND codes.c0 = l0.cell
+         |  $lutJoins
+         |  WHERE codes.b != l0.qid),
+         |pq3 AS (
+         |  SELECT qid AS a, b FROM (
+         |    SELECT qid, b, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, b) AS rk
+         |    FROM adc) WHERE rk <= 3),
+         |ex AS (
+         |  SELECT p.vec_id AS a, x.vec_id AS b,
+         |         ROUND(list_dot_product(x.v, x.v)
+         |               - 2.0 * list_dot_product(p.v, x.v), 6) AS dist
+         |  FROM e p JOIN e x ON p.vec_id != x.vec_id
+         |  WHERE p.vec_id < 100),
+         |ex3 AS (
+         |  SELECT a, b FROM (
+         |    SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY dist, b) AS rk
+         |    FROM ex) WHERE rk <= 3)
+         |SELECT CAST(ne AS BIGINT) AS n_exact, CAST(nh AS BIGINT) AS n_hits,
+         |       ROUND(CAST(nh AS DOUBLE) / ne, 4) AS recall
+         |FROM (SELECT (SELECT COUNT(*) FROM ex3) AS ne,
+         |             (SELECT COUNT(*) FROM pq3 JOIN ex3 USING (a, b)) AS nh)""".stripMargin
+    },
 
     // four independent per-subspace Lloyd chains (prefixed CTE names),
     // then the code/error join — reconstruction error IS Σ subspace d2

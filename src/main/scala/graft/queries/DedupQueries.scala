@@ -155,6 +155,39 @@ object DedupQueries extends QueryPack {
         .orderBy("a", "b")
     }),
 
+    "dedup_url" -> ((s, d) => {
+      // URL canonicalization dedup — the crawl-frontier step that runs
+      // BEFORE any content hash exists: tracking params stripped,
+      // scheme+host lowercased, trailing slash dropped, then exact
+      // dedup on the canonical form. Deterministic raw-URL variants are
+      // synthesized per doc from the shared columns (the fn_url
+      // derivation + seeded noise: the %3 slice appends utm tracking
+      // params, the %5 slice uppercases its host, the %7 slice gains a
+      // trailing slash), so several raw forms collapse onto one
+      // canonical URL — the %15 slice (3∧5) exercises composed noise.
+      // Per-host report: raw vs canonical counts and how many dups the
+      // canonicalization recovered. Pure map-side string work; one
+      // aggregate shuffle.
+      val raw = concat(
+        when(col("doc_id") % 5 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(col("doc_id") % 5 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".example.org/docs/"), col("lang"), lit("/"),
+        (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=feed&utm_campaign=x"))
+          .otherwise(lit("")))
+      val canon = regexp_replace(regexp_replace(lower(raw),
+        "\\?utm[^#]*", ""), "/$", "")
+      T.documents(s, d)
+        .withColumn("raw", raw).withColumn("canon", canon)
+        .withColumn("host", parse_url(col("canon"), lit("HOST")))
+        .groupBy("host")
+        .agg(countDistinct("raw").as("n_raw"),
+          countDistinct("canon").as("n_canonical"),
+          (count(lit(1)) - countDistinct("canon")).as("n_dups_recovered"))
+        .orderBy("host")
+    }),
+
     "dedup_threshold_sweep" -> ((s, d) => {
       // the threshold tuning curve a curation run reads before picking
       // its near-dup cutoff: for each candidate threshold, how many
@@ -289,6 +322,31 @@ object DedupQueries extends QueryPack {
 
     "dedup_jaccard_pairs" ->
       s"WITH $jaccardCtes\nSELECT a, b, j FROM j WHERE j >= 0.5 ORDER BY a, b",
+
+    // same synthesized raw URLs canonicalized with the same two
+    // regex passes; host re-extracted from the canonical form
+    "dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END)
+        |    || '.example.org/docs/' || lang || '/' || CAST(doc_id % 40 AS STRING)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_campaign=x' ELSE '' END)
+        |    AS raw
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, raw,
+        |         regexp_replace(regexp_replace(lower(raw), '\?utm[^#]*', ''), '/$', '') AS canon
+        |  FROM u),
+        |h AS (
+        |  SELECT raw, canon,
+        |         regexp_extract(canon, '^https?://([^/:?#]+)', 1) AS host
+        |  FROM c)
+        |SELECT host, CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_raw,
+        |       CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canonical,
+        |       CAST(COUNT(*) - COUNT(DISTINCT canon) AS BIGINT) AS n_dups_recovered
+        |FROM h GROUP BY host ORDER BY host""".stripMargin,
 
     // same inverted index over the excerpt-seeded corpus, overlap
     // coefficient instead of Jaccard

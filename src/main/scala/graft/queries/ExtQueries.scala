@@ -164,6 +164,30 @@ object ExtQueries extends QueryPack {
         .orderBy("event_type", "h")
     }),
 
+    "ts_backtest_naive" -> ((s, d) => {
+      // forecast backtest on the daily event-count series: the
+      // seasonal-naive model (forecast(d) = actual(d − 7), the
+      // always-computed floor every real forecaster must beat) scored
+      // per event_type with MAE / MAPE / bias over all days with a
+      // 7-back observation. EXACT parity: forecasts and errors are
+      // integer differences via lag(7) — the only doubles are the
+      // final rounded ratios of exact integer sums. Aggregate-then-
+      // window: the lagged series lives on types × days rows.
+      val daily = T.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily.withColumn("fc", lag("n", 7).over(w))
+        .filter(col("fc").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          round(avg(abs(col("n") - col("fc"))), 4).as("mae"),
+          round(avg(abs(col("n") - col("fc")).cast("double") / col("n")), 4)
+            .as("mape"),
+          round(avg(col("n") - col("fc")), 4).as("bias"))
+        .orderBy("event_type")
+    }),
+
     "ts_anomaly" -> ((s, d) => {
       // trailing z-score anomaly flags on the daily event-count series
       // — the volume-spike alert an ingest pipeline runs per source.
@@ -340,6 +364,21 @@ object ExtQueries extends QueryPack {
         |       levenshtein(p_name, 'forest green') AS lev_fixed,
         |       levenshtein(p_name, p_brand) AS lev_brand
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "ts_backtest_naive" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_type, n,
+        |         LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
+        |  FROM daily)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |       ROUND(AVG(ABS(n - fc)), 4) AS mae,
+        |       ROUND(AVG(CAST(ABS(n - fc) AS DOUBLE) / n), 4) AS mape,
+        |       ROUND(AVG(n - fc), 4) AS bias
+        |FROM f WHERE fc IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "ts_anomaly" ->
       """WITH d0 AS (

@@ -807,6 +807,45 @@ object PipelineQueries extends QueryPack {
         .orderBy("lang")
     }),
 
+    "text_vocab_coverage" -> ((s, d) => {
+      // the tokenizer-design curve: what fraction of corpus tokens a
+      // top-k vocabulary covers, for k ∈ {5, 10, 20} (the synthetic
+      // corpus draws from a fixed 31-word template vocabulary at every
+      // SF, so the ks sit inside the curve's knee). The classic
+      // formulation sorts the whole vocabulary by frequency — a global
+      // single-partition rank that dies at web-corpus vocab sizes.
+      // Instead, coverage is computed from the COUNT HISTOGRAM: per
+      // frequency class (n, m words, n·m mass), a class contributes
+      // n · clamp(k − words_above, 0, m) tokens to the top-k — the
+      // lexicographic tie-break inside a class never changes the mass,
+      // so the answer is exact WITHOUT materializing any order over
+      // words. The only window runs over the histogram (≤ distinct
+      // frequencies — Zipf-small at any corpus size; the quality_drift
+      // bounded-window precedent); everything upstream is two hash
+      // aggregates.
+      val vocab = T.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      val hist = vocab.groupBy("n").agg(count(lit(1)).as("m"))
+      val wh = Window.orderBy(col("n").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val h2 = hist
+        .withColumn("above", coalesce(sum("m").over(wh), lit(0L)))
+      val tot = hist.agg(sum(col("n") * col("m")).as("total"),
+        sum("m").as("n_vocab"))
+      val ks = s.range(1).select(explode(array(
+        lit(5L), lit(10L), lit(20L))).as("k"))
+      h2.crossJoin(broadcast(ks))
+        .withColumn("contrib", col("n") * greatest(lit(0L),
+          least(col("m"), col("k") - col("above"))))
+        .groupBy("k").agg(sum("contrib").as("mass"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), least(col("k"), col("n_vocab")).as("n_vocab"),
+          round(col("mass").cast("double") / col("total"), 4).as("coverage"))
+        .orderBy("k")
+    }),
+
     "text_token_budget" -> ((s, d) => {
       // data-mixture accounting: BPE-ish token totals per (lang,
       // source) with corpus share and cumulative share in descending-
@@ -1202,6 +1241,27 @@ object PipelineQueries extends QueryPack {
         |SELECT lang, CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
         |       ROUND(MAX(ABS(fa - fb)), 4) AS ks
         |FROM cdf GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // identical histogram-class arithmetic; the window runs over the
+    // frequency classes, never the vocabulary
+    "text_vocab_coverage" ->
+      """WITH v AS (
+        |  SELECT w, COUNT(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w),
+        |hist AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS m FROM v GROUP BY n),
+        |h2 AS (
+        |  SELECT n, m,
+        |         COALESCE(SUM(m) OVER (ORDER BY n DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+        |  FROM hist),
+        |tot AS (SELECT SUM(n * m) AS total, SUM(m) AS n_vocab FROM hist),
+        |ks AS (SELECT unnest([5, 10, 20]) AS k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |       CAST(LEAST(k, (SELECT n_vocab FROM tot)) AS BIGINT) AS n_vocab,
+        |       ROUND(CAST(SUM(n * GREATEST(0, LEAST(m, k - above))) AS DOUBLE)
+        |             / (SELECT total FROM tot), 4) AS coverage
+        |FROM h2, ks GROUP BY k ORDER BY k""".stripMargin,
 
     "text_token_budget" ->
       """WITH per AS (

@@ -18,7 +18,8 @@ object StreamingStatefulQueries extends QueryPack {
     "stream_stream_join" -> ((s, d) => StreamingJobs.streamStreamJoin(s, d)),
     "stream_tws_agg" -> ((s, d) => StreamingJobs.transformWithStateAgg(s, d)),
     "stream_foreachbatch_sink" -> ((s, d) => StreamingJobs.foreachBatchSink(s, d)),
-    "stream_available_now" -> ((s, d) => StreamingJobs.availableNowDrain(s, d))
+    "stream_available_now" -> ((s, d) => StreamingJobs.availableNowDrain(s, d)),
+    "stream_static_join" -> ((s, d) => StreamingJobs.streamStaticJoin(s, d))
   )
 
   /** The inner stream–stream join IS oracled: inner joins emit matches
@@ -35,6 +36,17 @@ object StreamingStatefulQueries extends QueryPack {
         | AND c.ts >= p.ts - INTERVAL 10 MINUTES AND c.ts < p.ts
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+
+    // stream-static enrichment: the static side is stateless and the
+    // in-order Append replay emits every closed window, so the
+    // union-of-batches equals the batch join+aggregate (window start ==
+    // hour trunc for aligned 1 h windows — the stream_tumbling
+    // precedent); the flush sentinels never match the dimension
+    "stream_static_join" ->
+      """SELECT date_trunc('hour', ts) AS ws, c_nationkey AS nation,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // transformWithState running aggregate: the final state equals the
     // batch aggregate (counts/sums fold the same rows), so it hash-

@@ -236,6 +236,42 @@ object StreamingJobs {
       .orderBy("ws", "event_type")
   }
 
+  /** stream-static enrichment join — THE most common production
+    * streaming shape: each event enriched against a broadcast dimension
+    * (user → nation) inside the micro-batch, then watermarked tumbling
+    * counts per (window, nation). The static side is stateless (no
+    * join state, re-broadcast per batch); the flush rows' user_id = -1
+    * never matches the dimension, so they advance the watermark at the
+    * SOURCE (watermark tracks pre-join event time) without surviving
+    * into the output — no sentinel filter needed. Append-mode emission
+    * over the in-order replay makes the union-of-batches equal the
+    * batch join+aggregate, which is the oracle.
+    */
+  def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val nChunks = 4L
+    val ev = events(spark, sfDir)
+    val (n, maxTs) = bounds(ev)
+    val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
+    val staged = ev.withColumn("chunk",
+        floor(col("event_id") / lit(per.toDouble)).cast("long"))
+      .unionByName(flushRows(spark, maxTs, nChunks, 2))
+    val dim = T.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_nationkey").as("nation"))
+    replayFileSource(spark, "ss_join", staged, nChunks + 1, (stream, ckpt) =>
+      stream
+        .withWatermark("ts", "10 minutes")
+        .join(broadcast(dim), Seq("user_id"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("nation"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("ss_join")
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .start())
+    drain(spark, "ss_join")
+      .select(col("w.start").as("ws"), col("nation"), col("n"))
+      .orderBy("ws", "nation")
+  }
+
   /** streaming exact dedup on event_id within the watermark horizon; the
     * replay re-sends every 10th event of chunk i inside chunk i+1 (a
     * second staged copy of the %10 slice, chunk-shifted — no driver

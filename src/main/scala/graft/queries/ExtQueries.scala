@@ -294,6 +294,37 @@ object ExtQueries extends QueryPack {
         .orderBy("d")
     }),
 
+    "ts_ewma" -> ((s, d) => {
+      // dyadic-decay smoothing of the daily revenue series: EWMA with
+      // α = 1/2 over the trailing 10 days (weight 2^-k on the k-days-ago
+      // value). The textbook recursive form s_t = αx_t + (1−α)s_{t−1}
+      // carries libm pow and an unbounded fold of doubles — engine-
+      // hostile twice over. With DYADIC weights the window form is
+      // exact: revenue is exact DECIMAL cents (the win_moving_sum rule),
+      // scaling numerator and denominator by 2^9 makes every weighted
+      // term cents·2^(9−k) — a BIGINT — and the full-frame denominator
+      // is the constant 2^10−1 = 1023. The whole state is integer; the
+      // single double division at the end is correctly rounded, so
+      // parity is bit-identical by construction (the ts_anomaly
+      // integer-state rule). Aggregate-then-window: the windowed stream
+      // is |days| rows, never raw orders; full frames only (x ≥ 9).
+      val daily = T.orders(s, d)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
+          .cast("long").as("cents"))
+      val w = Window.orderBy("d")
+      val num = (0 until 10).map(k =>
+          coalesce(lag(col("cents"), k).over(w), lit(0L)) * lit(1L << (9 - k)))
+        .reduce(_ + _)
+      daily.select(col("d"), col("cents"),
+          (row_number().over(w) - 1).as("x"), num.as("num"))
+        .filter(col("x") >= 9)
+        .select(col("d"),
+          round(col("cents").cast("double") / 100.0, 2).as("revenue"),
+          round(col("num").cast("double") / 102300.0, 4).as("ewma"))
+        .orderBy("d")
+    }),
+
     "sample_hash" -> ((s, d) => {
       // reproducible 5% sample: portable md5 bucket of the key — the
       // deterministic, engine-independent alternative to TABLESAMPLE
@@ -437,6 +468,26 @@ object ExtQueries extends QueryPack {
         |SELECT d, CAST(rev_dec AS DOUBLE) AS rev,
         |       CAST(SUM(rev_dec) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv7
         |FROM daily ORDER BY d""".stripMargin,
+
+    "ts_ewma" -> {
+      // the lag chain is generated from the SAME (k, 2^(9-k)) constants
+      // as the Spark side — the two derivations must stay in lockstep
+      val num = (0 until 10).map(k =>
+          s"COALESCE(lag(cents, $k) OVER (ORDER BY d), 0) * ${1L << (9 - k)}")
+        .mkString(" + ")
+      s"""WITH daily AS (
+         |  SELECT o_orderdate AS d,
+         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |f AS (
+         |  SELECT d, cents,
+         |         ROW_NUMBER() OVER (ORDER BY d) - 1 AS x,
+         |         $num AS num
+         |  FROM daily)
+         |SELECT d, ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+         |       ROUND(CAST(num AS DOUBLE) / 102300.0, 4) AS ewma
+         |FROM f WHERE x >= 9 ORDER BY d""".stripMargin
+    },
 
     "sample_hash" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,

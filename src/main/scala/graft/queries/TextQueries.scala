@@ -51,6 +51,40 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"), col("score").desc, col("term"))
     }),
 
+    "text_perplexity" -> ((s, d) => {
+      // per-doc cross-entropy under the corpus unigram LM — the
+      // KenLM-shaped quality filter (perplexity = e^H is monotone in H,
+      // so threshold filters read H directly; skipping the exp keeps
+      // one libm op out of the output). Engine parity is the tfidf LN
+      // precedent taken one step further: each distinct VOCAB word's
+      // log-prob is quantized to integer micro-nats once (same double
+      // on both engines), so the per-doc accumulation Σ n_w·q_w is an
+      // exact BIGINT sum — no fold-order-sensitive double summation —
+      // and the single division at the end is correctly rounded. Scale
+      // shape: the vocab count table is Zipf-small at any corpus size,
+      // so both the quantized-LM join and the N scalar broadcast; the
+      // corpus is scanned twice (count pass + score pass), both passes
+      // hash-aggregate map-side.
+      val tok = T.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val cnt = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+      val tot = cnt.agg(sum("cw").as("ct"))
+      val q = cnt.crossJoin(broadcast(tot))
+        .select(col("w"),
+          round(log(col("cw").cast("double") / col("ct")) * 1e6)
+            .cast("long").as("qw"))
+      tok.groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("n"))
+        .join(broadcast(q), "w")
+        .groupBy("doc_id", "lang")
+        .agg(sum("n").as("n_tok"), sum(col("n") * col("qw")).as("qsum"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          round(-col("qsum").cast("double") / (col("n_tok") * 1e6), 4)
+            .as("h_nats"))
+        .orderBy("doc_id")
+    }),
+
     "text_wordcount" -> ((s, d) => {
       // Mimir's flagship app: map(tokenize) → combine → reduce(sum).
       // explode + hash-agg gets map-side partial aggregation for free.
@@ -192,6 +226,23 @@ object TextQueries extends QueryPack {
         |  FROM scored)
         |SELECT doc_id, term, tf, score FROM ranked WHERE rk <= 3
         |ORDER BY doc_id, score DESC, term""".stripMargin,
+
+    "text_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+        |), t2 AS (SELECT * FROM tok WHERE w <> ''),
+        |cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM t2 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS ct FROM cnt),
+        |q AS (
+        |  SELECT w, CAST(ROUND(LN(CAST(cw AS DOUBLE) / ct) * 1e6) AS BIGINT) AS qw
+        |  FROM cnt CROSS JOIN tot),
+        |dt AS (
+        |  SELECT doc_id, lang, w, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t2 GROUP BY 1, 2, 3)
+        |SELECT dt.doc_id, dt.lang, CAST(SUM(dt.n) AS BIGINT) AS n_tok,
+        |       ROUND(-CAST(SUM(dt.n * q.qw) AS DOUBLE) / (SUM(dt.n) * 1e6), 4) AS h_nats
+        |FROM dt JOIN q USING (w)
+        |GROUP BY 1, 2 ORDER BY dt.doc_id""".stripMargin,
 
     "text_wordcount" ->
       """SELECT word, CAST(COUNT(*) AS BIGINT) AS n

@@ -135,6 +135,58 @@ object SessionMemo {
   private val hooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
 
+  // ---- aggregate footprint budget (r10 verdict #3) -------------------
+  // The memoized population grew to 8+ persisted fragments per
+  // (session, sfDir); unbounded, an ever-growing inventory would let the
+  // shared artifacts evict EXECUTION memory (unified memory manager:
+  // storage borrows from execution). Bound it: when the context's total
+  // persisted bytes exceed the budget, unpersist memo entries in
+  // least-recently-USED order until back under (or none left). The
+  // evicted artifact is not lost — its next consumer rebuilds it; the
+  // budget trades rebuild CPU for execution headroom, the right trade
+  // past the cap. Default 8 GiB: far above the sub-GiB sf0.1 population
+  // (so it never fires in today's runs) and far below executor memory
+  // at any deployment size. NOTE eviction unpersists by canonicalized
+  // plan (CacheManager semantics) — memo keys all have distinct plans,
+  // so evicting one cannot drop another's entry; and a frame persisted
+  // lazily contributes 0 bytes until first materialized, so the check
+  // naturally lags one build — bounded, eventually enforced.
+  @volatile private[graft] var budgetBytes: Long =
+    sys.env.get("GRAFT_MEMO_BUDGET_BYTES").map(_.toLong).getOrElse(8L << 30)
+
+  private val lastUse = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+  private val tick = new java.util.concurrent.atomic.AtomicLong()
+
+  /** total persisted bytes (memory + disk) across ALL cached RDDs of the
+    * session's context — the memoized artifacts plus operator-internal
+    * persists; the number Bench surfaces so a load-vs-memory
+    * adjudication is one lookup (r10 verdict #3). */
+  def storageBytes(s: SparkSession): Long =
+    s.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+
+  private[graft] def isMemoized(s: SparkSession, key: String): Boolean =
+    cache.containsKey((s, key)) || pairCache.containsKey((s, key))
+
+  private def touch(k: (SparkSession, String)): Unit =
+    lastUse.put(k, tick.incrementAndGet())
+
+  private def evictPastBudget(s: SparkSession): Unit = {
+    if (budgetBytes <= 0 || storageBytes(s) <= budgetBytes) return
+    import scala.jdk.CollectionConverters._
+    val mine = (cache.keySet.asScala ++ pairCache.keySet.asScala)
+      .filter(_._1 eq s).toSeq
+      .sortBy(k => Option(lastUse.get(k)).map(_.longValue).getOrElse(0L))
+    val it = mine.iterator
+    while (it.hasNext && storageBytes(s) > budgetBytes) {
+      val k = it.next()
+      Option(cache.remove(k)).foreach(_.unpersist(true))
+      Option(pairCache.remove(k)).foreach { case (a, b) =>
+        a.unpersist(true); b.unpersist(true) }
+      lastUse.remove(k)
+    }
+  }
+
   private def hook(s: SparkSession): Unit = {
     val sc = s.sparkContext
     if (hooked.add(sc))
@@ -143,6 +195,7 @@ object SessionMemo {
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           cache.keySet.removeIf(_._1.sparkContext eq sc)
           pairCache.keySet.removeIf(_._1.sparkContext eq sc)
+          lastUse.keySet.removeIf(_._1.sparkContext eq sc)
           hooked.remove(sc)
         }
       })
@@ -156,20 +209,22 @@ object SessionMemo {
       build: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
     val k = (s, key)
     val hit = pairCache.get(k)
-    if (hit != null) return hit
+    if (hit != null) { touch(k); return hit }
     hook(s)
     val (a, b) = build
     val built = (
       a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val prev = pairCache.putIfAbsent(k, built)
+    touch(k)
+    evictPastBudget(s)
     if (prev == null) built else prev
   }
 
   def apply(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val k = (s, key)
     val hit = cache.get(k)
-    if (hit != null) return hit
+    if (hit != null) { touch(k); return hit }
     hook(s)
     // build OUTSIDE the map lock (get/putIfAbsent, not computeIfAbsent):
     // a build that transitively consults SessionMemo for another key in
@@ -183,6 +238,8 @@ object SessionMemo {
     // a CacheManager no-op, so the loser costs nothing to leave be.
     val built = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prev = cache.putIfAbsent(k, built)
+    touch(k)
+    evictPastBudget(s)
     if (prev == null) built else prev
   }
 }

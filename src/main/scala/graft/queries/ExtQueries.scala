@@ -296,17 +296,25 @@ object ExtQueries extends QueryPack {
 
     "ts_ewma" -> ((s, d) => {
       // dyadic-decay smoothing of the daily revenue series: EWMA with
-      // α = 1/2 over the trailing 10 days (weight 2^-k on the k-days-ago
-      // value). The textbook recursive form s_t = αx_t + (1−α)s_{t−1}
+      // α = 1/2 over the trailing 10 OBSERVED order dates — lag(cents,k)
+      // is row-offset, so a calendar gap shifts the weights to the last
+      // 10 rows, not the last 10 days (gap-fill the series first, as
+      // ts_gapfill does, if true calendar-day EWMA is wanted; parity is
+      // unaffected — both engines compute the identical row-based form).
+      // The textbook recursive form s_t = αx_t + (1−α)s_{t−1}
       // carries libm pow and an unbounded fold of doubles — engine-
       // hostile twice over. With DYADIC weights the window form is
       // exact: revenue is exact DECIMAL cents (the win_moving_sum rule),
       // scaling numerator and denominator by 2^9 makes every weighted
       // term cents·2^(9−k) — a BIGINT — and the full-frame denominator
       // is the constant 2^10−1 = 1023. The whole state is integer; the
-      // single double division at the end is correctly rounded, so
-      // parity is bit-identical by construction (the ts_anomaly
-      // integer-state rule). Aggregate-then-window: the windowed stream
+      // single double division at the end is correctly rounded AS LONG
+      // AS num = Σ cents·2^(9−k) stays ≤ 2^53 (daily revenue below
+      // ~$176B; roughly SF≲1000) — past that the long→double cast
+      // itself rounds, so the quotient is no longer the correctly-
+      // rounded exact ratio. Parity holds regardless (both engines
+      // perform the same cast), per the ts_anomaly integer-state
+      // rule. Aggregate-then-window: the windowed stream
       // is |days| rows, never raw orders; full frames only (x ≥ 9).
       val daily = T.orders(s, d)
         .groupBy(col("o_orderdate").as("d"))

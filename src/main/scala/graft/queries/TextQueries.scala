@@ -57,10 +57,16 @@ object TextQueries extends QueryPack {
       // so threshold filters read H directly; skipping the exp keeps
       // one libm op out of the output). Engine parity is the tfidf LN
       // precedent taken one step further: each distinct VOCAB word's
-      // log-prob is quantized to integer micro-nats once (same double
-      // on both engines), so the per-doc accumulation Σ n_w·q_w is an
-      // exact BIGINT sum — no fold-order-sensitive double summation —
-      // and the single division at the end is correctly rounded. Scale
+      // log-prob is quantized to integer micro-nats once. Caveat (r10
+      // ADVICE): this ASSUMES Spark's Math.log and DuckDB's libm log
+      // agree on the input double — they do on every word in the
+      // current corpora (3-SF sweep green), but a 1-ULP divergence
+      // landing exactly on a .5 boundary of round(ln(p)*1e6) would
+      // flip qw; same accepted data-dependent risk as the tfidf LN
+      // precedent. Given identical qw, the per-doc accumulation
+      // Σ n_w·q_w is an exact BIGINT sum — no fold-order-sensitive
+      // double summation — and the final division is correctly
+      // rounded. Scale
       // shape: the vocab count table is Zipf-small at any corpus size,
       // so both the quantized-LM join and the N scalar broadcast; the
       // corpus is scanned twice (count pass + score pass), both passes

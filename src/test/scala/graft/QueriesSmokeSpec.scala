@@ -54,6 +54,24 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(gone.isEmpty, s"TEST-declared keys no longer in the inventory: $gone")
   }
 
+  test("SURVEY §2B-as-built counts equal the SparkEntry inventory") {
+    // the contract doc drifted from the code two rounds running (r9 #6,
+    // r10 #2: header said 180/169/11 while the code had 184/173/11) —
+    // so the bold header counts are now asserted, not trusted. A new
+    // key fails here until SURVEY.md's §2B-as-built line is updated.
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val m = """### 2B-as-built[^\n]*\*\*(\d+) keys: (\d+) oracled, (\d+) TEST\*\*""".r
+      .findFirstMatchIn(survey)
+      .getOrElse(fail("SURVEY.md §2B-as-built header count line not found"))
+    assert(m.group(1).toInt == SparkEntry.queries.size,
+      s"SURVEY says ${m.group(1)} keys, SparkEntry has ${SparkEntry.queries.size}")
+    assert(m.group(2).toInt == SparkEntry.oracleSql.size,
+      s"SURVEY says ${m.group(2)} oracled, SparkEntry has ${SparkEntry.oracleSql.size}")
+    assert(m.group(3).toInt == declaredTestOnly.size,
+      s"SURVEY says ${m.group(3)} TEST, allowlist has ${declaredTestOnly.size}")
+  }
+
   test("golden pins: wordcount top word and flagship nations") {
     val wc = SparkEntry.queries("text_wordcount")(spark, sf).limit(1).collect()(0)
     // sf0.001 corpus: 'key' is the most frequent token (measured fixture)

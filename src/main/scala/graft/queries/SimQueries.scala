@@ -87,15 +87,23 @@ object SimQueries extends QueryPack {
         .localCheckpoint(true)
     }
 
+  /** the trained coarse index — assignment AND codebook — once per
+    * (session, sf): sim_ann_ivf_kmeans / sample_cluster_cap only need
+    * memberships, but the IVF×PQ composition searches the probe's
+    * nearest TRAINED cells, which takes the centroid table itself.
+    * Same SessionMemo.pair pattern as the PQ training. */
+  private def kmTrained(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.SessionMemo.pair(s, s"ivf-km-trained:$d") {
+      graft.ops.KMeans.trained(s, embDouble(s, d), KmK, KmIters)
+    }
+
   /** trained-cell assignment for the k-means IVF variant: 2 Lloyd
     * rounds (ops/KMeans — cells already hash-matched by the sim_kmeans
-    * oracle) joined back to unit vectors. Memoized + eagerly
-    * checkpointed like ivfAssigned. */
+    * oracle) with unit vectors. Rides [[kmTrained]], so a session
+    * running any mix of the trained-cell consumers trains ONCE. */
   private def kmAssigned(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.SessionMemo(s, s"ivf-km:$d") {
-      val e = embDouble(s, d)
-      graft.ops.KMeans.assignments(s, e, KmK, KmIters)
-        .join(e, "vec_id")
+      kmTrained(s, d)._1
         .select(col("vec_id"), VectorOps.unit(col("v")).as("u"), col("cell"))
         .localCheckpoint(true)
     }
@@ -355,9 +363,9 @@ object SimQueries extends QueryPack {
       // argmin). Emits the cluster profile (size + inertia); the oracle
       // unrolls the identical rounds as a generated CTE chain from the
       // same (k, iters) constants.
-      val e = T.embeddings(s, d)
-        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
-      graft.ops.KMeans.assignments(s, e, KmK, KmIters)
+      // rides the memoized trained index (kmTrained) — one Lloyd
+      // training per (session, sf) across every trained-cell consumer
+      kmTrained(s, d)._1
         .groupBy("cell")
         .agg(count(lit(1)).as("n"), round(sum("d2"), 2).as("inertia"))
         .orderBy("cell")

@@ -17,6 +17,10 @@ object StreamingStatefulQueries extends QueryPack {
     "stream_stateful_count" -> ((s, d) => StreamingJobs.statefulCount(s, d)),
     "stream_stream_join" -> ((s, d) => StreamingJobs.streamStreamJoin(s, d)),
     "stream_tws_agg" -> ((s, d) => StreamingJobs.transformWithStateAgg(s, d)),
+    // TEST-only: TTL expiry is processing-time (wall-clock) dependent;
+    // the key runs an unexpirable 1-h TTL for determinism and
+    // SemanticsSpec pins the expiry semantics with a ms TTL + real gap
+    "stream_tws_ttl" -> ((s, d) => StreamingJobs.twsTtl(s, d)),
     "stream_foreachbatch_sink" -> ((s, d) => StreamingJobs.foreachBatchSink(s, d)),
     "stream_available_now" -> ((s, d) => StreamingJobs.availableNowDrain(s, d)),
     "stream_static_join" -> ((s, d) => StreamingJobs.streamStaticJoin(s, d))

@@ -53,7 +53,8 @@ object StreamingJobs {
     */
   private def replayFileSource(spark: SparkSession, tag: String,
       rowsWithChunk: DataFrame, maxChunk: Long,
-      start: (DataFrame, String) => StreamingQuery): Unit = {
+      start: (DataFrame, String) => StreamingQuery,
+      interBatchSleepMs: Long = 0L): Unit = {
     val watch = Tmp.dir(s"${tag}_watch")
     val ckpt = Tmp.dir(s"${tag}_ckpt").toString
     // modest state-partition count for the local replay (the stream pins
@@ -68,7 +69,7 @@ object StreamingJobs {
       val schema = org.apache.spark.sql.types.StructType(
         rowsWithChunk.schema.filterNot(_.name == "chunk"))
       val q = start(spark.readStream.schema(schema).parquet(watch.toString), ckpt)
-      try feedChunks(stage, watch, maxChunk, q) finally {
+      try feedChunks(stage, watch, maxChunk, q, interBatchSleepMs) finally {
         sinkDescriptions.put(tag,
           Option(q.lastProgress).map(_.sink.description).getOrElse(""))
         q.stop()
@@ -153,10 +154,13 @@ object StreamingJobs {
   }
 
   /** feed chunks 0..maxChunk into `watch`, one deterministic
-    * micro-batch per move+processAllAvailable pair. */
+    * micro-batch per move+processAllAvailable pair. `sleepMs` pauses
+    * BETWEEN batches (never before the first) — the processing-time gap
+    * the TTL semantics test needs to let state expire across batches. */
   private def feedChunks(stage: String, watch: java.nio.file.Path, maxChunk: Long,
-      q: StreamingQuery): Unit =
+      q: StreamingQuery, sleepMs: Long = 0L): Unit =
     for (c <- 0L to maxChunk) {
+      if (c > 0 && sleepMs > 0) Thread.sleep(sleepMs)
       val dir = java.nio.file.Paths.get(stage, s"chunk=$c")
       if (Files.exists(dir)) {
         val listing = Files.list(dir)
@@ -408,16 +412,26 @@ object StreamingJobs {
   /** running per-type aggregates via the transformWithState API; the
     * final per-type row (max count) is the steady state.
     */
-  def transformWithStateAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // transformWithState requires the RocksDB state store provider —
-    // which is also the provider a 100 TB deployment runs for
-    // larger-than-memory state. Scoped to this query, then restored.
+  /** transformWithState requires the RocksDB state store provider —
+    * which is also the provider a 100 TB deployment runs for
+    * larger-than-memory state. Scoped to the body, then restored.
+    */
+  private def withRocksDbState[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    try body finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  def transformWithStateAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    withRocksDbState(spark) {
       val nChunks = 2L
       val ev = events(spark, sfDir)
       val (n, _) = bounds(ev)
@@ -443,13 +457,111 @@ object StreamingJobs {
         .select(col("event_type"), col("m.n").as("n"),
           round(col("m.sv"), 2).as("sv"))
         .orderBy("event_type")
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
     }
   }
+
+  case class TtlCount(user_id: Long, n: Long)
+
+  /** per-user running count whose ValueState carries a PROCESSING-TIME
+    * TTL — the unbounded-key-space guard at 100 TB: a crawl-scale
+    * user/session key space grows state forever without expiry; with a
+    * TTL, a key idle past the horizon is dropped by the store and a late
+    * return starts fresh. ttlMs <= 0 disables expiry (state then behaves
+    * exactly like stream_stateful_count's NoTimeout state).
+    */
+  private class TtlCountProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, TtlCount] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttl = if (ttlMs > 0)
+        org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(ttlMs))
+      else org.apache.spark.sql.streaming.TTLConfig.NONE
+      state = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TtlCount] = {
+      // exists() respects TTL at the store read layer: an expired value
+      // reads as absent, which IS the semantics under test
+      val prev = if (state.exists()) state.get() else 0L
+      val next = prev + rows.size
+      state.update(next)
+      Iterator(TtlCount(key, next))
+    }
+  }
+
+  /** per-user FINAL counts from a TTL-state replay; `sleepMs` spaces the
+    * micro-batches so a short TTL can expire between them (the
+    * SemanticsSpec hook). Final value per user = its row in the LAST
+    * batch that touched it (max batch id) — with expiry, counts are NOT
+    * monotone, so statefulCount's max-n drain would resurrect
+    * pre-expiry state.
+    */
+  private[graft] def twsTtlCounts(spark: SparkSession, sfDir: String,
+      ttlMs: Long, sleepMs: Long): DataFrame = {
+    import spark.implicits._
+    val outDir = Tmp.dir("tws_ttl_out").toString
+    // In ProcessingTime mode TransformWithStateExec.shouldRunAnotherBatch
+    // is unconditionally true (the engine wants no-data batches to
+    // advance time for TTL/timer maintenance) — so noNewData never
+    // latches and processAllAvailable() blocks FOREVER. Disable no-data
+    // micro-batches for this replay: expiry is enforced at the state
+    // READ layer (an expired value reads as absent), so maintenance
+    // batches aren't needed for the semantics, only for eager cleanup.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = spark.conf.getOption(ndKey)
+    spark.conf.set(ndKey, "false")
+    try withRocksDbState(spark) {
+      val nChunks = 2L
+      val ev = events(spark, sfDir)
+      val (n, _) = bounds(ev)
+      val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
+      val staged = ev.withColumn("chunk",
+        floor(col("event_id") / lit(per.toDouble)).cast("long"))
+      replayFileSource(spark, "tws_ttl", staged, nChunks - 1,
+        (stream, ckpt) => stream.as[Event]
+          .groupByKey(_.user_id)
+          .transformWithState(new TtlCountProcessor(ttlMs),
+            org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+            OutputMode.Update())
+          .toDF()
+          .writeStream
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          }
+          .start(),
+        interBatchSleepMs = sleepMs)
+      spark.read.parquet(outDir)
+        .groupBy("user_id")
+        .agg(max(struct(col("batch"), col("n"))).as("m"))
+        .select(col("user_id"), col("m.n").as("n"))
+        .localCheckpoint(true)
+    } finally {
+      ndPrev match {
+        case Some(v) => spark.conf.set(ndKey, v)
+        case None => spark.conf.unset(ndKey)
+      }
+      quietDelete(java.nio.file.Paths.get(outDir))
+    }
+  }
+
+  /** the `stream_tws_ttl` key: a 1-hour TTL never fires inside an
+    * in-process replay, so the output is deterministic — the
+    * production-shaped bounded-horizon state — while the expiry
+    * semantics are pinned in SemanticsSpec with a millisecond TTL and a
+    * real inter-batch gap. Output is the per-user-final-count
+    * distribution (compact and stable at every SF).
+    */
+  def twsTtl(spark: SparkSession, sfDir: String): DataFrame =
+    twsTtlCounts(spark, sfDir, ttlMs = 3600L * 1000, sleepMs = 0L)
+      .groupBy(col("n").as("n_events"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("n_events")
 
   /** streaming → EXTERNAL sink through foreachBatch: the watermarked
     * 1-h tumbling aggregate emitted per micro-batch into an append-only

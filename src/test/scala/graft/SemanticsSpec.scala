@@ -157,6 +157,47 @@ class SemanticsSpec extends SparkSpec {
         s"'${graft.streaming.StreamingJobs.sinkDescription("user_state")}'")
   }
 
+  test("stream_tws_ttl: unexpired TTL state equals the batch aggregate") {
+    // 1-h TTL over a seconds-long replay: nothing expires, so the
+    // TTL-configured state must fold exactly like NoTimeout state
+    val streamed = graft.streaming.StreamingJobs
+      .twsTtlCounts(spark, sf, ttlMs = 3600L * 1000, sleepMs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = T.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
+  test("stream_tws_ttl: expired state DROPS across the inter-batch gap") {
+    // 300 ms TTL + a 1.5 s pause between the two micro-batches: every
+    // value written in batch 0 is past its horizon when batch 1 reads,
+    // so a user seen in both chunks RESTARTS at zero — its final count
+    // is its last-chunk count, not the cumulative total. This is the
+    // unbounded-key-space guard at 100 TB: idle keys leave the store.
+    val streamed = graft.streaming.StreamingJobs
+      .twsTtlCounts(spark, sf, ttlMs = 300L, sleepMs = 1500L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // expected: per user, the event count of that user's LAST chunk
+    // (the same 2-chunk split formula the replay stages)
+    val ev = T.events(spark, sf).select("event_id", "user_id")
+    val n = ev.count()
+    val per = math.max(1L, math.ceil(n / 2.0).toLong)
+    val chunked = ev.withColumn("chunk",
+      floor(col("event_id") / lit(per.toDouble)).cast("long"))
+    val lastChunk = chunked.groupBy("user_id").agg(max("chunk").as("mc"))
+    val expected = chunked.join(lastChunk, "user_id")
+      .filter(col("chunk") === col("mc"))
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == expected)
+    // non-vacuity: the assertion only bites if some user spans both
+    // chunks (i.e. had pre-gap state that MUST have been dropped)
+    val spanning = chunked.groupBy("user_id")
+      .agg(countDistinct("chunk").as("c")).filter(col("c") === 2).count()
+    assert(spanning > 0, "vacuous TTL test: no user spans both chunks")
+  }
+
   test("bloom filter has zero false negatives and bounded false-positive rate") {
     val flags = SparkEntry.queries("agg_bloom_filter")(spark, sf)
       .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap

@@ -73,7 +73,16 @@ object Bench {
     // the driver's capture window is finite and a load-annotated result
     // beats no result — and record the attempts + the residual load so
     // the artifact self-describes its trustworthiness.
-    val maxLoad = sys.env.get("GRAFT_BENCH_MAX_LOAD").map(_.toDouble).getOrElse(3.0)
+    // malformed env values fall back loudly instead of crashing the
+    // bench at startup (r11 ADVICE)
+    def envDouble(name: String, default: Double): Double =
+      sys.env.get(name).map { v =>
+        scala.util.Try(v.toDouble).getOrElse {
+          System.err.println(s"bench: $name='$v' is not a double; using $default")
+          default
+        }
+      }.getOrElse(default)
+    val maxLoad = envDouble("GRAFT_BENCH_MAX_LOAD", 3.0)
     var loadWaits = 0
     while (loadAvg() > maxLoad && loadWaits < 20) {
       loadWaits += 1
@@ -118,8 +127,25 @@ object Bench {
     // recorded in r7). New keys therefore always get a second timing,
     // min kept — gated on prevLoaded so a missing/corrupt baseline file
     // doesn't silently double the whole run.
+    // ---- in-run per-key gate (r11 verdict #5) ------------------------
+    // The r11 run gated once at start (load 2.53) yet self-reported
+    // 103/185 samples polluted by load_end 3.59: one admission gate
+    // cannot hold a 2-minute run calm. So each key ALSO waits for a
+    // calm window before its first sample, drawing on one SHARED in-run
+    // budget (default 180 s, 5 s steps — GRAFT_BENCH_INRUN_WAIT_MS) so
+    // a permanently-busy box still finishes inside the driver's capture
+    // window; once the budget is spent, keys run annotated, as before.
+    var inRunWaitMsLeft: Long = math.max(0.0,
+      envDouble("GRAFT_BENCH_INRUN_WAIT_MS", 180000.0)).toLong
+    var inRunWaitMsUsed: Long = 0L
+    def gateKey(): Unit =
+      while (loadAvg() > maxLoad && inRunWaitMsLeft > 0) {
+        Thread.sleep(5000)
+        inRunWaitMsLeft -= 5000; inRunWaitMsUsed += 5000
+      }
     val loadStart = loadAvg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      gateKey()
       val load0 = loadAvg()
       val gc0 = gcMs()
       val (v, ok) = time1(fn)
@@ -155,10 +181,13 @@ object Bench {
     // judge to reverse-engineer them from the load map (r10 #7). The
     // bench's own local[N] activity adds ~1 to the 1-min loadavg (judge
     // r10 calm-box run: per-key load 0.1-1.1 DURING the bench; r11
-    // sf0.001 smoke at ambient 2.5 read 3-4), so the in-run pollution
-    // bar is the ambient gate + 2: r10's genuinely polluted keys read
-    // 5.98-10.92 and would all flag, calm runs read ≤1.1 and never do.
-    val pollutedBar = maxLoad + 2.0
+    // sf0.001 smoke at ambient 2.5 read 3-4). The bar is its OWN fixed
+    // knob (default 5.0), NOT derived from maxLoad: coupling them meant
+    // raising GRAFT_BENCH_MAX_LOAD to skip the admission wait also
+    // silently stopped the annotation flagging genuinely polluted
+    // samples (r11 ADVICE). r10's polluted keys read 5.98-10.92 and
+    // would all flag; calm runs read ≤1.1 and never do.
+    val pollutedBar = envDouble("GRAFT_BENCH_POLLUTED_LOAD", 5.0)
     val polluted = results.filter(_._6 > pollutedBar).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val nPolluted = results.count(_._6 > pollutedBar)
@@ -168,12 +197,12 @@ object Bench {
     val storageEnd = SessionMemo.storageBytes(spark)
     // the COMPLETE record — every key, every delta, the telemetry — for
     // the next run and for humans; the printed line only summarizes it.
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"reran":$reran,"vs_prev":$vsPrev,"prev_loaded":$prevLoaded,"gc_ms":$gcJson,"load":$loadJson,"gc_total_ms":$gcTotal,"load_start":${f3(loadStart)},"load_end":${f3(loadEnd)},"load_gate":{"max_load":${f3(maxLoad)},"waits":$loadWaits,"load_after_gate":${f3(gatedLoad)}},"load_polluted":$polluted,"storage_bytes":$storageJson,"storage_bytes_max":$storageMax,"storage_bytes_end":$storageEnd,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"reran":$reran,"vs_prev":$vsPrev,"prev_loaded":$prevLoaded,"gc_ms":$gcJson,"load":$loadJson,"gc_total_ms":$gcTotal,"load_start":${f3(loadStart)},"load_end":${f3(loadEnd)},"load_gate":{"max_load":${f3(maxLoad)},"waits":$loadWaits,"load_after_gate":${f3(gatedLoad)},"inrun_wait_ms":$inRunWaitMsUsed,"polluted_bar":${f3(pollutedBar)}},"load_polluted":$polluted,"storage_bytes":$storageJson,"storage_bytes_max":$storageMax,"storage_bytes_end":$storageEnd,"sf":"$sfDir"}"""
     try Files.write(Paths.get(PrevPath), full.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val slow10 = results.filter(_._3).sortBy(-_._2).take(10).map(r => r._1 -> r._2)
     val move10 = deltas.sortBy { case (_, d) => -math.abs(d) }.take(10)
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_keys":${results.length},"n_failed":${results.count(!_._3)},"failed":$failed,"reran":$reran,"prev_loaded":$prevLoaded,"gc_total_ms":$gcTotal,"load_start":${f3(loadStart)},"load_end":${f3(loadEnd)},"load_waits":$loadWaits,"n_load_polluted":$nPolluted,"storage_bytes_max":$storageMax,"queries":${jmap(slow10)},"vs_prev":${jmap(move10)},"full":"$PrevPath"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_keys":${results.length},"n_failed":${results.count(!_._3)},"failed":$failed,"reran":$reran,"prev_loaded":$prevLoaded,"gc_total_ms":$gcTotal,"load_start":${f3(loadStart)},"load_end":${f3(loadEnd)},"load_waits":$loadWaits,"inrun_wait_ms":$inRunWaitMsUsed,"n_load_polluted":$nPolluted,"storage_bytes_max":$storageMax,"queries":${jmap(slow10)},"vs_prev":${jmap(move10)},"full":"$PrevPath"}"""
     spark.stop()
     // printed last so log noise can't interleave into the capture
     println(line)

@@ -151,8 +151,16 @@ object SessionMemo {
   // so evicting one cannot drop another's entry; and a frame persisted
   // lazily contributes 0 bytes until first materialized, so the check
   // naturally lags one build — bounded, eventually enforced.
+  // malformed value → loud stderr + default, not an
+  // ExceptionInInitializerError at the first memo touch (r11 ADVICE)
   @volatile private[graft] var budgetBytes: Long =
-    sys.env.get("GRAFT_MEMO_BUDGET_BYTES").map(_.toLong).getOrElse(8L << 30)
+    sys.env.get("GRAFT_MEMO_BUDGET_BYTES").map { v =>
+      scala.util.Try(v.toLong).getOrElse {
+        System.err.println(
+          s"GRAFT_MEMO_BUDGET_BYTES='$v' is not a long; using default 8 GiB")
+        8L << 30
+      }
+    }.getOrElse(8L << 30)
 
   private val lastUse = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), java.lang.Long]()
@@ -171,19 +179,66 @@ object SessionMemo {
   private def touch(k: (SparkSession, String)): Unit =
     lastUse.put(k, tick.incrementAndGet())
 
-  private def evictPastBudget(s: SparkSession): Unit = {
-    if (budgetBytes <= 0 || storageBytes(s) <= budgetBytes) return
+  /** bytes persisted by ONE memoized frame: the mem+disk footprint of
+    * the RDD backing its CacheManager entry. 0 until first
+    * materialization (the builder exists but no buffers are loaded) and
+    * 0 if the lookup fails — a frame we can't account we also can't
+    * reclaim by eviction, so it must not count against the budget. */
+  private def frameBytes(df: DataFrame): Long =
+    try {
+      val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds)
+        .map(_.cachedRepresentation.cacheBuilder)
+        .filter(_.isCachedColumnBuffersLoaded)
+        .map { b =>
+          val id = b.cachedColumnBuffers.id
+          ds.sparkSession.sparkContext.getRDDStorageInfo
+            .filter(_.id == id).map(i => i.memSize + i.diskSize).sum
+        }.getOrElse(0L)
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+
+  /** total bytes held by memo-owned cache entries on this CONTEXT
+    * (all sibling sessions — one shared storage pool). */
+  def memoOwnedBytes(s: SparkSession): Long = {
     import scala.jdk.CollectionConverters._
-    val mine = (cache.keySet.asScala ++ pairCache.keySet.asScala)
-      .filter(_._1 eq s).toSeq
-      .sortBy(k => Option(lastUse.get(k)).map(_.longValue).getOrElse(0L))
-    val it = mine.iterator
-    while (it.hasNext && storageBytes(s) > budgetBytes) {
-      val k = it.next()
+    val sc = s.sparkContext
+    (cache.asScala.collect { case (k, v) if k._1.sparkContext eq sc => frameBytes(v) } ++
+     pairCache.asScala.collect { case (k, (a, b)) if k._1.sparkContext eq sc =>
+       frameBytes(a) + frameBytes(b) }).sum
+  }
+
+  private def evictPastBudget(s: SparkSession): Unit = {
+    if (budgetBytes <= 0) return
+    import scala.jdk.CollectionConverters._
+    // Budget the bytes the memo OWNS, not the context total (r11
+    // ADVICE): getRDDStorageInfo also counts bytes eviction can never
+    // reclaim — localCheckpoint RDDs created inside memo builds survive
+    // df.unpersist, and operator-internal persists aren't ours — so
+    // budgeting against the total would, once non-reclaimable storage
+    // alone exceeded the budget, evict the ENTIRE population on every
+    // call while freeing nothing (permanent rebuild thrash). Entries of
+    // sibling sessions on the same context share the storage pool, so
+    // they count and are evictable too (the old `_._1 eq s` filter
+    // skipped them while their bytes inflated the context total).
+    val sc = s.sparkContext
+    val entries: Seq[((SparkSession, String), Long)] =
+      (cache.asScala.collect { case (k, v) if k._1.sparkContext eq sc =>
+         k -> frameBytes(v) } ++
+       pairCache.asScala.collect { case (k, (a, b)) if k._1.sparkContext eq sc =>
+         k -> (frameBytes(a) + frameBytes(b)) }).toSeq
+    var total = entries.map(_._2).sum
+    if (total <= budgetBytes) return
+    val lru = entries.sortBy { case (k, _) =>
+      Option(lastUse.get(k)).map(_.longValue).getOrElse(0L) }
+    for ((k, bytes) <- lru if total > budgetBytes && bytes > 0) {
+      // zero-byte entries (not yet materialized / unaccountable) free
+      // nothing — skipping them is the "stop when a pass can't help"
+      // guard: the loop ends when reclaimable bytes are exhausted.
       Option(cache.remove(k)).foreach(_.unpersist(true))
       Option(pairCache.remove(k)).foreach { case (a, b) =>
         a.unpersist(true); b.unpersist(true) }
       lastUse.remove(k)
+      total -= bytes
     }
   }
 

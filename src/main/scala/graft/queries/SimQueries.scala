@@ -131,6 +131,41 @@ object SimQueries extends QueryPack {
       (codes, ms.map(_._2).reduce(_ unionByName _))
     }
 
+  /** (qid, m, cell, term) — the per-(probe, subspace, cell) ADC lookup
+    * table over the trained PQ codebooks (term = ||c||² − 2·q_m·c), for
+    * the capped probe set (vec_id < 100). nq × 4 × 16 rows: broadcast
+    * size at any corpus scale. Shared by sim_ann_pq_adc (full-corpus
+    * ADC scan) and sim_ann_ivf_pq (IVF-restricted scan). */
+  private def adcLut(s: org.apache.spark.sql.SparkSession, d: String) = {
+    graft.GraftFunctions.register(s)
+    embDouble(s, d).filter(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"),
+        posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+          s"m -> slice(v, m * $PqSub + 1, $PqSub))")).as(Seq("m", "qm")))
+      .join(broadcast(pqTrained(s, d)._2), Seq("m"))
+      .select(col("qid"), col("m"), col("cell"),
+        (col("cc") - lit(2.0) * graft.GraftFunctions.dotCol(s, col("qm"), col("c")))
+          .as("term"))
+  }
+
+  /** the exact L2 top-3 per capped probe — the recall baseline BOTH PQ
+    * search keys grade against (PQ approximates L2, so the baseline is
+    * L2, not cosine). ||q−x||² ranks as −2·q·x + ||x||². */
+  private def exactL2Top3(s: org.apache.spark.sql.SparkSession, d: String) = {
+    graft.GraftFunctions.register(s)
+    val e = embDouble(s, d)
+    val all = e.select(col("vec_id").as("b"), col("v").as("vb"))
+    val we = Window.partitionBy("a").orderBy(col("dist"), col("b"))
+    e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("a"), col("v").as("va"))
+      .join(all, col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(expr("graft_dot(vb, vb)")
+          - lit(2.0) * expr("graft_dot(va, vb)"), 6).as("dist"))
+      .withColumn("rk", row_number().over(we))
+      .filter(col("rk") <= 3).select("a", "b")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "sim_cosine_knn" -> ((s, d) => {
       // global top-20 most-similar pairs with a probe side capped at
@@ -417,22 +452,14 @@ object SimQueries extends QueryPack {
       // id). The probe cap (vec_id < 100) bounds the exact baseline;
       // the candidate side is lookup-joins, broadcast LUT.
       graft.GraftFunctions.register(s)
-      val (codes, cents) = pqTrained(s, d)
-      val e = embDouble(s, d)
-      val probes = e.filter(col("vec_id") < 100)
-      // (qid, m, cell, term): the per-subspace ADC lookup table
-      val lut = probes.select(col("vec_id").as("qid"),
-          posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
-            s"m -> slice(v, m * $PqSub + 1, $PqSub))")).as(Seq("m", "qm")))
-        .join(broadcast(cents), Seq("m"))
-        .select(col("qid"), col("m"), col("cell"),
-          (col("cc") - lit(2.0) * graft.GraftFunctions.dotCol(s, col("qm"), col("c")))
-            .as("term"))
+      val codes = pqTrained(s, d)._1
       // four lookup joins in FIXED order (never a groupBy-sum of the
       // terms: a 4-double sum's fold order is partition-dependent, and
       // an ulp flip under the 6-dp round would reorder ranks) — the
       // first join fans each candidate out to its matching probes, the
-      // rest attach one term each on (qid, c_m)
+      // rest attach one term each on (qid, c_m). LUT + exact baseline
+      // are factored (adcLut/exactL2Top3), shared with sim_ann_ivf_pq.
+      val lut = adcLut(s, d)
       val luts = (0 until PqM).map(m => lut.filter(col("m") === m)
         .select(col("qid").as(s"qid$m"), col("cell").as(s"lc$m"),
           col("term").as(s"t$m")))
@@ -448,20 +475,76 @@ object SimQueries extends QueryPack {
       val wa = Window.partitionBy("qid").orderBy(col("adist"), col("b"))
       val pq3 = adc.withColumn("rk", row_number().over(wa))
         .filter(col("rk") <= 3).select(col("qid").as("a"), col("b"))
-      // exact L2 top-3 baseline (||q−x||² ranks as −2·q·x + ||x||²)
-      val all = e.select(col("vec_id").as("b"), col("v").as("vb"))
-      val we = Window.partitionBy("a").orderBy(col("dist"), col("b"))
-      val ex3 = probes.select(col("vec_id").as("a"), col("v").as("va"))
-        .join(all, col("a") =!= col("b"))
-        .select(col("a"), col("b"),
-          round(expr("graft_dot(vb, vb)")
-            - lit(2.0) * expr("graft_dot(va, vb)"), 6).as("dist"))
-        .withColumn("rk", row_number().over(we))
-        .filter(col("rk") <= 3).select("a", "b")
+      val ex3 = exactL2Top3(s, d)
       val nex = ex3.agg(count(lit(1)).as("n_exact"))
       val hits = pq3.join(ex3, Seq("a", "b")).agg(count(lit(1)).as("n_hits"))
       nex.crossJoin(hits)
         .select(col("n_exact"), col("n_hits"),
+          round(col("n_hits") / col("n_exact"), 4).as("recall"))
+    }),
+
+    "sim_ann_ivf_pq" -> ((s, d) => {
+      // IVF×PQ — the composed FAISS-shaped deployment (r10/r11 verdict
+      // ask): the trained coarse index bounds WHAT gets scanned
+      // (nprobe nearest TRAINED cells per probe — consuming the
+      // kmTrained codebook, `._2`, built for exactly this) and the PQ
+      // codes bound WHAT a scan costs (4 broadcast table lookups +
+      // a sum per candidate, never a 64-dim dot). At 100 TB this is
+      // the shape that works: the candidate list shrinks by
+      // nprobe/k ≈ 4/16 and each candidate costs 4 bytes of reads;
+      // both factor tables (centroid row, ADC LUT) broadcast.
+      // Graded like its parents: recall@3 of the IVF-restricted ADC
+      // top-3 vs the exact L2 top-3, plus the candidate count the IVF
+      // pruning actually admitted — together the cost/quality pair a
+      // deployment tunes nprobe against. Deterministic end to end:
+      // cell top-nprobe ranks on (6-dp-rounded d2, c_label), ADC sums
+      // fixed-order, final ranks on (rounded adist, b).
+      graft.GraftFunctions.register(s)
+      val NProbe = 4
+      val centRow = kmTrained(s, d)._2
+        .agg(collect_list(struct(col("c_label"), col("c"), col("cc"))).as("cents"))
+      // per-probe nprobe nearest trained cells: broadcast-row fold,
+      // array-sorted, sliced — the k-way expansion never becomes rows
+      val pcells = embDouble(s, d).filter(col("vec_id") < 100)
+        .crossJoin(broadcast(centRow))
+        .withColumn("vv", expr("graft_dot(v, v)"))
+        .withColumn("top", slice(array_sort(transform(col("cents"), ct =>
+          struct(
+            round(col("vv") - lit(2.0)
+                * graft.GraftFunctions.dotCol(s, col("v"), ct.getField("c"))
+              + ct.getField("cc"), 6).as("d2"),
+            ct.getField("c_label").as("c_label")))), 1, NProbe))
+        .select(col("vec_id").as("qid"),
+          explode(transform(col("top"), _.getField("c_label"))).as("cell"))
+      // candidates = members of the probed cells (each vector lives in
+      // exactly one cell, so (qid, b) pairs are already distinct)
+      val cand = pcells
+        .join(kmAssigned(s, d).select(col("vec_id").as("b"), col("cell")),
+          Seq("cell"))
+        .filter(col("b") =!= col("qid"))
+        .select("qid", "b")
+      val codes = pqTrained(s, d)._1
+        .select(col("vec_id").as("b"), col("c0"), col("c1"), col("c2"), col("c3"))
+      val lut = adcLut(s, d)
+      val luts = (0 until PqM).map(m => lut.filter(col("m") === m)
+        .select(col("qid").as(s"qid$m"), col("cell").as(s"lc$m"),
+          col("term").as(s"t$m")))
+      val adc = (0 until PqM).foldLeft(cand.join(codes, Seq("b"))) {
+          (acc, m) => acc.join(broadcast(luts(m)),
+            col("qid") === col(s"qid$m") && col(s"c$m") === col(s"lc$m"))
+        }
+        .select(col("qid"), col("b"),
+          round(col("t0") + col("t1") + col("t2") + col("t3"), 6).as("adist"))
+      val wa = Window.partitionBy("qid").orderBy(col("adist"), col("b"))
+      val pq3 = adc.withColumn("rk", row_number().over(wa))
+        .filter(col("rk") <= 3).select(col("qid").as("a"), col("b"))
+      val ex3 = exactL2Top3(s, d)
+      val nex = ex3.agg(count(lit(1)).as("n_exact"))
+      val hits = pq3.join(ex3, Seq("a", "b")).agg(count(lit(1)).as("n_hits"))
+      val nc = cand.agg(count(lit(1)).as("n_cands"))
+      nc.crossJoin(nex).crossJoin(hits)
+        .select(lit(NProbe.toLong).as("nprobe"), col("n_cands"),
+          col("n_exact"), col("n_hits"),
           round(col("n_hits") / col("n_exact"), 4).as("recall"))
     }),
 
@@ -581,6 +664,51 @@ object SimQueries extends QueryPack {
        |SELECT a, rank, b, sim FROM ranked WHERE rank <= 3 ORDER BY a, rank""".stripMargin
   }
 
+  /** the PQ index + ADC lookup CTEs — four prefixed per-subspace Lloyd
+    * chains, per-vector codes, the unioned codebook, probe subvectors
+    * (vec_id < 100), and the (qid, m, cell, term) lookup table.
+    * Requires an `e(vec_id, v)` CTE in scope; shared by the
+    * sim_ann_pq_adc and sim_ann_ivf_pq oracles. */
+  private def adcCteSql: String = {
+    val subs = (0 until PqM).map { m =>
+      s"""s$m AS (SELECT vec_id, v[${m * PqSub + 1}:${(m + 1) * PqSub}] AS v FROM e),
+         |${kmeansRounds(s"p${m}_", s"s$m", PqK, KmIters)}""".stripMargin
+    }.mkString(",\n")
+    val cb = (0 until PqM).map(m =>
+      s"SELECT $m AS m, c_label AS cell, c, list_dot_product(c, c) AS cc FROM p${m}_cent$KmIters")
+      .mkString("\n  UNION ALL ")
+    val codeJoins = (0 until PqM).map(m =>
+      s"JOIN p${m}_a$KmIters q$m ON e.vec_id = q$m.vec_id").mkString(" ")
+    s"""$subs,
+       |codes AS (
+       |  SELECT e.vec_id AS b, ${(0 until PqM).map(m => s"q$m.cell AS c$m").mkString(", ")}
+       |  FROM e $codeJoins),
+       |cb AS (
+       |  $cb),
+       |qs AS (
+       |  SELECT vec_id AS qid, m,
+       |         list_slice(v, m * $PqSub + 1, (m + 1) * $PqSub) AS qm
+       |  FROM e, (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m)
+       |  WHERE vec_id < 100),
+       |lut AS (
+       |  SELECT qid, qs.m, cell, cc - 2.0 * list_dot_product(qm, c) AS term
+       |  FROM qs JOIN cb ON qs.m = cb.m)""".stripMargin
+  }
+
+  /** the exact L2 top-3 baseline CTEs (`ex`, `ex3`) both PQ search
+    * oracles grade recall against; requires `e` in scope. */
+  private def exactL2CteSql: String =
+    s"""ex AS (
+       |  SELECT p.vec_id AS a, x.vec_id AS b,
+       |         ROUND(list_dot_product(x.v, x.v)
+       |               - 2.0 * list_dot_product(p.v, x.v), 6) AS dist
+       |  FROM e p JOIN e x ON p.vec_id != x.vec_id
+       |  WHERE p.vec_id < 100),
+       |ex3 AS (
+       |  SELECT a, b FROM (
+       |    SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY dist, b) AS rk
+       |    FROM ex) WHERE rk <= 3)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "sim_cosine_knn" ->
       s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings)
@@ -623,35 +751,14 @@ object SimQueries extends QueryPack {
 
     // the ADC search over the same four Lloyd chains: per-(probe,
     // subspace, cell) term lookup table, four fixed-order lookup
-    // joins, recall@3 vs the exact L2 top-3
+    // joins, recall@3 vs the exact L2 top-3 (shared CTEs: adcCteSql /
+    // exactL2CteSql, reused by the composed sim_ann_ivf_pq oracle)
     "sim_ann_pq_adc" -> {
-      val subs = (0 until PqM).map { m =>
-        s"""s$m AS (SELECT vec_id, v[${m * PqSub + 1}:${(m + 1) * PqSub}] AS v FROM e),
-           |${kmeansRounds(s"p${m}_", s"s$m", PqK, KmIters)}""".stripMargin
-      }.mkString(",\n")
-      val cb = (0 until PqM).map(m =>
-        s"SELECT $m AS m, c_label AS cell, c, list_dot_product(c, c) AS cc FROM p${m}_cent$KmIters")
-        .mkString("\n  UNION ALL ")
-      val codeJoins = (0 until PqM).map(m =>
-        s"JOIN p${m}_a$KmIters q$m ON e.vec_id = q$m.vec_id").mkString(" ")
       val lutJoins = (1 until PqM).map(m =>
         s"JOIN lut l$m ON l$m.m = $m AND l$m.qid = l0.qid AND codes.c$m = l$m.cell")
         .mkString("\n  ")
       s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings),
-         |$subs,
-         |codes AS (
-         |  SELECT e.vec_id AS b, ${(0 until PqM).map(m => s"q$m.cell AS c$m").mkString(", ")}
-         |  FROM e $codeJoins),
-         |cb AS (
-         |  $cb),
-         |qs AS (
-         |  SELECT vec_id AS qid, m,
-         |         list_slice(v, m * $PqSub + 1, (m + 1) * $PqSub) AS qm
-         |  FROM e, (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m)
-         |  WHERE vec_id < 100),
-         |lut AS (
-         |  SELECT qid, qs.m, cell, cc - 2.0 * list_dot_product(qm, c) AS term
-         |  FROM qs JOIN cb ON qs.m = cb.m),
+         |$adcCteSql,
          |adc AS (
          |  SELECT l0.qid, codes.b,
          |         ROUND(l0.term + l1.term + l2.term + l3.term, 6) AS adist
@@ -663,21 +770,51 @@ object SimQueries extends QueryPack {
          |  SELECT qid AS a, b FROM (
          |    SELECT qid, b, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, b) AS rk
          |    FROM adc) WHERE rk <= 3),
-         |ex AS (
-         |  SELECT p.vec_id AS a, x.vec_id AS b,
-         |         ROUND(list_dot_product(x.v, x.v)
-         |               - 2.0 * list_dot_product(p.v, x.v), 6) AS dist
-         |  FROM e p JOIN e x ON p.vec_id != x.vec_id
-         |  WHERE p.vec_id < 100),
-         |ex3 AS (
-         |  SELECT a, b FROM (
-         |    SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY dist, b) AS rk
-         |    FROM ex) WHERE rk <= 3)
+         |$exactL2CteSql
          |SELECT CAST(ne AS BIGINT) AS n_exact, CAST(nh AS BIGINT) AS n_hits,
          |       ROUND(CAST(nh AS DOUBLE) / ne, 4) AS recall
          |FROM (SELECT (SELECT COUNT(*) FROM ex3) AS ne,
          |             (SELECT COUNT(*) FROM pq3 JOIN ex3 USING (a, b)) AS nh)""".stripMargin
     },
+
+    // the composed IVF×PQ oracle: the UNPREFIXED trained-cell chain
+    // (sim_kmeans's kmeansCte — cent$KmIters is the codebook the final
+    // argmin ran against, exactly kmTrained._2) bounds candidates to
+    // the probe's 4 nearest cells; the PQ/ADC chains score them
+    "sim_ann_ivf_pq" ->
+      s"""WITH ${kmeansCte(KmK, KmIters)},
+         |$adcCteSql,
+         |pc AS (
+         |  SELECT p.vec_id AS qid, c.c_label AS cell,
+         |         ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |           ROUND(list_dot_product(p.v, p.v)
+         |                 - 2.0 * list_dot_product(p.v, c.c)
+         |                 + list_dot_product(c.c, c.c), 6), c.c_label) AS crk
+         |  FROM e p CROSS JOIN cent$KmIters c
+         |  WHERE p.vec_id < 100),
+         |cand AS (
+         |  SELECT pc.qid, a.vec_id AS b
+         |  FROM pc JOIN a$KmIters a ON a.cell = pc.cell
+         |  WHERE pc.crk <= 4 AND a.vec_id != pc.qid),
+         |adc AS (
+         |  SELECT cand.qid, cand.b,
+         |         ROUND(l0.term + l1.term + l2.term + l3.term, 6) AS adist
+         |  FROM cand
+         |  JOIN codes ON codes.b = cand.b
+         |  ${(0 until PqM).map(m =>
+             s"JOIN lut l$m ON l$m.m = $m AND l$m.qid = cand.qid AND codes.c$m = l$m.cell")
+             .mkString("\n  ")}),
+         |pq3 AS (
+         |  SELECT qid AS a, b FROM (
+         |    SELECT qid, b, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, b) AS rk
+         |    FROM adc) WHERE rk <= 3),
+         |$exactL2CteSql
+         |SELECT CAST(4 AS BIGINT) AS nprobe,
+         |       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cands,
+         |       CAST(ne AS BIGINT) AS n_exact, CAST(nh AS BIGINT) AS n_hits,
+         |       ROUND(CAST(nh AS DOUBLE) / ne, 4) AS recall
+         |FROM (SELECT (SELECT COUNT(*) FROM ex3) AS ne,
+         |             (SELECT COUNT(*) FROM pq3 JOIN ex3 USING (a, b)) AS nh)""".stripMargin,
 
     // four independent per-subspace Lloyd chains (prefixed CTE names),
     // then the code/error join — reconstruction error IS Σ subspace d2

@@ -476,6 +476,28 @@ class SemanticsSpec extends SparkSpec {
       s"trained recall $rTrained not above hash-bucket recall $rHash")
   }
 
+  test("sim_ann_ivf_pq composes its parents: pruned scan, bounded recall") {
+    // the IVF×PQ composition must behave like IVF ∘ ADC, not like a
+    // third algorithm: (a) its candidate count is strictly below the
+    // full ADC scan's nq × (n−1) — the IVF stage actually pruned — and
+    // with nprobe=4 of k=16 cells it should admit well under half the
+    // corpus per probe; (b) restricting the ADC scan can only LOSE
+    // exact-top-3 hits, so its recall is ≤ the full-scan ADC recall;
+    // (c) both keys grade against the same exact-L2 baseline, so
+    // n_exact agrees.
+    val ivfpq = SparkEntry.queries("sim_ann_ivf_pq")(spark, sf).collect()(0)
+    val adc = SparkEntry.queries("sim_ann_pq_adc")(spark, sf).collect()(0)
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val nq = ivfpq.getAs[Long]("n_exact") / 3  // 3 exact hits per probe
+    val nCands = ivfpq.getAs[Long]("n_cands")
+    assert(nCands < nq * (n - 1), "IVF stage admitted the full corpus")
+    assert(nCands < nq * n / 2, s"nprobe=4/16 admitted $nCands of ${nq * n} — no locality")
+    assert(ivfpq.getAs[Long]("n_exact") == adc.getAs[Long]("n_exact"),
+      "the two PQ search keys grade against different exact baselines")
+    assert(ivfpq.getAs[Double]("recall") <= adc.getAs[Double]("recall"),
+      "restricting the ADC scan to IVF cells cannot gain recall")
+  }
+
   test("stream_stateful_count replays identically under the RocksDB state store") {
     // SURVEY §7.4.5 names RocksDB as the at-scale provider (state >
     // executor memory); transformWithState already requires it, but the

@@ -53,6 +53,34 @@ class SessionMemoSpec extends SparkSpec {
     } finally SessionMemo.budgetBytes = saved
   }
 
+  test("non-reclaimable storage does not thrash the memo (r11 ADVICE)") {
+    // The r10 budget compared against context-TOTAL storage, which also
+    // counts bytes eviction can never reclaim (localCheckpoint RDDs from
+    // memo builds survive unpersist). Once those alone exceeded the
+    // budget, EVERY memo call evicted the whole population and freed
+    // nothing — permanent rebuild thrash. Pin the fix: the budget now
+    // covers memo-OWNED bytes only, so a big checkpoint must not evict
+    // a small memo entry.
+    val saved = SessionMemo.budgetBytes
+    try {
+      SessionMemo(spark, "memospec_nonreclaim") {
+        spark.range(50000L).select(col("id"), (col("id") * 11).as("z"))
+      }.count()
+      // budget exactly covers today's memo-owned population...
+      SessionMemo.budgetBytes = math.max(1L, SessionMemo.memoOwnedBytes(spark))
+      // ...then park non-reclaimable bytes on the context, way past it
+      val ck = spark.range(3000000L).select(col("id")).localCheckpoint(true)
+      assert(ck.count() == 3000000L)
+      assert(SessionMemo.storageBytes(spark) > SessionMemo.budgetBytes,
+        "checkpoint too small to exercise the thrash scenario")
+      SessionMemo(spark, "memospec_nonreclaim_trigger") {
+        spark.range(10L).select(col("id"))
+      }.count()
+      assert(SessionMemo.isMemoized(spark, "memospec_nonreclaim"),
+        "non-reclaimable context storage evicted a within-budget memo entry")
+    } finally SessionMemo.budgetBytes = saved
+  }
+
   test("pair entries evict as a unit") {
     val saved = SessionMemo.budgetBytes
     try {

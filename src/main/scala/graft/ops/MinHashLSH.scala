@@ -25,11 +25,13 @@ import org.apache.spark.sql.functions._
 object MinHashLSH {
   // Mersenne prime 2^31-1: inputs reduced mod P stay 31-bit, so the
   // permutation multiply never overflows a signed 64-bit long (ANSI mode
-  // would reject it).
-  private val P = 2147483647L
+  // would reject it). Exposed to graft so the DuckDB oracle can emit
+  // the SAME permutations (the minhash pipeline is deterministic — the
+  // "probabilistic" part is recall vs true Jaccard, not the output).
+  private[graft] val P = 2147483647L
 
   /** deterministic permutation coefficients (odd a, spread b). */
-  private def coef(i: Int): (Long, Long) =
+  private[graft] def coef(i: Int): (Long, Long) =
     (2L * i + 1L, 982451653L * (i + 1) % P)
 
   /** per-row minhash signature column over a distinct-shingle array. */

@@ -36,7 +36,7 @@ class QueriesSmokeSpec extends SparkSpec {
     * assertions. Keep in sync with SURVEY §2B-as-built. */
   private val declaredTestOnly = Set(
     "agg_approx_hll", "agg_approx_quantile", "agg_approx_topk",
-    "agg_bloom_filter", "dedup_minhash_lsh", "graph_pagerank_raw",
+    "agg_bloom_filter", "graph_pagerank_raw",
     "graph_triangles_raw", "stream_dedup_stateful", "stream_stateful_count",
     "stream_tws_ttl", "stream_watermark_late", "ts_active_hll")
 

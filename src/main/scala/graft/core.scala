@@ -301,8 +301,17 @@ object SessionMemo {
 
 /** Table loaders for the driver-generated parquet testdata. */
 object Tables {
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // The round-12 regenerated testdata writes timestamp[us] WITHOUT
+    // timezone metadata; Spark 4 would infer TIMESTAMP_NTZ for those
+    // (breaking unix_micros, Row.getTimestamp, and timestamp-literal
+    // comparisons), while DuckDB reads the same bytes as plain
+    // TIMESTAMP. Disable NTZ inference so both engines and both
+    // testdata generations agree on classic TimestampType with
+    // identical µs values (session tz is UTC in every entrypoint).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String)    = t(s, d, "region")
   def nation(s: SparkSession, d: String)    = t(s, d, "nation")
@@ -311,16 +320,24 @@ object Tables {
   def part(s: SparkSession, d: String)      = t(s, d, "part")
   def orders(s: SparkSession, d: String)    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = t(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects; read it as a long (legacy conf) and truncate ns→µs with
-    * integer division — exactly what DuckDB's reader does, so the two
-    * engines agree on emitted timestamps (SURVEY.md §7.4.2).
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's reader only
+    * accepts as a long via the legacy conf — truncate ns→µs with integer
+    * division, exactly what DuckDB's reader does) and, since the
+    * round-12 regeneration, native TIMESTAMP(MICROS) (which both engines
+    * read directly). Dispatch on the decoded type so either generation
+    * loads with identical µs semantics (SURVEY.md §7.4.2).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String) = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")

@@ -3,11 +3,12 @@ package graft.queries
 import graft.QueryPack
 import graft.streaming.StreamingJobs
 
-/** SURVEY.md §2B category J — the three TEST-only stateful streaming
-  * rows. No SQL oracles by design (watermark/late semantics are
-  * trigger-dependent); the driver records a rows-only check and the
-  * ScalaTest suite asserts the semantic invariants (late rows dropped,
-  * duplicates removed, state counts == batch counts).
+/** SURVEY.md §2B category J — the stateful streaming rows. All but
+  * stream_tws_ttl are DuckDB-oracled: the file replay is deterministic
+  * (one staged file per chunk, processAllAvailable between chunks), so
+  * even the watermark late-drop schedule is replayable in SQL. The one
+  * TEST-only hold-out is TTL expiry, which is processing-time
+  * (wall-clock) dependent; SemanticsSpec pins it instead.
   */
 object StreamingStatefulQueries extends QueryPack {
 
@@ -26,13 +27,60 @@ object StreamingStatefulQueries extends QueryPack {
     "stream_static_join" -> ((s, d) => StreamingJobs.streamStaticJoin(s, d))
   )
 
-  /** The inner stream–stream join IS oracled: inner joins emit matches
-    * as soon as both sides arrive (no watermark wait), and the in-order
-    * replay keeps every needed click in state (10-min join window <
-    * 30-min watermark), so the result equals the batch interval join
-    * exactly. The other three rows stay TEST-only (trigger-dependent).
+  /** The inner stream–stream join is oracled the same way: inner joins
+    * emit matches as soon as both sides arrive (no watermark wait), and
+    * the in-order replay keeps every needed click in state (10-min join
+    * window < 30-min watermark), so the result equals the batch
+    * interval join exactly.
     */
   val oracleSql: Map[String, String] = Map(
+    // Batch equivalence IS the streaming correctness property for these
+    // three (the replay is deterministic: one staged parquet file per
+    // chunk, processAllAvailable between chunks, so micro-batch
+    // boundaries and watermark advances are reproducible):
+    //
+    // dedupStateful's injected duplicates (the %10 slice re-sent one
+    // chunk later) are removed either as duplicates (state for the
+    // original is retained at least the 30-min watermark delay, and a
+    // non-late dup implies the original's state is still live) or as
+    // late rows (ts below watermark) — dropped on both paths, so the
+    // final Complete-mode counts equal exact per-type counts.
+    "stream_dedup_stateful" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // statefulCount emits cumulative per-user state every batch (Update
+    // mode); the read-back takes max over batches, so the final rows
+    // equal the batch aggregate regardless of chunking. last_seen_us is
+    // µs-of-epoch on both sides (state keeps getTime*1000 + sub-ms µs).
+    "stream_stateful_count" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(max(epoch_us(ts)) AS BIGINT) AS last_seen_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // watermarkLate replayed in SQL: on-time rows (event_id %40 ≠ 0)
+    // are never late — event_id is time-ordered, so every chunk-k row
+    // outruns the batch-k watermark (max ts through chunk k−1, −10 min).
+    // Moved rows (%40 = 0, shifted two chunks later, capped into the
+    // first flush chunk 4) arrive at batch base+2: base ≤ 1 rows are
+    // ~7.5 event-days stale — always dropped; base ∈ {2,3} rows land in
+    // batch 4, whose watermark is (max ts over everything that arrived
+    // through batch 3, i.e. all rows except the %40-moved slice of
+    // chunks ≥ 2) − 10 min — kept iff their 1-h window end outruns it.
+    // Spark drops window_end ≤ watermark; no row sits exactly on the
+    // boundary at any SF (verified), so the replay is exact.
+    "stream_watermark_late" ->
+      """WITH p AS (SELECT CAST(ceil(count(*)/4.0) AS BIGINT) per FROM events),
+        |wm AS (SELECT max(ts) - INTERVAL 10 MINUTE w FROM events, p
+        |       WHERE NOT (event_id % 40 = 0 AND event_id >= 2*per)),
+        |keep AS (SELECT e.* FROM events e, p, wm
+        |         WHERE event_id % 40 <> 0
+        |            OR (CAST(floor(event_id / per) AS BIGINT) >= 2
+        |                AND date_trunc('hour', ts) + INTERVAL 1 HOUR > wm.w))
+        |SELECT date_trunc('hour', ts) AS ws, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM keep GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
     "stream_stream_join" ->
       """SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
         |FROM events p JOIN events c

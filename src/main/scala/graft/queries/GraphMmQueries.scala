@@ -329,7 +329,11 @@ object GraphMmQueries extends QueryPack {
   /** the same recurrence as ops/PageRank, unrolled as a CTE chain —
     * generated from the shared constants so query and oracle cannot
     * drift (the agg_spatial_octree pattern). */
-  private def pagerankSql(d: Double, iters: Int): String = {
+  /** Unrolls the PageRank recurrence as a CTE chain from the same
+    * (damping, iters) constants the operator runs with; `edgeCte`
+    * supplies the graph (src, dst, w DOUBLE). Shared by the quotient
+    * and raw keys — same recurrence, different edge derivation. */
+  private def pagerankSql(d: Double, iters: Int, edgeCte: String): String = {
     val rounds = (1 to iters).map { i =>
       s"""c$i AS (
          |  SELECT e.dst AS node, SUM(p.pr * e.wn) AS cin
@@ -340,9 +344,7 @@ object GraphMmQueries extends QueryPack {
          |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (
-       |  SELECT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst,
-       |         CAST(COUNT(*) AS DOUBLE) AS w
-       |  FROM orders GROUP BY 1, 2),
+       |  $edgeCte),
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
        |en AS (
@@ -355,8 +357,44 @@ object GraphMmQueries extends QueryPack {
        |ORDER BY pr DESC, node LIMIT 50""".stripMargin
   }
 
+  private val QuotientEdgeCte =
+    """SELECT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst,
+      |         CAST(COUNT(*) AS DOUBLE) AS w
+      |  FROM orders GROUP BY 1, 2""".stripMargin
+
+  private val RawFkEdgeCte =
+    """SELECT 'c:' || o_custkey AS src, 'o:' || o_orderkey AS dst,
+      |         CAST(COUNT(*) AS DOUBLE) AS w
+      |  FROM orders GROUP BY 1, 2""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "graph_pagerank" -> pagerankSql(PrDamping, PrIters),
+    "graph_pagerank" -> pagerankSql(PrDamping, PrIters, QuotientEdgeCte),
+
+    // raw-FK PageRank, oracled since round 12: the bipartite
+    // customer→order graph gives every node at most ONE in-edge
+    // (orders: their customer; customers: none), so each round's
+    // contribution sum is a single-element fold — no cross-engine
+    // float-fold-order risk anywhere, and the identical unrolled
+    // recurrence replays exactly. Node ids are strings on both sides
+    // ('c:'/'o:' prefixes) with binary collation in both engines.
+    "graph_pagerank_raw" -> pagerankSql(PrDamping, PrIters, RawFkEdgeCte),
+
+    // raw co-purchase triangles, oracled since round 12: pure-integer
+    // outputs (per-node counts on the DISTINCT canonical edge set —
+    // Triangles.perNode dedupes internally), so the brute-force
+    // id-ordered 3-way join replays it exactly; measured ~4 s in
+    // DuckDB at sf0.1.
+    "graph_triangles_raw" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |und AS (SELECT DISTINCT o1.p AS a, o2.p AS b
+        |        FROM op o1 JOIN op o2 ON o1.ok = o2.ok AND o1.p < o2.p),
+        |tri AS (SELECT u1.a AS x, u1.b AS y, u2.b AS z
+        |        FROM und u1 JOIN und u2 ON u2.a = u1.b
+        |        JOIN und u3 ON u3.a = u1.a AND u3.b = u2.b),
+        |corners AS (SELECT unnest([x, y, z]) AS node FROM tri)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |FROM corners GROUP BY node
+        |ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
 
     "graph_kcore" -> kcoreSql(KCoreRounds),
 

@@ -36,8 +36,7 @@ class QueriesSmokeSpec extends SparkSpec {
     * assertions. Keep in sync with SURVEY §2B-as-built. */
   private val declaredTestOnly = Set(
     "agg_approx_hll", "agg_approx_quantile", "agg_approx_topk",
-    "agg_bloom_filter", "graph_pagerank_raw",
-    "graph_triangles_raw", "stream_tws_ttl", "ts_active_hll")
+    "agg_bloom_filter", "stream_tws_ttl", "ts_active_hll")
 
   test("every query key is oracled or explicitly declared TEST-only") {
     // the oracle-parity invariant, made structural (the r9 verdict's

@@ -459,6 +459,22 @@ class PlanSpec extends SparkSpec {
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("agg_distinct_kmv: the rank≤k sketch filter compiles to WindowGroupLimit") {
+    // the KMV sketch's mergeability, materialized in the plan: the
+    // k-smallest selection must truncate each map partition to its
+    // per-group top-k (partial WindowGroupLimit) before the exchange —
+    // i.e. every task ships a bounded sketch, not its hash stream. A
+    // degrade to a full WindowExec over the distinct hashes would scan
+    // |distinct users| rows per group through one task's sort.
+    val p = planOf("agg_distinct_kmv")
+    val limits = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.length >= 2,
+      s"expected partial (map-side) + final WindowGroupLimit, got ${limits.length}")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("sample_domain_cap: the rank≤K filter compiles to WindowGroupLimit") {
     // the whole point of the rank-filter formulation: Catalyst's
     // InferWindowGroupLimit rewrites rk≤100 into WindowGroupLimitExec,

@@ -21,6 +21,26 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("agg_distinct_kmv: exact below k, estimator within theory bounds above") {
+    // the sketch's two regimes: a group with fewer than k=256 distinct
+    // members must report EXACTLY its distinct count (the sketch holds
+    // the whole hash set), and a sketched group's error must sit well
+    // inside the KMV standard-error envelope (~1/√(k−2) ≈ 6.3%; 3σ
+    // bound asserted). The oracle already pins the exact output values;
+    // this pins the STATISTICAL claim the key exists to make.
+    val rows = SparkEntry.queries("agg_distinct_kmv")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, exact, est, errBp) =>
+      if (exact < 256)
+        assert(est == exact, s"$et: sub-k group must be exact, got $est vs $exact")
+      else
+        assert(errBp <= 1900, // 3/√254 ≈ 18.8% in basis points
+          s"$et: err $errBp bp exceeds the 3σ KMV envelope")
+      assert(errBp == math.floor(math.abs(est - exact) * 10000.0 / exact).toLong)
+    }
+  }
+
   test("MinHash-LSH near-dup output ⊇ exact Jaccard pairs at J≥0.9 and ⊆ at J≥0.5") {
     val exact = SparkEntry.queries("dedup_jaccard_pairs")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale throughput probe — the measurement behind BASELINE.md
+  * §corpus-scale-probe. The correctness fixtures top out at 5 k
+  * documents / 2 k embeddings even at sf0.1, so the dedup / text /
+  * vector / streaming families' 100 TB design claims ("the mining is
+  * linear in the corpus", "state scales with users, not events/batch")
+  * had no measured scale datapoint. This main builds an F×-replicated
+  * derivative of sf0.1 in scratch and times one representative key per
+  * family at ×1 vs ×F through the UNCHANGED production query code
+  * (`SparkEntry.queries`), printing one JSON line with the measured
+  * scaling ratios.
+  *
+  * Replication preserves the workload's statistical shape while
+  * keeping shards independent — the regime the linear-scaling claim is
+  * actually about (F× more content), not F× literal copies (which
+  * would manufacture a quadratic near-dup pair explosion the fixtures
+  * don't have):
+  *   - documents: per-replica vocabulary remap (every token suffixed
+  *     `_i`) — replica i shares no shingles/tokens with replica j, so
+  *     mining/tf-idf see F independent corpora; n_chars recomputed.
+  *   - embeddings: dimensions rotated by i (a permutation — norms and
+  *     intra-replica geometry exactly preserved, cross-replica cosine
+  *     decorrelated), vec_id offset in lockstep with doc_id.
+  *   - events: event_id offset by exactly n·i (the replay contract
+  *     needs a dense 0-based id), ts shifted +35 d·i (id order stays
+  *     time order), user_id offset — F× users, the stateful-streaming
+  *     state-size axis.
+  *   - orders/lineitem/customer/part/supplier: FK ids offset per
+  *     replica → F disjoint graph components.
+  *
+  * Run: `sbt "runMain graft.ScaleProbe"`; env GRAFT_PROBE_FACTOR
+  * (default 16), GRAFT_PROBE_KEYS (comma list overriding the default
+  * family representatives), SPARK_GRAFT_SF_DIR (default sf0.1).
+  */
+object ScaleProbe {
+
+  private val DefaultKeys = Seq(
+    "dedup_jaccard_pairs", // inverted-index near-dup mining
+    "text_dup_spans",      // duplicated-span audit (gram df + owner pick)
+    "text_tfidf",          // text aggregation
+    "dedup_embedding",     // metric-blocked vector near-dup
+    "sim_kmeans",          // iterative trained clustering
+    "stream_stateful_count", // arbitrary stateful streaming, F× users
+    "pipeline_corpus"      // end-to-end corpus artifact
+  )
+
+  private val IdOffset = 10000000L // doc/vec/user/FK id stride per replica
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.get("GRAFT_PROBE_FACTOR").flatMap(v =>
+      scala.util.Try(v.toInt).toOption).getOrElse(16)
+    val keys = sys.env.get("GRAFT_PROBE_KEYS")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(DefaultKeys)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", Tmp.dir("wh").toString)
+      .config("spark.local.dir", Tmp.dir("local").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(dest: String, f: Int): Unit = {
+      import spark.implicits._
+      val reps = (0 until f).toDF("rep")
+      def write(df: DataFrame, name: String): Unit =
+        df.write.mode("overwrite").parquet(s"$dest/$name.parquet")
+
+      val docs = Tables.documents(spark, base).crossJoin(reps)
+        .select(
+          (col("doc_id") + col("rep") * IdOffset).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("_"), col("rep"))), " ").as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")))
+      write(docs, "documents")
+
+      val dim = 64
+      val emb = Tables.embeddings(spark, base).crossJoin(reps)
+        .select(
+          (col("vec_id") + col("rep") * IdOffset).as("vec_id"),
+          concat(
+            slice(col("embedding"), (col("rep") % dim) + 1,
+              lit(dim) - (col("rep") % dim)),
+            slice(col("embedding"), lit(1), col("rep") % dim)).as("embedding"),
+          col("label"))
+      write(emb, "embeddings")
+
+      val evBase = Tables.events(spark, base)
+      val n = evBase.count()
+      val ev = evBase.crossJoin(reps)
+        .select(
+          (col("event_id") + col("rep") * n).as("event_id"),
+          (col("ts") + col("rep") * expr("INTERVAL 35 DAYS")).as("ts"),
+          (col("user_id") + col("rep") * IdOffset).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      write(ev, "events")
+
+      val ord = Tables.orders(spark, base).crossJoin(reps)
+        .select(
+          (col("o_orderkey") + col("rep") * IdOffset).as("o_orderkey"),
+          (col("o_custkey") + col("rep") * IdOffset).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+      write(ord, "orders")
+
+      val li = Tables.lineitem(spark, base).crossJoin(reps)
+        .select(
+          (col("l_orderkey") + col("rep") * IdOffset).as("l_orderkey"),
+          (col("l_partkey") + col("rep") * IdOffset).as("l_partkey"),
+          (col("l_suppkey") + col("rep") * IdOffset).as("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate"))
+      write(li, "lineitem")
+
+      val cust = Tables.customer(spark, base).crossJoin(reps)
+        .select((col("c_custkey") + col("rep") * IdOffset).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+      write(cust, "customer")
+      val part = Tables.part(spark, base).crossJoin(reps)
+        .select((col("p_partkey") + col("rep") * IdOffset).as("p_partkey"),
+          col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+          col("p_retailprice"))
+      write(part, "part")
+      val supp = Tables.supplier(spark, base).crossJoin(reps)
+        .select((col("s_suppkey") + col("rep") * IdOffset).as("s_suppkey"),
+          col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      write(supp, "supplier")
+      // constant dimensions pass through unchanged
+      write(Tables.region(spark, base), "region")
+      write(Tables.nation(spark, base), "nation")
+    }
+
+    def time(dir: String, key: String): (Double, Long) = {
+      // fresh cache state per (dir, key) set so the memoized family
+      // minings are paid inside the measured pass, same as a cold run
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(key)(spark, dir)
+      val nRows = df.count()
+      require(nRows > 0, s"$key returned 0 rows on $dir")
+      ((System.nanoTime() - t0) / 1e9, nRows)
+    }
+
+    val out = new StringBuilder
+    out.append(s"""{"base":"$base","factor":$factor,"keys":{""")
+    val dirs = Map(1 -> s"${Tmp.dir("probe_x1")}", factor -> s"${Tmp.dir(s"probe_x$factor")}")
+    replicate(dirs(1), 1)
+    replicate(dirs(factor), factor)
+    val entries = keys.map { key =>
+      spark.catalog.clearCache()
+      SessionMemo.clear(spark)
+      val (warm, _) = time(dirs(1), key) // warm JIT/codegen on the small corpus
+      spark.catalog.clearCache()
+      SessionMemo.clear(spark)
+      val (t1, r1) = time(dirs(1), key)
+      spark.catalog.clearCache()
+      SessionMemo.clear(spark)
+      val (tF, rF) = time(dirs(factor), key)
+      val ratio = tF / t1
+      System.err.println(f"[probe] $key%-24s x1 $t1%7.2f s/$r1%d rows  x$factor $tF%7.2f s/$rF%d rows  ratio ${ratio}%5.2f (warm $warm%5.2f)")
+      f""""$key":{"x1_sec":$t1%.3f,"x${factor}_sec":$tF%.3f,"ratio":$ratio%.2f,"x1_rows":$r1%d,"x${factor}_rows":$rF%d}"""
+    }
+    out.append(entries.mkString(","))
+    out.append("}}")
+    println(out.toString)
+    spark.stop()
+  }
+}

@@ -207,6 +207,26 @@ object SessionMemo {
        frameBytes(a) + frameBytes(b) }).sum
   }
 
+  /** Drop every memo entry for `s`'s context, unpersisting its frames —
+    * for tools that need cold-cache timings (ScaleProbe): after
+    * `spark.catalog.clearCache()` the map would still hold unpersisted
+    * frames and silently skip the rebuild the timing exists to
+    * measure. */
+  def clear(s: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    val sc = s.sparkContext
+    cache.keySet.asScala.filter(_._1.sparkContext eq sc).toSeq.foreach { k =>
+      Option(cache.remove(k)).foreach(df => scala.util.Try(df.unpersist()))
+      lastUse.remove(k)
+    }
+    pairCache.keySet.asScala.filter(_._1.sparkContext eq sc).toSeq.foreach { k =>
+      Option(pairCache.remove(k)).foreach { case (a, b) =>
+        scala.util.Try(a.unpersist()); scala.util.Try(b.unpersist())
+      }
+      lastUse.remove(k)
+    }
+  }
+
   private def evictPastBudget(s: SparkSession): Unit = {
     if (budgetBytes <= 0) return
     import scala.jdk.CollectionConverters._

@@ -46,6 +46,42 @@ object MetricBlocking {
     emb.select(col("vec_id"), col("label"),
       VectorOps.toDouble(col("embedding")).as("v"))
 
+  /** Target mean cell membership — the blocking's scale knob. Labels
+    * alone give a FIXED cell count (the fixture has ~5), so per-cell
+    * membership grows linearly with the corpus: the blocked equi-join
+    * hash-partitions on cell, so at cluster scale FIVE tasks would
+    * receive the whole table — a parallelism/skew failure independent
+    * of pruning. [[subCells]] splits every label into md5 buckets
+    * sized so cells stay ~this many members; sub-cell means stay valid
+    * anchors (ANY partition preserves completeness, OpsSpec pins exact
+    * pair-set invariance) with radii ≤ the parent's, so pruning only
+    * tightens. The threshold is deliberately HIGH: the round-12
+    * ScaleProbe measured the trade on a 32 k near-random corpus —
+    * forcing ~75 cells cost +43 % wall (121.7 vs 84.8 s at probe ×16)
+    * because loose geometry (radii ~85°) admits every cell pair and
+    * finer cells only multiply the vector×cell-pair fan-out. Splitting
+    * therefore starts where task-boundedness dominates (cells at 64 Ki
+    * members ≈ 32 MB of unit vectors per join task), not where it
+    * would merely look tidier. Capped at [[MaxCellsPerLabel]] so the
+    * broadcast centroid row stays ~2 MB (4096 × 64 dims × 8 B). */
+  val TargetCellSize = 65536L
+  val MaxCellsPerLabel = 4096L
+
+  /** Re-key `e`'s label into data-proportional sub-cells: label stays
+    * the high bits (anchor locality), a portable-md5 bucket of vec_id
+    * the low bits. Deterministic, assignment-invariant for the OUTPUT
+    * (recall 1.0 for any partition — the scheme's core property), so
+    * oracles replaying only the pair set are unaffected. */
+  private[graft] def subCells(e: DataFrame, n: Long,
+      target: Long = TargetCellSize): DataFrame = {
+    val m = math.min(MaxCellsPerLabel,
+      math.max(1L, n / target))
+    if (m <= 1L) e
+    else e.withColumn("label",
+      col("label").cast("long") * (MaxCellsPerLabel + 1) +
+        pmod(graft.ops.TextOps.md5Long(concat(lit("cell:"), col("vec_id"))), lit(m)))
+  }
+
   /** round(sim,4) ≥ t means sim can be as low as t - 5e-5 — widen the
     * angular budget accordingly (one-sided bound: widening is safe). */
   private def tmax(threshold: Double): Double = math.acos(threshold - 1e-4)
@@ -152,8 +188,10 @@ object MetricBlocking {
     * self-table specialization of [[similarityJoin]] (one assignment
     * pass, ordered-pair cells, a < b before any dot is priced).
     */
-  def nearDupPairs(s: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
-    val (assigned, cells) = assignAndStats(s, prep(emb))
+  def nearDupPairs(s: SparkSession, emb: DataFrame, threshold: Double,
+      targetCellSize: Long = TargetCellSize): DataFrame = {
+    val p = prep(emb)
+    val (assigned, cells) = assignAndStats(s, subCells(p, p.count(), targetCellSize))
     blockedPairs(s, assigned, cells, assigned, cells, threshold, col("a") < col("b"))
   }
 
@@ -170,7 +208,9 @@ object MetricBlocking {
   def similarityJoin(s: SparkSession, left: DataFrame, right: DataFrame,
       threshold: Double): DataFrame = {
     val l = prep(left)
-    val r = prep(right)
+    // sub-cell the ANCHOR side only: both sides assign to the same
+    // anchor set, so the reference corpus's size drives cell count
+    val r = subCells(prep(right), right.count())
     val anch = anchors(r).localCheckpoint(true)
     val (al, cl) = assignTo(s, anch, l)
     val (ar, cr) = assignTo(s, anch, r)

@@ -142,6 +142,23 @@ class OpsSpec extends SparkSpec {
       s"two-table blocked != brute: missing=${brute -- got} extra=${got -- brute}")
   }
 
+  test("MetricBlocking sub-cell split preserves the exact pair set") {
+    // the round-12 scale path: labels alone give a FIXED cell count, so
+    // subCells re-keys into data-proportional md5 buckets. Output must
+    // be assignment-invariant — force the split on the fixture (target
+    // 64 → ~7 sub-cells per label) and demand equality with the
+    // unsplit result (which OpsSpec already pins against brute force).
+    val emb = Tables.embeddings(spark, sf)
+    def pairs(target: Long) =
+      graft.ops.MetricBlocking.nearDupPairs(spark, emb, 0.35, target)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val split = pairs(64L)
+    val unsplit = pairs(Long.MaxValue)
+    assert(split == unsplit && split.nonEmpty,
+      s"sub-cell split changed the pair set: missing=${unsplit -- split} " +
+        s"extra=${split -- unsplit}")
+  }
+
   test("MetricBlocking prunes on a clustered corpus (and still finds every pair)") {
     import spark.implicits._
     // 4 tight clusters around orthogonal axes: radii ~11°, inter-cell

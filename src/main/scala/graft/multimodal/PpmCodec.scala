@@ -104,6 +104,37 @@ object PpmCodec {
     (width, height, maxval, off)
   }
 
+  /** 56-bit difference hash (dHash) of a P6 payload — the perceptual
+    * fingerprint behind re-encode/recolor-robust image dedup: sample a
+    * 7×9 grid of the RED channel nearest-neighbor (y_r = r·(h−1)/6,
+    * x_c = c·(w−1)/8, integer division), one bit per horizontal
+    * gradient (g(r,c+1) > g(r,c)), packed little-endian at r·8+c.
+    * 56 bits keeps the pack inside a positive signed 64-bit value on
+    * every engine (bit 63 would wrap Spark's long and overflow
+    * DuckDB's checked BIGINT shift). Reading one channel is what makes
+    * the hash invariant under chroma edits that break byte-level
+    * hashing — the property multimodal_phash's seeded twins exercise.
+    */
+  def dHash56(bytes: Array[Byte]): Long = {
+    val (w, h, plane) = decodeP6(bytes)
+    var hash = 0L
+    var r = 0
+    while (r < 7) {
+      val y = r * (h - 1) / 6
+      var prev = plane((y * w + 0) * 3) & 0xff // x_0 = 0 for any w
+      var c = 0
+      while (c < 8) {
+        val x2 = (c + 1) * (w - 1) / 8
+        val cur = plane((y * w + x2) * 3) & 0xff
+        if (cur > prev) hash |= 1L << (r * 8 + c)
+        prev = cur
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
   /** parse any binary P6: tokenizing header scanner (whitespace +
     * comments), then the raw plane. Throws IllegalArgumentException on
     * malformed input — corrupt payloads surface, never decode to

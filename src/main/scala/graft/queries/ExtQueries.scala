@@ -333,6 +333,39 @@ object ExtQueries extends QueryPack {
         .orderBy("d")
     }),
 
+    "ts_seasonal_decompose" -> ((s, d) => {
+      // classical additive decomposition of the daily event-count
+      // series — trend = centered 7-row moving average (full frames
+      // only), seasonal = per-day-of-week mean of the detrended
+      // series, residual = the rest; the series-health view a pipeline
+      // reads before alerting on ts_anomaly's spikes. EXACT parity by
+      // the ts_anomaly/ts_ewma integer-state rule: everything is
+      // integer micro-units (×10⁴) — the only doubles are two SINGLE
+      // divisions (sum·10⁴/7 and Σdetr/cnt), each floor'd; a single
+      // IEEE division is identically rounded in both engines, unlike a
+      // multi-term double fold. dow = days-since-epoch mod 7
+      // (Thursday=0) — portable, no locale/week-start exposure.
+      // Aggregate-then-window: both windows run over the |days| table.
+      val daily = T.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val t = daily
+        .withColumn("c7", count(lit(1)).over(w7))
+        .withColumn("trend_u", when(col("c7") === 7,
+          floor(sum(col("n")).over(w7) * lit(10000.0) / 7).cast("long")))
+        .withColumn("dow",
+          pmod((unix_timestamp(col("day")) / lit(86400)).cast("long"), lit(7)))
+        .withColumn("detr_u", col("n") * lit(10000L) - col("trend_u"))
+      val wd = Window.partitionBy("dow")
+      t.withColumn("seasonal_u",
+          floor(sum(col("detr_u")).over(wd).cast("double")
+            / count(col("detr_u")).over(wd)).cast("long"))
+        .select(col("day"), col("n"), col("trend_u"), col("seasonal_u"),
+          (col("detr_u") - col("seasonal_u")).as("resid_u"))
+        .orderBy("day")
+    }),
+
     "sample_hash" -> ((s, d) => {
       // reproducible 5% sample: portable md5 bucket of the key — the
       // deterministic, engine-independent alternative to TABLESAMPLE
@@ -496,6 +529,32 @@ object ExtQueries extends QueryPack {
          |       ROUND(CAST(num AS DOUBLE) / 102300.0, 4) AS ewma
          |FROM f WHERE x >= 9 ORDER BY d""".stripMargin
     },
+
+    "ts_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, n,
+        |         COUNT(*) OVER w7 AS c7,
+        |         SUM(n) OVER w7 AS s7,
+        |         (CAST(epoch(day) AS BIGINT) // 86400) % 7 AS dow
+        |  FROM daily
+        |  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (
+        |  SELECT day, n, dow,
+        |         CASE WHEN c7 = 7
+        |              THEN CAST(floor(s7 * 10000.0 / 7) AS BIGINT) END AS trend_u
+        |  FROM t),
+        |t3 AS (
+        |  SELECT day, n, trend_u, n * 10000 - trend_u AS detr_u,
+        |         CAST(floor(CAST(SUM(n * 10000 - trend_u)
+        |                           OVER (PARTITION BY dow) AS DOUBLE)
+        |                    / COUNT(n * 10000 - trend_u)
+        |                           OVER (PARTITION BY dow)) AS BIGINT) AS seasonal_u
+        |  FROM t2)
+        |SELECT day, n, trend_u, seasonal_u, detr_u - seasonal_u AS resid_u
+        |FROM t3 ORDER BY day""".stripMargin,
 
     "sample_hash" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,

@@ -98,6 +98,40 @@ object GraphMmQueries extends QueryPack {
         .orderBy("node")
     }),
 
+    "graph_jaccard_neighbors" -> ((s, d) => {
+      // neighbor-set Jaccard node similarity — the link-prediction /
+      // "customers also touched" score — on the same 1000-node order-FK
+      // quotient graph as graph_pagerank/triangles/kcore. Candidate
+      // pairs come from the inverted neighbor index (adj self-joined on
+      // the shared neighbor, a < b canonical), |∩| is the wedge count,
+      // |∪| = deg(a) + deg(b) − |∩| from the partial-aggregated degree
+      // table — never a node×node cartesian; the per-neighbor pair fan
+      // is Σ C(deg,2), the same measured wedge volume graph_triangles
+      // bounds (BASELINE.md §graph-scale). One double division per
+      // output pair (single IEEE op — exact parity), 6-dp round, total
+      // order (j desc, a, b), top 25.
+      val und = T.orders(s, d).select(
+          pmod(col("o_custkey"), lit(1000L)).as("src"),
+          pmod(col("o_orderkey"), lit(1000L)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val adj = und.select(col("src").as("node"), col("dst").as("nbr"))
+        .unionAll(und.select(col("dst").as("node"), col("src").as("nbr")))
+        .distinct()
+      val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+      val inter = adj.as("x").join(adj.as("y"),
+          col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
+        .groupBy(col("x.node").as("a"), col("y.node").as("b"))
+        .agg(count(lit(1)).as("ni"))
+      inter
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+        .withColumn("j", round(col("ni").cast("double")
+          / (col("da") + col("db") - col("ni")), 6))
+        .orderBy(col("j").desc, col("a"), col("b"))
+        .limit(25)
+        .select("a", "b", "ni", "j")
+    }),
+
     // TEST-only (no oracle — the quotient keys above carry the hash
     // gate for the same operators): the raw-scale skew runs the r7
     // verdict asked for, timed by Bench every round and measured in
@@ -278,6 +312,63 @@ object GraphMmQueries extends QueryPack {
         .orderBy("width")
     }),
 
+    "multimodal_phash" -> ((s, d) => {
+      // perceptual-hash image dedup — the near-dup detector byte
+      // hashing can NOT be: a seeded %7 slice is re-ingested (under
+      // out-of-range ids, the containment precedent) with its green/
+      // blue channels rotated +97 — different BYTES, so dedup_exact's
+      // sha256 would never pair them — while PpmCodec.dHash56 reads
+      // only the red channel's 7×9 gradient grid FROM THE DECODED
+      // PLANE, so each twin collides with its original exactly. Pairs
+      // come from the bucket self-join on (w, h, phash) with buckets
+      // CAPPED at 32 members — tiny smooth images collapse the 56-bit
+      // space into a few degenerate hot hashes (measured: a 55-member
+      // bucket = 1485 pairs at sf0.1), and the cap kills that
+      // quadratic exactly as dedup_jaccard's df cap kills hot-shingle
+      // buckets; SemanticsSpec pins seeded recall under it. `seeded`
+      // separates the planted twins from natural collisions, and
+      // `bytes_differ` (from full-plane digests) certifies the pair is
+      // invisible to byte-level hashing. Oracle: the dHash bit
+      // arithmetic is replayed per candidate by a generated 56-term
+      // CASE chain from the SAME (r, c, weight) constants.
+      import s.implicits._
+      val base = T.documents(s, d).select(col("doc_id")).as[Long]
+      val cands = base.flatMap(id =>
+        if (id % 7 == 0) Seq(id, id + PhashTwinOffset) else Seq(id))
+      val hp = cands.mapPartitions { ids =>
+        // real pipeline: open the codec HERE, once per task.
+        ids.map { id =>
+          val m = if (id >= PhashTwinOffset) id - PhashTwinOffset else id
+          val twin = id >= PhashTwinOffset
+          val w = (4 + m % 13).toInt
+          val h = (3 + m % 7).toInt
+          val px = Array.tabulate[Byte](w * h * 3) { j =>
+            val v = ((m * 7 + j.toLong * 13) % 256).toInt
+            (if (twin && j % 3 != 0) (v + 97) % 256 else v).toByte
+          }
+          val bytes = PpmCodec.encodeP6(w, h, px, comment = m % 4 == 0)
+          val meta = PpmCodec.parse(bytes)
+          (id, PpmCodec.dHash56(bytes), w.toLong, h.toLong,
+            meta.sumR + meta.sumG * 1000003L + meta.sumB * 1000033L)
+        }
+      }.toDF("doc_id", "phash", "w", "h", "plane_digest")
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("phash", "w", "h")
+      val capped = hp.withColumn("nb", count(lit(1)).over(wb))
+        .filter(col("nb") <= 32).drop("nb")
+      capped.as("x").join(capped.as("y"),
+          col("x.phash") === col("y.phash") &&
+            col("x.w") === col("y.w") && col("x.h") === col("y.h") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.phash").as("phash"),
+          (col("y.doc_id") - col("x.doc_id") === PhashTwinOffset)
+            .cast("int").as("seeded"),
+          (col("x.plane_digest") =!= col("y.plane_digest"))
+            .cast("int").as("bytes_differ"))
+        .orderBy("a", "b")
+    }),
+
     "mr_wordcount" -> ((s, d) => {
       // wordcount through the Mimir-style MapReduce facade (§2A):
       // map(tokenize) → map-side combine → reduce(sum).
@@ -291,6 +382,23 @@ object GraphMmQueries extends QueryPack {
         .limit(100)
     })
   )
+
+  /** twin-id offset for multimodal_phash's seeded re-ingest (the
+    * dedup_containment out-of-range-id precedent). */
+  private val PhashTwinOffset = 10000000L
+
+  /** the dHash56 bit arithmetic as a generated SQL CASE chain — emitted
+    * from the SAME (r, c, weight) constants the codec packs with, the
+    * ts_ewma generated-chain rule; expects columns m (media basis),
+    * w, h on the input relation. Red channel only: byte j = 3·(y·w+x),
+    * value (m·7 + j·13) % 256 — untouched by the twin chroma rotation.
+    */
+  private def phashTermsSql: String =
+    (for { r <- 0 until 7; c <- 0 until 8 } yield {
+      def v(cc: Int) =
+        s"((m*7 + 39*(((${r}*(h-1))//6)*w + ((${cc}*(w-1))//8))) % 256)"
+      s"CASE WHEN ${v(c + 1)} > ${v(c)} THEN ${1L << (r * 8 + c)} ELSE 0 END"
+    }).mkString(" + ")
 
   /** PageRank constants shared by the query and the generated oracle. */
   private val PrDamping = 0.85
@@ -368,6 +476,65 @@ object GraphMmQueries extends QueryPack {
       |  FROM orders GROUP BY 1, 2""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "multimodal_phash" ->
+      s"""WITH cand AS (
+         |  SELECT doc_id AS id, doc_id AS m, 0 AS twin FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $PhashTwinOffset, doc_id, 1 FROM documents
+         |  WHERE doc_id % 7 = 0),
+         |dims AS (SELECT id, m, twin, 4 + m % 13 AS w, 3 + m % 7 AS h
+         |         FROM cand),
+         |pix AS (SELECT id, twin, m,
+         |               unnest(range(0, 3*w*h)) AS j FROM dims),
+         |pv AS (
+         |  SELECT id, j % 3 AS ch,
+         |         CASE WHEN twin = 1 AND j % 3 <> 0
+         |              THEN ((m*7 + j*13) % 256 + 97) % 256
+         |              ELSE (m*7 + j*13) % 256 END AS v
+         |  FROM pix),
+         |dig AS (
+         |  SELECT id,
+         |         SUM(CASE WHEN ch = 0 THEN v ELSE 0 END)
+         |       + SUM(CASE WHEN ch = 1 THEN v ELSE 0 END) * 1000003
+         |       + SUM(CASE WHEN ch = 2 THEN v ELSE 0 END) * 1000033 AS pd
+         |  FROM pv GROUP BY id),
+         |hp AS (
+         |  SELECT d.id, d.w, d.h,
+         |         CAST($phashTermsSql AS BIGINT) AS phash, g.pd
+         |  FROM dims d JOIN dig g ON d.id = g.id),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT *, COUNT(*) OVER (PARTITION BY phash, w, h) AS nb
+         |    FROM hp) WHERE nb <= 32)
+         |SELECT x.id AS a, y.id AS b, x.phash AS phash,
+         |       CAST(CASE WHEN y.id - x.id = $PhashTwinOffset
+         |            THEN 1 ELSE 0 END AS INT) AS seeded,
+         |       CAST(CASE WHEN x.pd <> y.pd THEN 1 ELSE 0 END AS INT) AS bytes_differ
+         |FROM capped x JOIN capped y
+         |  ON x.phash = y.phash AND x.w = y.w AND x.h = y.h AND x.id < y.id
+         |ORDER BY a, b""".stripMargin,
+
+    "graph_jaccard_neighbors" ->
+      """WITH e AS (
+        |  SELECT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst
+        |  FROM orders WHERE o_custkey % 1000 <> o_orderkey % 1000),
+        |adj AS (
+        |  SELECT src AS node, dst AS nbr FROM e
+        |  UNION
+        |  SELECT dst AS node, src AS nbr FROM e),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM adj GROUP BY node),
+        |inter AS (
+        |  SELECT x.node AS a, y.node AS b, CAST(COUNT(*) AS BIGINT) AS ni
+        |  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+        |  GROUP BY 1, 2)
+        |SELECT a, b, ni,
+        |       ROUND(CAST(ni AS DOUBLE) / (da.deg + db.deg - ni), 6) AS j
+        |FROM inter
+        |JOIN deg da ON inter.a = da.node
+        |JOIN deg db ON inter.b = db.node
+        |ORDER BY j DESC, a, b LIMIT 25""".stripMargin,
+
     "graph_pagerank" -> pagerankSql(PrDamping, PrIters, QuotientEdgeCte),
 
     // raw-FK PageRank, oracled since round 12: the bipartite

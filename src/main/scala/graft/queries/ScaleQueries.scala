@@ -86,6 +86,51 @@ object ScaleQueries extends QueryPack {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
         .orderBy("o_orderpriority")
+    }),
+
+    "sink_zorder_layout" -> ((s, d) => {
+      // Z-order clustered sink + 2-dim data-skipping readback: lineitem
+      // written clustered on the Morton key of (l_orderkey, l_partkey)
+      // (ops/ZOrder — 8-bit min/max codes, bit interleave, range-
+      // partitioned sorted write; both dims are DENSE at every SF, so
+      // the code grid fills), then a box predicate on BOTH dims — an
+      // order-era slice × a part range, the two-axis probe an ingest
+      // audit runs — reads it back. Every file's stats envelope is a
+      // tight box in both dimensions, so parquet row-group pruning
+      // skips most of the table — what a linear sort can only do for
+      // one dim (SemanticsSpec measures the z-vs-sorted scan-row
+      // asymmetry). Like the other layout keys, the technique changes
+      // the files read, never the answer: the oracle is the same box
+      // aggregate on the raw table. Box bounds are integer arithmetic
+      // on the key ranges, shared verbatim with the oracle — ALIGNED
+      // to the 8-bit code grid (codes [64,95] on each dim, the second
+      // octant: x in [mn + ceil(64·rng/255), mn + ceil(96·rng/255)),
+      // exactly how a platform aligns scan predicates to its declared
+      // clustering resolution; a grid-straddling box would drag in
+      // every boundary square's files. Only the 1-row bounds aggregate
+      // crosses to the driver (the filter needs literal bounds to
+      // reach the parquet scan as PushedFilters).
+      val li = T.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      val tmp = graft.Tmp.dir("zorder").toString
+      graft.ops.ZOrder.writeClustered(li, "l_orderkey", "l_partkey", 16, tmp)
+      val r = li.agg(min("l_orderkey"), max("l_orderkey"),
+        min("l_partkey"), max("l_partkey")).head()
+      def lv(i: Int) = r.getAs[Number](i).longValue
+      val (omn, omx, pmn, pmx) = (lv(0), lv(1), lv(2), lv(3))
+      val (oLo, oHi) = (omn + (64 * (omx - omn) + 254) / 255,
+        omn + (96 * (omx - omn) + 254) / 255 - 1)
+      val (pLo, pHi) = (pmn + (64 * (pmx - pmn) + 254) / 255,
+        pmn + (96 * (pmx - pmn) + 254) / 255 - 1)
+      s.read.parquet(tmp)
+        .filter(col("l_orderkey").between(oLo, oHi) &&
+          col("l_partkey").between(pLo, pHi))
+        .groupBy(pmod(col("l_partkey"), lit(10)).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum("l_quantity").cast("long").as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("total"))
+        .orderBy("bucket")
     })
   )
 
@@ -101,6 +146,23 @@ object ScaleQueries extends QueryPack {
         |       ROUND(SUM(l_extendedprice), 2) AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the raw-table box aggregate — the z-order layout must not change
+    // the answer, only the files a scan touches
+    "sink_zorder_layout" ->
+      """WITH b AS (SELECT min(l_orderkey) omn, max(l_orderkey) omx,
+        |                  min(l_partkey) pmn, max(l_partkey) pmx
+        |           FROM lineitem)
+        |SELECT CAST(l_partkey % 10 AS INT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM lineitem, b
+        |WHERE l_orderkey BETWEEN omn + (64 * (omx - omn) + 254) // 255
+        |                     AND omn + (96 * (omx - omn) + 254) // 255 - 1
+        |  AND l_partkey BETWEEN pmn + (64 * (pmx - pmn) + 254) // 255
+        |                    AND pmn + (96 * (pmx - pmn) + 254) // 255 - 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the PLAIN join — the bloom prune must not change the answer
     "join_bloom_pruned" ->

@@ -106,6 +106,24 @@ object ScanQueries extends QueryPack {
         .orderBy("lang")
     }),
 
+    "scan_xml_roundtrip" -> ((s, d) => {
+      // Spark 4 folded the XML data source into core (no external
+      // connector): write nation as <nation> row elements, read it back
+      // with an explicit schema. XML is the config/feed interchange
+      // format a crawl pipeline still meets (sitemaps, RSS, dumps) —
+      // the roundtrip pins element encode/decode fidelity exactly like
+      // the CSV/JSON siblings; the oracle is the identity SELECT.
+      val tmp = graft.Tmp.dir("xml").toString
+      T.nation(s, d).write.mode(SaveMode.Overwrite)
+        .option("rowTag", "nation").format("xml").save(tmp)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.schema(schema).option("rowTag", "nation").format("xml")
+        .load(tmp).orderBy("n_nationkey")
+    }),
+
     "scan_text_roundtrip" -> ((s, d) => {
       // Mimir's native source/sink was chunked text files; write the
       // corpus as raw text, read it back line-oriented.
@@ -135,6 +153,8 @@ object ScanQueries extends QueryPack {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_json_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "scan_xml_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_text_roundtrip" ->
       "SELECT text AS value FROM documents ORDER BY value",
     // the injected-corruption count is part of the declared semantics

@@ -18,6 +18,11 @@ import graft.{QueryPack, Tables => T}
   *   - KMV distinct-count: the k smallest hash values per group ARE a
   *     mergeable distinct-count sketch — and unlike HLL, one whose
   *     every intermediate is replayable in SQL on any engine.
+  *   - Count-Min: the frequency-estimation counterpart to KMV — a
+  *     d×w counter grid that answers "how often did item x occur"
+  *     in O(d) lookups with a one-sided (never-under) error, again
+  *     deterministic by construction (portable md5 row-hashes) and
+  *     therefore fully DuckDB-oracled.
   */
 object SketchQueries extends QueryPack {
 
@@ -93,6 +98,102 @@ object SketchQueries extends QueryPack {
           floor(abs(col("kmv_est") - col("n_exact")) * lit(10000.0)
             / col("n_exact")).cast("long").as("err_bp"))
         .orderBy("event_type")
+    }),
+
+    // KMV set algebra — the reason mergeable sketches exist: estimate
+    // |A∪B| and |A∩B| between two user populations FROM THEIR SKETCHES
+    // ALONE (union sketch = k smallest of the two k-sets' union, ≤2k
+    // rows — no raw rescan; intersection via the ratio estimator
+    // ρ = |union-sample ∩ A ∩ B|/k, where membership of a union-sample
+    // hash in a side is EXACTLY answered by that side's own k-set:
+    // h ≤ kth(A∪B) ≤ kth(A) since A ⊆ A∪B). At 100 TB each segment
+    // keeps a 256-hash sketch and any pairwise overlap query runs on
+    // driver-size inputs. Same portable md5 hash as agg_distinct_kmv,
+    // all-integer outputs, exact below k — fully DuckDB-replayed, with
+    // the exact cardinalities alongside for graded error.
+    "agg_kmv_setops" -> ((s, d) => {
+      import graft.ops.TextOps
+      val k = 256
+      val types = Seq("click", "purchase")
+      val hashed = T.events(s, d)
+        .filter(col("event_type").isin(types: _*))
+        .select(col("event_type"),
+          TextOps.md5Long(concat(lit("kmv:"), col("user_id"))).as("h"))
+        .distinct()
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("h")
+      val sk = hashed.withColumn("rk", row_number().over(wt))
+        .filter(col("rk") <= k).select("event_type", "h")
+      val wu = org.apache.spark.sql.expressions.Window.orderBy("h")
+      val uk = sk.select("h").distinct()
+        .withColumn("rk", row_number().over(wu)).filter(col("rk") <= k)
+        .select("h")
+      val ustats = uk.agg(count(lit(1)).as("n_kept"), max("h").as("kth"))
+      val estU = when(col("n_kept") < k, col("n_kept"))
+        .otherwise(floor(lit((k - 1).toDouble * math.pow(2, 60)) / col("kth")))
+        .cast("long")
+      val both = uk
+        .join(sk.filter(col("event_type") === "click").select(col("h")), Seq("h"))
+        .join(sk.filter(col("event_type") === "purchase")
+          .select(col("h").as("hb")), col("h") === col("hb"))
+        .agg(count(lit(1)).as("n_both"))
+      val ex = T.events(s, d).filter(col("event_type").isin(types: _*))
+        .groupBy("user_id")
+        .agg(countDistinct("event_type").as("nt"),
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("ia"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("ib"))
+        .agg(sum("ia").cast("long").as("a_exact"),
+          sum("ib").cast("long").as("b_exact"),
+          count(lit(1)).as("union_exact"),
+          sum(when(col("nt") === 2, 1L).otherwise(0L)).as("inter_exact"))
+      ex.crossJoin(ustats).crossJoin(both)
+        .select(col("a_exact"), col("b_exact"),
+          col("union_exact"), col("inter_exact"), estU.as("union_est"),
+          floor((col("n_both") * estU).cast("double") / lit(k.toDouble))
+            .cast("long").as("inter_est"))
+    }),
+
+    // Count-Min frequency sketch over the corpus token stream, probed
+    // at the exact top-10 tokens. The sketch is a d=4 × w=64 counter
+    // grid: each token increments one bucket per hash row, and
+    // estimate(x) = min over rows of its bucket counts — ≥ the true
+    // count always (collisions only ADD), within εN with probability
+    // 1−δ (ε = e/w, δ = e^−d). The 100 TB shape is the whole point:
+    // the grid is a partial aggregate — every map task folds its
+    // token slice into ≤ d·w = 256 cells locally and the shuffle moves
+    // cells, not tokens — and the probe side joins the 256-cell grid
+    // as a broadcast. Deterministic md5 row-hashes make every
+    // intermediate (grid cells included) SQL-replayable, so unlike the
+    // native sketches this one carries a full hash oracle.
+    "agg_countmin" -> ((s, d) => {
+      import graft.ops.TextOps
+      val dRows = 4
+      val wBuckets = 64L
+      def cellsOf(w: org.apache.spark.sql.Column) =
+        array((0 until dRows).map(r =>
+          struct(lit(r).as("r"),
+            pmod(TextOps.md5Long(concat(lit(s"cm$r:"), w)),
+              lit(wBuckets)).as("b"))): _*)
+      val toks = T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val sketch = toks
+        .select(explode(cellsOf(col("w"))).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = toks.groupBy("w").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("w")).limit(10)
+      val probes = top
+        .select(col("w"), col("n_exact"), explode(cellsOf(col("w"))).as("rb"))
+        .select(col("w"), col("n_exact"),
+          col("rb.r").as("r"), col("rb.b").as("b"))
+      probes.join(broadcast(sketch), Seq("r", "b"))
+        .groupBy("w", "n_exact")
+        .agg(min("cnt").as("cm_est"))
+        .withColumn("over_bp",
+          floor((col("cm_est") - col("n_exact")) * lit(10000.0)
+            / col("n_exact")).cast("long"))
+        .orderBy(col("n_exact").desc, col("w"))
     })
   )
 
@@ -120,6 +221,72 @@ object SketchQueries extends QueryPack {
         |  FROM sk s JOIN ex e ON s.event_type = e.event_type)
         |SELECT event_type, n_exact, kmv_est,
         |       CAST(floor(abs(kmv_est - n_exact) * 10000.0 / n_exact) AS BIGINT) AS err_bp
-        |FROM est ORDER BY event_type""".stripMargin
+        |FROM est ORDER BY event_type""".stripMargin,
+
+    "agg_kmv_setops" ->
+      """WITH hashed AS (
+        |  SELECT DISTINCT event_type,
+        |         CAST(('0x' || substring(md5('kmv:' || user_id), 1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |sk AS (
+        |  SELECT event_type, h FROM (
+        |    SELECT event_type, h,
+        |           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        |    FROM hashed) WHERE rk <= 256),
+        |uk AS (
+        |  SELECT h FROM (
+        |    SELECT h, row_number() OVER (ORDER BY h) AS rk
+        |    FROM (SELECT DISTINCT h FROM sk)) WHERE rk <= 256),
+        |us AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS kth FROM uk),
+        |nb AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_both FROM uk
+        |  WHERE h IN (SELECT h FROM sk WHERE event_type = 'click')
+        |    AND h IN (SELECT h FROM sk WHERE event_type = 'purchase')),
+        |ex AS (
+        |  SELECT CAST(SUM(ia) AS BIGINT) AS a_exact,
+        |         CAST(SUM(ib) AS BIGINT) AS b_exact,
+        |         CAST(COUNT(*) AS BIGINT) AS union_exact,
+        |         CAST(SUM(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS inter_exact
+        |  FROM (SELECT user_id, COUNT(DISTINCT event_type) AS nt,
+        |               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ia,
+        |               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ib
+        |        FROM events WHERE event_type IN ('click', 'purchase')
+        |        GROUP BY user_id)),
+        |est AS (
+        |  SELECT CASE WHEN us.n_kept < 256 THEN us.n_kept
+        |         ELSE CAST(floor(255.0 * 1152921504606846976.0 / us.kth) AS BIGINT)
+        |         END AS union_est, nb.n_both
+        |  FROM us, nb)
+        |SELECT ex.a_exact, ex.b_exact, ex.union_exact, ex.inter_exact,
+        |       est.union_est,
+        |       CAST(floor(CAST(est.n_both * est.union_est AS DOUBLE) / 256.0) AS BIGINT) AS inter_est
+        |FROM ex, est""".stripMargin,
+
+    "agg_countmin" ->
+      """WITH toks AS (
+        |  SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |                 FROM documents) t WHERE w <> ''),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |cells AS (
+        |  SELECT rs.r,
+        |         CAST(('0x' || substring(md5('cm' || rs.r || ':' || w), 1, 15)) AS BIGINT) % 64 AS b
+        |  FROM toks CROSS JOIN rs),
+        |sketch AS (
+        |  SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM cells GROUP BY r, b),
+        |ex AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |       FROM toks GROUP BY w),
+        |top AS (SELECT w, n_exact FROM ex ORDER BY n_exact DESC, w LIMIT 10),
+        |probes AS (
+        |  SELECT t.w, t.n_exact, rs.r,
+        |         CAST(('0x' || substring(md5('cm' || rs.r || ':' || t.w), 1, 15)) AS BIGINT) % 64 AS b
+        |  FROM top t CROSS JOIN rs),
+        |est AS (
+        |  SELECT p.w, p.n_exact, MIN(s.cnt) AS cm_est
+        |  FROM probes p JOIN sketch s ON p.r = s.r AND p.b = s.b
+        |  GROUP BY p.w, p.n_exact)
+        |SELECT w, n_exact, CAST(cm_est AS BIGINT) AS cm_est,
+        |       CAST(floor((cm_est - n_exact) * 10000.0 / n_exact) AS BIGINT) AS over_bp
+        |FROM est ORDER BY n_exact DESC, w""".stripMargin
   )
 }

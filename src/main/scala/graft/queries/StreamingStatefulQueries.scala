@@ -24,6 +24,7 @@ object StreamingStatefulQueries extends QueryPack {
     "stream_tws_ttl" -> ((s, d) => StreamingJobs.twsTtl(s, d)),
     "stream_foreachbatch_sink" -> ((s, d) => StreamingJobs.foreachBatchSink(s, d)),
     "stream_available_now" -> ((s, d) => StreamingJobs.availableNowDrain(s, d)),
+    "stream_restart_recovery" -> ((s, d) => StreamingJobs.restartRecovery(s, d)),
     "stream_static_join" -> ((s, d) => StreamingJobs.streamStaticJoin(s, d))
   )
 
@@ -124,6 +125,16 @@ object StreamingStatefulQueries extends QueryPack {
     // bounded micro-batches (maxFilesPerTrigger=1) and self-terminates;
     // Append-mode emission parity gives the identical batch aggregate.
     "stream_available_now" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    // checkpoint recovery: two AvailableNow drains over one checkpoint
+    // with a crash between — recovered state + the source's seen-file
+    // log make the union-of-batches equal the batch aggregate exactly
+    // (dropped state under-counts, re-read files double-count; both
+    // would break this hash match).
+    "stream_restart_recovery" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type,
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin

@@ -756,4 +756,107 @@ object StreamingJobs {
         .localCheckpoint(true)
     } finally quietDelete(java.nio.file.Paths.get(outDir))
   }
+
+  /** checkpoint recovery / exactly-once across a restart: the SAME
+    * tumbling aggregate as availableNowDrain, drained by TWO
+    * Trigger.AvailableNow queries sharing ONE checkpoint with a
+    * simulated crash (query termination + fresh query object) between
+    * them. Run 1 sees only the first half of the backlog — its
+    * watermark has not passed any open window, so the windows it
+    * STARTED live only in checkpointed state; run 2's source resumes
+    * from the checkpoint's file log (only NEW files are read — a
+    * re-read would double-count), restores the aggregation state
+    * (dropped state would under-count every straddling window), and
+    * the terminal flush emits every window exactly once. The result
+    * equals the batch tumbling aggregate, so both failure modes break
+    * the hash oracle. This is the production contract a periodic
+    * ingest job actually relies on: crash anywhere, restart with the
+    * same checkpoint dir, converge to the same answer.
+    */
+  def restartRecovery(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir = Tmp.dir("rr_sink").toString
+    try {
+      val nChunks = 4L // real chunks 0..3; flush sentinel = chunk 4
+      val ev = events(spark, sfDir)
+      val (n, maxTs) = bounds(ev)
+      val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
+      val staged = ev.withColumn("chunk",
+          floor(col("event_id") / lit(per.toDouble)).cast("long"))
+        .unionByName(flushRows(spark, maxTs, nChunks, 1))
+      val watch = Tmp.dir("rr_watch")
+      val ckpt = Tmp.dir("rr_ckpt").toString
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      var stage: String = null
+      // move the staged chunk files into the watched dir with
+      // chunk-ordered names AND strictly increasing mtimes so the file
+      // source's (mtime, path) discovery order equals event order —
+      // the same contract availableNowDrain documents.
+      def moveIn(range: Seq[Long], t0: Long): Unit = range.foreach { c =>
+        val dir = java.nio.file.Paths.get(stage, s"chunk=$c")
+        if (Files.exists(dir)) {
+          val listing = Files.list(dir)
+          try {
+            val files = listing.iterator()
+            var i = 0
+            while (files.hasNext) {
+              val f = files.next()
+              if (f.getFileName.toString.endsWith(".parquet")) {
+                val dst = watch.resolve(f"c$c%03d_$i.parquet")
+                Files.move(f, dst)
+                Files.setLastModifiedTime(dst,
+                  java.nio.file.attribute.FileTime.fromMillis(t0 + c * 1000))
+                i += 1
+              }
+            }
+          } finally listing.close()
+        }
+      }
+      // one bounded AvailableNow drain against the SHARED checkpoint;
+      // each call builds a fresh query object — the second is the
+      // restarted process recovering source offsets + operator state.
+      def drainOnce(): Unit = {
+        val schema = org.apache.spark.sql.types.StructType(
+          staged.schema.filterNot(_.name == "chunk"))
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(watch.toString)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("ws"), col("event_type"), col("n"))
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            // batchId-keyed overwrite — idempotent under retries, and
+            // run 2's ids continue from the checkpoint so run 1's
+            // batches are never clobbered
+            df.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          }
+          .start()
+        q.awaitTermination() // AvailableNow self-terminates when drained
+      }
+      try {
+        stage = stageChunks(staged, "rr")
+        assertStagedWithin(stage, nChunks)
+        val t0 = System.currentTimeMillis()
+        moveIn(0L to 1L, t0)
+        drainOnce() // "crash": terminates with half the backlog unseen
+        moveIn(2L to nChunks, t0)
+        drainOnce() // recovery from the same checkpoint
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        Seq(Option(stage).map(java.nio.file.Paths.get(_).getParent).orNull,
+          watch, java.nio.file.Paths.get(ckpt)).foreach(quietDelete)
+      }
+      spark.read.parquet(outDir)
+        .drop("batch") // sink-layout partition col — never a payload
+        .filter(col("event_type") =!= "___flush")
+        .select("ws", "event_type", "n")
+        .orderBy("ws", "event_type")
+        .localCheckpoint(true)
+    } finally quietDelete(java.nio.file.Paths.get(outDir))
+  }
 }

@@ -475,6 +475,48 @@ class PlanSpec extends SparkSpec {
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("agg_kmv_setops: both sketch rank filters compile to WindowGroupLimit") {
+    // the per-type sketches AND the union merge are k-smallest
+    // selections; each must truncate map-side so tasks ship bounded
+    // sketches (the set-algebra claim is that overlap queries run on
+    // sketch-size inputs — a full window would drag the hash stream).
+    val p = planOf("agg_kmv_setops")
+    val limits = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.length >= 2,
+      s"expected map-side WindowGroupLimits for the sketch builds, got ${limits.length}")
+  }
+
+  test("agg_countmin: the grid is a partial aggregate and probes join it broadcast") {
+    // the CMS scale shape: map tasks fold token slices into ≤ d·w cells
+    // locally (partial+final HashAggregate on (r,b)) and the probe side
+    // reads the 256-cell grid as a broadcast — never a shuffle keyed on
+    // tokens, never a cartesian.
+    val p = planOf("agg_countmin")
+    val aggs = p.collect { case a: HashAggregateExec => a }
+    assert(aggs.length >= 4, // grid partial+final, exact partial+final
+      s"expected partial+final aggregation pairs, got ${aggs.length}")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "probe→grid join must broadcast the 256-cell sketch")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("sink_zorder_layout: both box bounds reach the parquet scan as pushed filters") {
+    // the layout key's answer is layout-invariant; what must hold in
+    // the PLAN is that the box predicate lands in the scan's
+    // PushedFilters (GreaterThanOrEqual/LessThanOrEqual on BOTH dims) —
+    // that is the row-group pruning hook the clustering exists to feed.
+    val p = planOf("sink_zorder_layout")
+    val scans = p.collect { case f: FileSourceScanExec => f }
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString(";")
+    Seq("l_orderkey", "l_partkey").foreach { dim =>
+      assert(pushed.contains(s"GreaterThanOrEqual($dim") &&
+        pushed.contains(s"LessThanOrEqual($dim"),
+        s"box bounds on $dim not pushed to the scan: $pushed")
+    }
+  }
+
   test("sample_domain_cap: the rank≤K filter compiles to WindowGroupLimit") {
     // the whole point of the rank-filter formulation: Catalyst's
     // InferWindowGroupLimit rewrites rk≤100 into WindowGroupLimitExec,

@@ -41,6 +41,116 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("sink_zorder_layout: the 2-dim box prunes scan rows a 1-dim sort cannot") {
+    // the key's oracle proves the ANSWER is layout-invariant; this pins
+    // the layout's point — identical data written (a) z-clustered and
+    // (b) linearly sorted by l_orderkey alone, same box predicate, and
+    // the z layout's parquet row-group pruning must read strictly less:
+    // the 1-dim sort serves only the orderkey bound (~1/8 of files),
+    // the Morton layout serves both bounds (~1/64 of the space plus
+    // square-boundary fringe files).
+    import graft.ops.ZOrder
+    import org.apache.spark.sql.SaveMode
+    val li = T.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    val total = li.count()
+    val r = li.agg(min("l_orderkey"), max("l_orderkey"),
+      min("l_partkey"), max("l_partkey")).head()
+    def lv(i: Int) = r.getAs[Number](i).longValue
+    // the key's code-grid-aligned box (codes [64,95] on each dim)
+    val (oLo, oHi) = (lv(0) + (64 * (lv(1) - lv(0)) + 254) / 255,
+      lv(0) + (96 * (lv(1) - lv(0)) + 254) / 255 - 1)
+    val (pLo, pHi) = (lv(2) + (64 * (lv(3) - lv(2)) + 254) / 255,
+      lv(2) + (96 * (lv(3) - lv(2)) + 254) / 255 - 1)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scanRows(dir: String): Long = {
+        val df = spark.read.parquet(dir)
+          .filter(col("l_orderkey").between(oLo, oHi) &&
+            col("l_partkey").between(pLo, pHi))
+        df.queryExecution.executedPlan.executeCollect()
+        df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.map(_.metrics("numOutputRows").value).sum
+      }
+      val zDir = graft.Tmp.dir("z_sem").toString
+      val sDir = graft.Tmp.dir("s_sem").toString
+      ZOrder.writeClustered(li, "l_orderkey", "l_partkey", 64, zDir)
+      li.repartitionByRange(64, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode(SaveMode.Overwrite).parquet(sDir)
+      val (zRows, sRows) = (scanRows(zDir), scanRows(sDir))
+      assert(zRows * 2 < sRows,
+        s"z layout read $zRows rows, 1-dim sort $sRows — expected <half")
+      assert(zRows <= total / 8,
+        s"z layout read $zRows of $total rows — box should prune ≥ 7/8")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("multimodal_phash: seeded twins recalled despite differing bytes, cap holds") {
+    // every planted chroma-rotated twin SHOULD pair with its original
+    // (identical red plane ⇒ identical dHash56); the 32-member bucket
+    // cap may drop twins sitting in degenerate hot buckets — recall
+    // must stay ≥ 0.9 — and every seeded pair must differ at byte
+    // level (the whole point: byte hashing is blind to these dups).
+    val rows = SparkEntry.queries("multimodal_phash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getInt(4)))
+    val seeded = rows.filter(_._3 == 1)
+    val nTwins = T.documents(spark, sf)
+      .filter(col("doc_id") % 7 === 0).count()
+    assert(seeded.length >= 0.9 * nTwins,
+      s"seeded recall ${seeded.length}/$nTwins below 0.9")
+    seeded.foreach { case (a, b, _, bytesDiffer) =>
+      assert(b - a == 10000000L, s"seeded pair ($a,$b) is not a twin pair")
+      assert(bytesDiffer == 1, s"twin pair ($a,$b) should differ at byte level")
+    }
+  }
+
+  test("agg_countmin: one-sided error (never under), within the ε-envelope") {
+    // the two claims the sketch exists to make: estimate ≥ truth ALWAYS
+    // (collisions only add), and overshoot ≤ ε·N with ε = e/w for all
+    // ten probes (P(fail) ≤ e^−d ≈ 1.8% per item; the deterministic
+    // md5 grid makes the fixture's outcome reproducible, so pin it).
+    val rows = SparkEntry.queries("agg_countmin")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 10)
+    val nTok = T.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").count()
+    val eps = math.E / 64.0
+    rows.foreach { case (w, exact, est) =>
+      assert(est >= exact, s"$w: CMS under-estimated ($est < $exact)")
+      assert(est - exact <= eps * nTok,
+        s"$w: overshoot ${est - exact} exceeds ε·N = ${eps * nTok}")
+    }
+  }
+
+  test("agg_countmin grid is linear: sketch(A) + sketch(B) = sketch(A∪B)") {
+    // mergeability IS the 100 TB property — per-shard grids summed
+    // cell-wise must equal the whole-corpus grid, which is why the
+    // build is a partial aggregate. Re-derive the d×w grid on the
+    // even/odd doc_id halves and on the full corpus with the key's
+    // exact hash formula and compare cell-for-cell.
+    import graft.ops.TextOps
+    def grid(filter: org.apache.spark.sql.Column): Map[(Int, Long), Long] =
+      T.documents(spark, sf).filter(filter)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .select(explode(array((0 until 4).map(r =>
+          struct(lit(r).as("r"),
+            pmod(TextOps.md5Long(concat(lit(s"cm$r:"), col("w"))),
+              lit(64L)).as("b"))): _*)).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b")).count()
+        .collect().map(x => (x.getInt(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val even = grid(col("doc_id") % 2 === 0)
+    val odd = grid(col("doc_id") % 2 === 1)
+    val full = grid(lit(true))
+    val merged = (even.keySet ++ odd.keySet).map(k =>
+      k -> (even.getOrElse(k, 0L) + odd.getOrElse(k, 0L))).toMap
+    assert(merged == full, "cell-wise sum of half-grids must equal the full grid")
+  }
+
   test("MinHash-LSH near-dup output ⊇ exact Jaccard pairs at J≥0.9 and ⊆ at J≥0.5") {
     val exact = SparkEntry.queries("dedup_jaccard_pairs")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

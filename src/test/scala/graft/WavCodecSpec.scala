@@ -118,6 +118,33 @@ class WavCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("PPM dHash56 is chroma-invariant, red-sensitive, and 56-bit-bounded (seeded property)") {
+    // the multimodal_phash contract: any green/blue edit leaves the
+    // hash fixed (the hash reads only the red channel's gradient
+    // grid), a red-plane inversion changes it whenever the image has
+    // any horizontal red gradient at all, and the pack never sets bits
+    // ≥ 56 (sign-safety on both engines).
+    val rnd = new scala.util.Random(20260814)
+    (1 to 100).foreach { i =>
+      val w = 2 + rnd.nextInt(23)
+      val h = 1 + rnd.nextInt(24)
+      val px = Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte)
+      val base = PpmCodec.dHash56(PpmCodec.encodeP6(w, h, px))
+      assert((base >>> 56) == 0L, s"case $i: bits above 55 set")
+      val chroma = px.zipWithIndex.map { case (b, j) =>
+        if (j % 3 != 0) ((b & 0xff) ^ rnd.nextInt(256)).toByte else b
+      }
+      assert(PpmCodec.dHash56(PpmCodec.encodeP6(w, h, chroma)) == base,
+        s"case $i: chroma edit moved the hash")
+      val redInv = px.zipWithIndex.map { case (b, j) =>
+        if (j % 3 == 0) (255 - (b & 0xff)).toByte else b
+      }
+      val inv = PpmCodec.dHash56(PpmCodec.encodeP6(w, h, redInv))
+      if (base != 0L) // a flat red plane hashes to 0 both ways
+        assert(inv != base, s"case $i: red inversion left the hash fixed")
+    }
+  }
+
   test("PPM decodeP6 locates the plane by header scan, not payload tail") {
     val px = plane(3, 2)
     val withTrailing = PpmCodec.encodeP6(3, 2, px) ++ Array[Byte](9, 9, 9)

@@ -333,6 +333,33 @@ object ExtQueries extends QueryPack {
         .orderBy("d")
     }),
 
+    "ts_changepoint" -> ((s, d) => {
+      // CUSUM changepoint detection on the daily event-count series —
+      // the level-shift locator that tells an ingest pipeline WHEN a
+      // source changed behavior (vs ts_anomaly's point spikes). The
+      // statistic is the running sum of deviations from the global
+      // mean; its extremum is the most likely changepoint. EXACT
+      // integer state: deviations are scaled by |days| (n·D − N per
+      // day, both exact BIGINTs) so the cumulative sum never touches a
+      // double; the peak flag is an integer comparison. The windows
+      // run over the |days| aggregate (aggregate-then-window), and the
+      // (N, D) totals ride in as one broadcast row.
+      val daily = T.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = daily.agg(sum("n").as("nn"), count(lit(1)).as("dd"))
+      val wc = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      daily.crossJoin(broadcast(tot))
+        .withColumn("cusum", sum(col("n") * col("dd") - col("nn")).over(wc))
+        .withColumn("mx", max(abs(col("cusum"))).over(wall))
+        .select(col("day"), col("n"), col("cusum"),
+          (abs(col("cusum")) === col("mx")).cast("int").as("is_peak"))
+        .orderBy("day")
+    }),
+
     "ts_seasonal_decompose" -> ((s, d) => {
       // classical additive decomposition of the daily event-count
       // series — trend = centered 7-row moving average (full frames
@@ -529,6 +556,21 @@ object ExtQueries extends QueryPack {
          |       ROUND(CAST(num AS DOUBLE) / 102300.0, 4) AS ewma
          |FROM f WHERE x >= 9 ORDER BY d""".stripMargin
     },
+
+    "ts_changepoint" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS nn, CAST(COUNT(*) AS BIGINT) AS dd FROM daily),
+        |c AS (
+        |  SELECT day, n,
+        |         SUM(n * dd - nn) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM daily, tot),
+        |m AS (SELECT MAX(abs(cusum)) AS mx FROM c)
+        |SELECT day, n, cusum,
+        |       CAST(CASE WHEN abs(cusum) = mx THEN 1 ELSE 0 END AS INT) AS is_peak
+        |FROM c, m ORDER BY day""".stripMargin,
 
     "ts_seasonal_decompose" ->
       """WITH daily AS (

@@ -161,10 +161,89 @@ object JoinQueries extends QueryPack {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
+    }),
+
+    "join_ip_lpm" -> ((s, d) => {
+      // longest-prefix-match enrichment — the geo/ASN join every log
+      // pipeline runs, expressed as EQUI-joins (no custom strategy):
+      // each address explodes into its 3 candidate prefixes (/8, /16,
+      // /24), candidates equi-join the network table on (plen, pfx),
+      // and the most specific match wins via a rank-1 filter that
+      // compiles to WindowGroupLimit. The network table is an
+      // aggregate (bounded by prefix space — broadcastable at any
+      // corpus size); candidates are 3 rows per address — linear. The
+      // corpus has no IPs, so addresses are seeded deterministically
+      // WITH LOCALITY (the PII-scrub seeding precedent): ~50 /8 nets,
+      // ~500 /16 subnets, random host bits — md5-derived, replayed
+      // verbatim in the oracle; the network table itself is
+      // data-derived (observed /8s always route; /16 and /24 blocks
+      // need ≥2 distinct addresses — how a traffic-built table looks).
+      import graft.ops.TextOps
+      def h(tag: String, c: org.apache.spark.sql.Column, m: Long) =
+        pmod(TextOps.md5Long(concat(lit(tag), c)), lit(m))
+      val users = T.events(s, d).select(col("user_id")).distinct()
+      val pfx = users
+        .withColumn("ip",
+          h("net:", pmod(col("user_id"), lit(50L)), 256L) * lit(16777216L) +
+          h("sub:", pmod(col("user_id"), lit(500L)), 256L) * lit(65536L) +
+          h("host:", col("user_id"), 65536L))
+        .select(col("user_id"),
+          shiftright(col("ip"), 24).as("p8"),
+          shiftright(col("ip"), 16).as("p16"),
+          shiftright(col("ip"), 8).as("p24"))
+      def blocks(c: String, plen: Int, minUsers: Long) = {
+        val g = pfx.groupBy(col(c).as("pfx"))
+          .agg(countDistinct("user_id").as("nu"))
+        (if (minUsers > 1) g.filter(col("nu") >= minUsers) else g)
+          .select(lit(plen).as("plen"), col("pfx"))
+      }
+      val nets = blocks("p8", 8, 1)
+        .unionByName(blocks("p16", 16, 2))
+        .unionByName(blocks("p24", 24, 2))
+      val cand = pfx.select(col("user_id"), explode(array(
+          struct(lit(8).as("plen"), col("p8").as("pfx")),
+          struct(lit(16).as("plen"), col("p16").as("pfx")),
+          struct(lit(24).as("plen"), col("p24").as("pfx")))).as("c"))
+        .select(col("user_id"), col("c.plen").as("plen"), col("c.pfx").as("pfx"))
+      val w = Window.partitionBy("user_id").orderBy(col("plen").desc)
+      cand.join(broadcast(nets), Seq("plen", "pfx"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy("plen", "pfx")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("plen", "pfx")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "join_ip_lpm" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+        |ips AS (
+        |  SELECT user_id,
+        |         (CAST(('0x' || substring(md5('net:' || (user_id % 50)), 1, 15)) AS BIGINT) % 256) * 16777216
+        |       + (CAST(('0x' || substring(md5('sub:' || (user_id % 500)), 1, 15)) AS BIGINT) % 256) * 65536
+        |       + (CAST(('0x' || substring(md5('host:' || user_id), 1, 15)) AS BIGINT) % 65536) AS ip
+        |  FROM users),
+        |pfx AS (SELECT user_id, ip >> 24 AS p8, ip >> 16 AS p16, ip >> 8 AS p24
+        |        FROM ips),
+        |nets AS (
+        |  SELECT 8 AS plen, p8 AS pfx FROM pfx GROUP BY p8
+        |  UNION ALL
+        |  SELECT 16, p16 FROM pfx GROUP BY p16 HAVING COUNT(DISTINCT user_id) >= 2
+        |  UNION ALL
+        |  SELECT 24, p24 FROM pfx GROUP BY p24 HAVING COUNT(DISTINCT user_id) >= 2),
+        |cand AS (
+        |  SELECT user_id, 8 AS plen, p8 AS pfx FROM pfx
+        |  UNION ALL SELECT user_id, 16, p16 FROM pfx
+        |  UNION ALL SELECT user_id, 24, p24 FROM pfx),
+        |mt AS (
+        |  SELECT c.user_id, c.plen, c.pfx,
+        |         row_number() OVER (PARTITION BY c.user_id
+        |                            ORDER BY c.plen DESC) AS rk
+        |  FROM cand c JOIN nets n ON c.plen = n.plen AND c.pfx = n.pfx)
+        |SELECT plen, pfx, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM mt WHERE rk = 1 GROUP BY plen, pfx ORDER BY plen, pfx""".stripMargin,
+
     "join_5way_flagship" ->
       s"""SELECT n_name,
         |       ${graft.Sql.sumNet} AS revenue,

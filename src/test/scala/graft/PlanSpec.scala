@@ -517,6 +517,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join_ip_lpm: LPM is equi-joined, most-specific-wins is WindowGroupLimit, nets broadcast") {
+    // the LPM claim: no theta/range join anywhere — candidates meet the
+    // network table on (plen, pfx) equality, the table ships broadcast
+    // (it is an aggregate bounded by prefix space), and the rank-1
+    // most-specific filter truncates map-side.
+    val p = planOf("join_ip_lpm")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "the network table must join broadcast")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }.nonEmpty, "rank-1 most-specific filter should compile to WindowGroupLimit")
+  }
+
+  test("graph_jaccard_neighbors / multimodal_phash: bucket joins, never cartesian") {
+    // both keys mine pairs from keyed buckets (shared neighbor /
+    // (w,h,phash) group) — a degrade to a cartesian or broadcast
+    // nested loop would be the all-pairs shape they exist to avoid.
+    Seq("graph_jaccard_neighbors", "multimodal_phash").foreach { k =>
+      val p = planOf(k)
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty, k)
+      assert(p.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }.isEmpty, s"$k: broadcast nested loop = all-pairs in disguise")
+    }
+  }
+
   test("sample_domain_cap: the rank≤K filter compiles to WindowGroupLimit") {
     // the whole point of the rank-filter formulation: Catalyst's
     // InferWindowGroupLimit rewrites rk≤100 into WindowGroupLimitExec,

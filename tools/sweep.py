@@ -23,7 +23,10 @@ TESTDATA = "/root/testdata"
 # scale-dependent .5-boundary fluke would hit first (r7 verdict #3)
 FLOAT_SENSITIVE = ["sample_temperature", "quality_drift", "sim_kmeans",
                    "graph_pagerank", "sim_quantize_int8", "agg_corr",
-                   "text_tfidf", "dedup_span_apply"]
+                   "text_tfidf", "dedup_span_apply",
+                   # single-division rounds (low risk by the parity
+                   # rules, listed for completeness):
+                   "graph_jaccard_neighbors", "ts_seasonal_decompose"]
 
 
 def main():

@@ -131,6 +131,67 @@ object ScanQueries extends QueryPack {
       T.documents(s, d).select(col("text")).write
         .mode(SaveMode.Overwrite).text(tmp)
       s.read.text(tmp).select(col("value")).orderBy("value")
+    }),
+
+    "scan_text_gzip" -> ((s, d) => {
+      // the 100 TB ingest reality: crawl text arrives COMPRESSED.
+      // Write the corpus gzip'd, read it back through the codec path —
+      // gzip is NOT splittable, so at scale this layout means
+      // one-task-per-file (the file count is the parallelism knob,
+      // which is why pipelines re-chunk compressed text early); the
+      // roundtrip pins the codec decode exactly like the plain-text
+      // sibling. Oracle is the identity select.
+      val tmp = graft.Tmp.dir("gztext").toString
+      T.documents(s, d).select(col("text")).write
+        .mode(SaveMode.Overwrite).option("compression", "gzip").text(tmp)
+      s.read.text(tmp).select(col("value")).orderBy("value")
+    }),
+
+    "scan_binaryfile" -> ((s, d) => {
+      // the multimodal ingest source: opaque media FILES read through
+      // Spark's binaryFile format — (path, modificationTime, length,
+      // content) — the exact shape an audio/image crawl lands on a
+      // shared store before any decode touches it. Layout (one real
+      // .wav file per doc_id < 50, written executor-side via
+      // foreachPartition) is setup, cached per (sf, JVM); the DECLARED
+      // semantics is the binaryFile read + WavCodec decode + profile.
+      // The oracle recomputes the profile from the same synth
+      // arithmetic as multimodal_audio_meta, so any roundtrip loss
+      // (truncation, glob misses, content corruption) hash-mismatches.
+      import s.implicits._
+      import graft.multimodal.WavCodec
+      val tmp = graft.Tmp.cachedLayout("binwav", d) { p =>
+        T.documents(s, d).filter(col("doc_id") < 50).select(col("doc_id"))
+          .as[Long].foreachPartition { (ids: Iterator[Long]) =>
+            ids.foreach { id =>
+              val rate = (8000 + (id % 3) * 4000).toInt
+              val channels = (1 + (id % 2)).toInt
+              val nFrames = 64 + (id % 128)
+              val total = (nFrames * channels).toInt
+              val samples = Array.tabulate[Short](total)(i =>
+                (((id * 31 + i.toLong * 17) % 65536) - 32768).toShort)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(p, f"clip$id%05d.wav"),
+                WavCodec.encodePcm16(rate, channels, samples,
+                  extraChunk = id % 5 == 0))
+            }
+          }
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.wav")
+        .load(tmp)
+        .select(col("content")).as[Array[Byte]]
+        .mapPartitions { bufs =>
+          bufs.map { bytes =>
+            val m = WavCodec.parse(bytes)
+            (m.sampleRate.toLong, m.channels.toLong, m.nFrames,
+              m.durationUs, m.sumAbs)
+          }
+        }
+        .toDF("sample_rate", "n_channels", "nf", "dur", "sa")
+        .groupBy("sample_rate", "n_channels")
+        .agg(count(lit(1)).as("n_clips"), sum("nf").as("n_frames"),
+          sum("dur").as("dur_us"), sum("sa").as("sum_abs"))
+        .orderBy("sample_rate", "n_channels")
     })
   )
 
@@ -157,6 +218,34 @@ object ScanQueries extends QueryPack {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_text_roundtrip" ->
       "SELECT text AS value FROM documents ORDER BY value",
+    "scan_text_gzip" ->
+      "SELECT text AS value FROM documents ORDER BY value",
+
+    // the binaryFile read must recover every clip byte-exactly: the
+    // expected profile is the same synth arithmetic multimodal_audio_meta
+    // replays, restricted to the doc_id < 50 file slice
+    "scan_binaryfile" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         8000 + (doc_id % 3) * 4000 AS sample_rate,
+        |         1 + (doc_id % 2) AS n_channels,
+        |         64 + (doc_id % 128) AS nf
+        |  FROM documents WHERE doc_id < 50),
+        |s AS (
+        |  SELECT doc_id, sample_rate, n_channels, nf,
+        |         unnest(range(0, nf * n_channels)) AS i
+        |  FROM p),
+        |a AS (
+        |  SELECT doc_id, sample_rate, n_channels, nf,
+        |         SUM(ABS(((doc_id * 31 + i * 17) % 65536) - 32768)) AS sa
+        |  FROM s GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(sample_rate AS BIGINT) AS sample_rate,
+        |       CAST(n_channels AS BIGINT) AS n_channels,
+        |       CAST(COUNT(*) AS BIGINT) AS n_clips,
+        |       CAST(SUM(nf) AS BIGINT) AS n_frames,
+        |       CAST(SUM((nf * 1000000) // sample_rate) AS BIGINT) AS dur_us,
+        |       CAST(SUM(sa) AS BIGINT) AS sum_abs
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the injected-corruption count is part of the declared semantics
     "scan_badrecords" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_clean,

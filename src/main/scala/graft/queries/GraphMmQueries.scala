@@ -114,9 +114,15 @@ object GraphMmQueries extends QueryPack {
           pmod(col("o_custkey"), lit(1000L)).as("src"),
           pmod(col("o_orderkey"), lit(1000L)).as("dst"))
         .filter(col("src") =!= col("dst"))
+      // adj feeds three consumers (degree table + both self-join
+      // sides); materialize the deduped edge list once instead of
+      // re-running the orders scan + distinct per consumer. The
+      // quotient adjacency is ≤ 2·|distinct edges| rows — executor
+      // blocks, not driver memory.
       val adj = und.select(col("src").as("node"), col("dst").as("nbr"))
         .unionAll(und.select(col("dst").as("node"), col("src").as("nbr")))
         .distinct()
+        .localCheckpoint(true)
       val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
       val inter = adj.as("x").join(adj.as("y"),
           col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))

@@ -358,6 +358,10 @@ object GraphMmQueries extends QueryPack {
             meta.sumR + meta.sumG * 1000003L + meta.sumB * 1000033L)
         }
       }.toDF("doc_id", "phash", "w", "h", "plane_digest")
+        // the hash table feeds three consumers (bucket-count window +
+        // both join sides) — materialize so the codec pass (encode +
+        // parse + dHash per image) runs once, not per consumer
+        .localCheckpoint(true)
       val wb = org.apache.spark.sql.expressions.Window
         .partitionBy("phash", "w", "h")
       val capped = hp.withColumn("nb", count(lit(1)).over(wb))

@@ -74,6 +74,30 @@ class OpsSpec extends SparkSpec {
     assert(out == Map("a" -> 3, "b" -> 5))
   }
 
+  test("ZOrder.morton8: exact bit interleave, aligned squares are contiguous z-intervals") {
+    // pin the Morton key against a reference Scala interleave on every
+    // (a, b) code pair, and the property sink_zorder_layout's pruning
+    // relies on: an aligned 32x32 code square maps to ONE contiguous
+    // 1024-length z interval (a straddling box would not).
+    import spark.implicits._
+    def ref(a: Int, b: Int): Int =
+      (0 until 8).map(i => (((a >> i) & 1) << (2 * i + 1)) | (((b >> i) & 1) << (2 * i))).sum
+    val rows = (0 until 256).flatMap(a => Seq((a, a), (a, 255 - a), (a, (a * 37) % 256)))
+    val got = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.ops.ZOrder.morton8(col("a"), col("b")).as("z"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getInt(2))).toMap
+    rows.foreach { case (a, b) =>
+      assert(got((a, b)) == ref(a, b), s"morton8($a,$b)")
+    }
+    // the aligned square [64,96)x[64,96): min z at (64,64), max at (95,95),
+    // span exactly 1024 and every corner inside
+    val zs = for (a <- 64 until 96; b <- 64 until 96) yield ref(a, b)
+    assert(zs.min == ref(64, 64) && zs.max == ref(95, 95))
+    assert(zs.max - zs.min == 1023 && zs.distinct.length == 1024,
+      "aligned square must be one contiguous 1024-length z interval")
+  }
+
   test("ConnectedComponents == union-find min-label on random graphs (seeded property)") {
     // the scale-critical dedup op is otherwise exercised only through
     // the corpus-derived pair graph (one fixed topology); random graphs

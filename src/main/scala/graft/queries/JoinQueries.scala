@@ -163,6 +163,53 @@ object JoinQueries extends QueryPack {
         .orderBy("user_id")
     }),
 
+    "join_spatial_grid" -> ((s, d) => {
+      // nearest-neighbor-within-R spatial join via grid bucketing —
+      // the spatial twin of join_interval_bucketed: points bucket into
+      // R-sized cells, the left side explodes into its 3×3 cell
+      // neighborhood, the right side keys by its OWN cell, so every
+      // ordered pair within R meets in EXACTLY one (jx, jy) bucket
+      // (cell size = radius ⇒ a qualifying pair differs by ≤1 cell per
+      // axis) — a keyed equi-join whose buckets stay small however
+      // many points there are, never an all-pairs distance pass. Each
+      // point then keeps only its NEAREST in-radius neighbor (rank-1
+      // over exact d², compiling to WindowGroupLimit), so the output
+      // is LINEAR in points — a raw radius-pair list would be
+      // density-quadratic (measured: 310 k pairs at sf0.1). The corpus
+      // has no coordinates, so points are md5-seeded integers in
+      // [0, 10⁶)² (replayed verbatim in the oracle) and the distance
+      // test is EXACT integer arithmetic: dx²+dy² ≤ R² — no sqrt, no
+      // trig, no cross-libm exposure.
+      import graft.ops.TextOps
+      val R = 30000L
+      val pts = T.customer(s, d).select(col("c_custkey").as("id"))
+        .withColumn("x",
+          pmod(TextOps.md5Long(concat(lit("px:"), col("id"))), lit(1000000L)))
+        .withColumn("y",
+          pmod(TextOps.md5Long(concat(lit("py:"), col("id"))), lit(1000000L)))
+        .withColumn("cx", floor(col("x") / lit(R.toDouble)).cast("long"))
+        .withColumn("cy", floor(col("y") / lit(R.toDouble)).cast("long"))
+      val nbrs = for (dx <- -1 to 1; dy <- -1 to 1)
+        yield struct((col("cx") + dx).as("jx"), (col("cy") + dy).as("jy"))
+      val a = pts.select(col("id").as("a"), col("x").as("ax"),
+          col("y").as("ay"), explode(array(nbrs: _*)).as("c"))
+        .select(col("a"), col("ax"), col("ay"),
+          col("c.jx").as("jx"), col("c.jy").as("jy"))
+      val b = pts.select(col("id").as("b"), col("x").as("bx"),
+        col("y").as("yb"), col("cx").as("jx"), col("cy").as("jy"))
+      val dd = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("yb")) * (col("ay") - col("yb"))
+      val wnn = Window.partitionBy("a").orderBy(col("d2"), col("b"))
+      a.join(b, Seq("jx", "jy"))
+        .filter(col("a") =!= col("b"))
+        .withColumn("d2", dd)
+        .filter(col("d2") <= lit(R * R))
+        .withColumn("rk", row_number().over(wnn))
+        .filter(col("rk") === 1)
+        .select(col("a"), col("b").as("nn"), col("d2"))
+        .orderBy("a")
+    }),
+
     "join_ip_lpm" -> ((s, d) => {
       // longest-prefix-match enrichment — the geo/ASN join every log
       // pipeline runs, expressed as EQUI-joins (no custom strategy):
@@ -216,6 +263,35 @@ object JoinQueries extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "join_spatial_grid" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |         CAST(('0x' || substring(md5('px:' || c_custkey), 1, 15)) AS BIGINT) % 1000000 AS x,
+        |         CAST(('0x' || substring(md5('py:' || c_custkey), 1, 15)) AS BIGINT) % 1000000 AS y
+        |  FROM customer),
+        |cells AS (
+        |  SELECT id, x, y,
+        |         CAST(floor(x / 30000.0) AS BIGINT) AS cx,
+        |         CAST(floor(y / 30000.0) AS BIGINT) AS cy
+        |  FROM pts),
+        |la AS (
+        |  SELECT id AS a, x AS ax, y AS ay,
+        |         cx + dx.d AS jx, cy + dy.d AS jy
+        |  FROM cells,
+        |       (SELECT unnest([-1, 0, 1]) AS d) dx,
+        |       (SELECT unnest([-1, 0, 1]) AS d) dy),
+        |rb AS (SELECT id AS b, x AS bx, y AS yb, cx AS jx, cy AS jy FROM cells),
+        |cand AS (
+        |  SELECT a, b,
+        |         (ax - bx) * (ax - bx) + (ay - yb) * (ay - yb) AS d2
+        |  FROM la JOIN rb ON la.jx = rb.jx AND la.jy = rb.jy AND la.a <> rb.b
+        |  WHERE (ax - bx) * (ax - bx) + (ay - yb) * (ay - yb) <= 900000000),
+        |rk AS (
+        |  SELECT a, b, d2,
+        |         row_number() OVER (PARTITION BY a ORDER BY d2, b) AS rk
+        |  FROM cand)
+        |SELECT a, b AS nn, d2 FROM rk WHERE rk = 1 ORDER BY a""".stripMargin,
+
     "join_ip_lpm" ->
       """WITH users AS (SELECT DISTINCT user_id FROM events),
         |ips AS (

@@ -23,6 +23,7 @@ object SparkEntry {
     ExtQueries,
     Ext2Queries,
     Ext3Queries,
+    Ext4Queries,
     SketchQueries,
     ScaleQueries,
     PipelineQueries,

@@ -32,6 +32,11 @@ object Sql {
   /** l_extendedprice * (1 - l_discount), exact, rounded to cents. */
   val lineNet =
     "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)"
+  /** l_extendedprice * (1 - l_discount), exact, rounded to cents,
+    * KEPT as DECIMAL — for consumers that go on summing (exact at any
+    * fold order) and only convert to double at the very end. */
+  val lineNetDec =
+    "ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))), 2)"
   /** Σ net revenue, exact decimal sum rounded to cents. */
   val sumNet =
     "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)"

@@ -1,0 +1,437 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables => T}
+
+/** Round-12 batch 3 — retrieval scoring, exact order-statistics, and
+  * series diagnostics that round out the training-data-pipeline surface:
+  *
+  *  - `text_bm25`        Okapi BM25 top-k retrieval over the corpus
+  *  - `agg_weighted_median` exact weighted median in DECIMAL cents
+  *  - `win_rolling_median`  exact rolling 7-day median (aggregate-then-window)
+  *  - `ts_autocorr`      lag-k autocorrelation from exact integer sums
+  *
+  * Parity strategy per the house rules: every double that crosses an
+  * aggregation boundary is either quantized to integer micro-units
+  * first (bm25 — the perplexity precedent) or replaced outright by
+  * DECIMAL/BIGINT arithmetic (weighted median in cents, autocorr from
+  * Σx/Σxy/Σx² BIGINTs), so no fold-order-sensitive double summation
+  * exists anywhere and the only libm call is the accepted LN precedent.
+  */
+object Ext4Queries extends QueryPack {
+
+  /** JL random-projection sign matrix (8 × 64, entries ±1), derived
+    * from MD5("k:j") parity ON THE DRIVER at object init and inlined
+    * into BOTH engines as literals — zero cross-engine hash exposure,
+    * and any seed change is automatically consistent. */
+  private val JlOut = 8
+  private val JlDim = 64
+  private val jlSigns: IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    IndexedSeq.tabulate(JlOut, JlDim) { (k, j) =>
+      val h = md.digest(s"$k:$j".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1 else -1
+    }
+  }
+  /** yy = Σ y_k², written once as a fixed left-assoc chain so both
+    * engines fold in the identical order. */
+  private val jlYy = (0 until JlOut).map(k => s"y$k * y$k").mkString(" + ")
+  /** per-vector distortion ratio quantized to integer micro-units —
+    * the perplexity precedent again: per-label averaging is then an
+    * exact BIGINT sum, not a fold-order-sensitive double sum. */
+  private val jlMicro =
+    s"CAST(ROUND(($jlYy) / $JlOut.0 / xx * 1e6) AS BIGINT)"
+
+  /** BM25 constants (k1 = 1.2, b = 0.75) and the fixed query — the
+    * 'en' signature words, guaranteed corpus hits. */
+  private val bm25Terms = Seq("order", "window", "group")
+
+  /** Per-(doc, term) BM25 partial score in integer micro-units. SHARED
+    * VERBATIM with the DuckDB oracle (the Sql-fragment precedent) so
+    * both engines evaluate the identical IEEE expression tree; LN is
+    * the accepted cross-libm risk, everything after it is deterministic
+    * double arithmetic on identical inputs, quantized before the
+    * per-doc sum so accumulation is an exact BIGINT add.
+    */
+  private val bm25Micro =
+    "CAST(ROUND(LN(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2" +
+      " / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6) AS BIGINT)"
+
+  val queries: Map[String, QueryFn] = Map(
+    "text_bm25" -> ((s, d) => {
+      // Okapi BM25 top-20 for a fixed 3-term query. Scale shape: one
+      // tokenize pass feeds BOTH the per-doc length table (map-side
+      // partial count) and the query-term tf table — the tf aggregate
+      // runs on rows already filtered to the 3 query terms, so the
+      // shuffle carries only matching (doc, term) pairs, not the corpus.
+      // df / N / avgdl are a 3-row and a 1-row broadcast; the dl join
+      // keys on doc_id (hash join both sides at 100 TB — the tf side is
+      // the docs-containing-a-query-term slice, already minimal).
+      val tok = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val qtok = tok.filter(col("term").isin(bm25Terms: _*))
+      val tf = qtok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = qtok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tok"))
+        .select(col("n_docs"),
+          expr("CAST(n_tok AS DOUBLE) / n_docs").as("avgdl"))
+      tf.join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("m", expr(bm25Micro))
+        .groupBy("doc_id")
+        .agg(sum("m").as("score_m"), count(lit(1)).as("n_terms"))
+        .select(col("doc_id"), col("n_terms"), col("score_m"),
+          round(col("score_m") / 1e6, 4).as("score"))
+        .orderBy(col("score_m").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    "agg_weighted_median" -> ((s, d) => {
+      // exact weighted median of l_quantity weighted by net revenue,
+      // per return flag — the "what quantity does half the revenue sit
+      // below" distributional stat. All mass arithmetic is DECIMAL
+      // (exact at any fold order); the half-total comparison is
+      // 2·cum ≥ tot so no division ever happens. Aggregate-then-window:
+      // the cumsum window runs over the (flag × distinct qty) table,
+      // ~50 rows per flag at any corpus size.
+      val wq = T.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(expr(s"SUM(${graft.Sql.lineNetDec})").as("w"))
+      val byFlag = Window.partitionBy("l_returnflag")
+      val cum = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      wq.withColumn("tot", sum("w").over(byFlag))
+        .withColumn("cum", sum("w").over(cum))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(min("l_quantity").as("w_median"),
+          max(col("tot").cast("double")).as("total_net"))
+        .orderBy("l_returnflag")
+    }),
+
+    "win_rolling_median" -> ((s, d) => {
+      // exact rolling 7-day median of daily order revenue. Revenue is
+      // an exact DECIMAL sum converted to integer CENTS, the window
+      // frame collects ≤7 BIGINTs over the AGGREGATED daily table
+      // (|days| rows — never raw orders), and the even-count midpoint
+      // is kept as (a+b) so the only double is one final BIGINT/200.0
+      // division: IEEE-identical in both engines, no ROUND needed.
+      val daily = T.orders(s, d)
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(expr(
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)")
+          .as("cents"))
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      daily.withColumn("win", sort_array(collect_list(col("cents")).over(w)))
+        .withColumn("n", size(col("win")))
+        .withColumn("med_x2", expr(
+          // integer DIV, not `/` (Spark's `/` on ints yields DOUBLE);
+          // DIV returns BIGINT and element_at needs INT, hence the casts
+          "CASE WHEN n % 2 = 1 THEN element_at(win, CAST((n + 1) DIV 2 AS INT)) * 2 " +
+            "ELSE element_at(win, CAST(n DIV 2 AS INT)) " +
+            "   + element_at(win, CAST(n DIV 2 + 1 AS INT)) END"))
+        .select(col("day"), col("n"),
+          (col("cents").cast("double") / 100.0).as("revenue"),
+          (col("med_x2").cast("double") / 200.0).as("med7"))
+        .orderBy("day")
+    }),
+
+    "ts_autocorr" -> ((s, d) => {
+      // lag-k autocorrelation (k = 1, 2, 3) of the daily event-count
+      // series per event_type — the seasonality screen a forecasting
+      // pipeline runs before model choice. Pairs come from lag(k) over
+      // the aggregated daily table; r is assembled from six EXACT
+      // BIGINT sums (n, Σx, Σy, Σxy, Σx², Σy²), so the only doubles
+      // are the final Pearson ratio on identical integers — fully
+      // engine-deterministic, then rounded to 4 dp.
+      val daily = T.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lagged = daily
+        .select(col("event_type"), col("day"), col("x"),
+          lag("x", 1).over(w).as("y1"),
+          lag("x", 2).over(w).as("y2"),
+          lag("x", 3).over(w).as("y3"))
+      val perK = (1 to 3).map { k =>
+        lagged.filter(col(s"y$k").isNotNull)
+          .select(col("event_type"), lit(k).as("lag_k"),
+            col("x"), col(s"y$k").as("y"))
+      }.reduce(_.union(_))
+      perK.groupBy("event_type", "lag_k")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("lag_k"), col("n"),
+          expr("ROUND((n * sxy - sx * sy) / " +
+            "SQRT((CAST(n AS DOUBLE) * sxx - sx * sx) * " +
+            "(CAST(n AS DOUBLE) * syy - sy * sy)), 4)").as("r"))
+        .orderBy("event_type", "lag_k")
+    }),
+
+    "win_skyline" -> ((s, d) => {
+      // Pareto frontier (skyline) of parts: minimize p_retailprice,
+      // maximize p_size. NOT an all-pairs dominance join and NOT a
+      // window over raw parts: prices collapse to integer cents first
+      // (groupBy price → max size, a partial aggregate), the running
+      // strictly-cheaper max-size window runs over the |distinct
+      // prices| table, and frontier membership joins back to parts as
+      // a hash join. A part is on the frontier iff it carries its
+      // price's max size AND that beats every strictly cheaper price's
+      // best size (covers equal-size-cheaper and same-price-bigger
+      // domination; exact ties survive together, the skyline contract).
+      val parts = T.part(s, d)
+        .withColumn("price_c",
+          expr("CAST(ROUND(CAST(p_retailprice AS DECIMAL(12,2)) * 100) AS BIGINT)"))
+      val best = parts.groupBy("price_c").agg(max("p_size").as("msize"))
+      val w = Window.orderBy("price_c").rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = best
+        .withColumn("prevmax", max("msize").over(w))
+        .filter(col("prevmax").isNull || col("msize") > col("prevmax"))
+      parts.join(frontier, "price_c")
+        .filter(col("p_size") === col("msize"))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy("p_retailprice", "p_partkey")
+    }),
+
+    "agg_argmax" -> ((s, d) => {
+      // tie-SAFE argmax/argmin: max_by is nondeterministic under ties,
+      // so the argument rides inside the comparison key — max(struct(
+      // price, key)) picks the largest key among tied prices in BOTH
+      // engines (the oracle spells the same semantics as a rank-1
+      // window). One hash aggregate, no window over raw rows.
+      T.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          max(struct(col("o_totalprice"), col("o_orderkey"))).as("mx"),
+          min(struct(col("o_totalprice"), col("o_orderkey"))).as("mn"))
+        .select(col("o_orderstatus"),
+          col("mx.o_orderkey").as("top_key"),
+          col("mx.o_totalprice").as("top_price"),
+          col("mn.o_orderkey").as("bot_key"),
+          col("mn.o_totalprice").as("bot_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "sample_class_balance" -> ((s, d) => {
+      // class-balanced downsampling of the embedding corpus to the
+      // MINORITY class size — the long-tail rebalance before training a
+      // classifier head. Exact-m-per-class would need a full per-class
+      // sort (no literal K ⇒ no WindowGroupLimit), so the declared
+      // semantics are sample_temperature's: an INTEGER basis-point
+      // acceptance threshold rate_bps = ⌊10⁴·min_n/n_l⌋ per class
+      // against the portable md5 bucket — a map-side filter behind two
+      // broadcast joins (per-class counts, 1-row min), deterministic
+      // and engine-identical at any scale.
+      import graft.ops.TextOps
+      val e = T.embeddings(s, d)
+      val byLabel = e.groupBy("label").agg(count(lit(1)).as("n_before"))
+      val mn = byLabel.agg(min("n_before").as("min_n"))
+      val rates = byLabel.crossJoin(broadcast(mn))
+        .select(col("label"), col("n_before"),
+          // FLOOR, not bare CAST: Spark CAST(double→long) truncates but
+          // DuckDB's rounds — FLOOR is the engine-identical spelling
+          expr("CAST(FLOOR(10000.0 * min_n / n_before) AS BIGINT)").as("rate_bps"))
+      e.join(broadcast(rates), "label")
+        .filter(pmod(TextOps.md5Long(col("vec_id").cast("string")), lit(10000L))
+          < col("rate_bps"))
+        .groupBy("label", "n_before", "rate_bps")
+        .agg(count(lit(1)).as("n_after"))
+        .select(col("label"), col("n_before"), col("rate_bps"), col("n_after"))
+        .orderBy("label")
+    }),
+
+    "sim_random_projection" -> ((s, d) => {
+      // Johnson–Lindenstrauss ±1 random projection 64→8 (the dim
+      // reduction in front of LSH/clustering at 100 TB: 8× less shuffle
+      // per vector) with a per-label distortion audit — how well
+      // ||proj(x)||²/8 preserves ||x||². The sign matrix is a driver-
+      // side literal (no cross-engine hashing); each y_k is ONE
+      // graft_dot fold (codegen'd, same sequential order as DuckDB's
+      // list_dot_product); the distortion ratio quantizes to micro-
+      // units before the per-label average so aggregation is exact.
+      graft.GraftFunctions.register(s)
+      val sgn = (k: Int) => array(jlSigns(k).map(v => lit(v.toDouble)): _*)
+      var df = T.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          graft.ops.VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("xx", expr("graft_dot(v, v)"))
+        .filter(col("xx") > 0)
+      for (k <- 0 until JlOut)
+        df = df.withColumn(s"y$k",
+          graft.GraftFunctions.dotCol(s, col("v"), sgn(k)))
+      df.withColumn("micro", expr(jlMicro))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sum("micro").as("sm"),
+          min("micro").as("lo_m"), max("micro").as("hi_m"))
+        .select(col("label"), col("n"),
+          expr("ROUND(CAST(sm AS DOUBLE) / (n * 1e6), 4)").as("avg_ratio"),
+          expr("ROUND(lo_m / 1e6, 4)").as("min_ratio"),
+          expr("ROUND(hi_m / 1e6, 4)").as("max_ratio"))
+        .orderBy("label")
+    })
+  )
+
+  private val qtermsIn = bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  val oracleSql: Map[String, String] = Map(
+    "text_bm25" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+         |), t2 AS (SELECT * FROM tok WHERE term <> ''),
+         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t2 GROUP BY 1),
+         |qt AS (SELECT * FROM t2 WHERE term IN $qtermsIn),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM qt GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM qt GROUP BY 1),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+         |scored AS (
+         |  SELECT tf.doc_id, $bm25Micro AS m
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |       CAST(SUM(m) AS BIGINT) AS score_m,
+         |       ROUND(CAST(SUM(m) AS BIGINT) / 1e6, 4) AS score
+         |FROM scored GROUP BY doc_id
+         |ORDER BY score_m DESC, doc_id LIMIT 20""".stripMargin,
+
+    "agg_weighted_median" ->
+      s"""WITH wq AS (
+         |  SELECT l_returnflag, l_quantity, SUM(${graft.Sql.lineNetDec}) AS w
+         |  FROM lineitem GROUP BY 1, 2),
+         |c AS (
+         |  SELECT l_returnflag, l_quantity, w,
+         |         SUM(w) OVER (PARTITION BY l_returnflag) AS tot,
+         |         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum
+         |  FROM wq)
+         |SELECT l_returnflag, MIN(l_quantity) AS w_median,
+         |       MAX(CAST(tot AS DOUBLE)) AS total_net
+         |FROM c WHERE cum * 2 >= tot
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "win_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT day, cents,
+        |         list_sort(list(cents) OVER
+        |           (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+        |  FROM daily),
+        |m AS (
+        |  SELECT day, cents, len(win) AS n,
+        |         CASE WHEN len(win) % 2 = 1 THEN win[(len(win) + 1) // 2] * 2
+        |              ELSE win[len(win) // 2] + win[len(win) // 2 + 1] END AS med_x2
+        |  FROM r)
+        |SELECT day, CAST(n AS INT) AS n,
+        |       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |       CAST(med_x2 AS DOUBLE) / 200.0 AS med7
+        |FROM m ORDER BY day""".stripMargin,
+
+    "ts_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, day, x,
+        |         LAG(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+        |         LAG(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS y2,
+        |         LAG(x, 3) OVER (PARTITION BY event_type ORDER BY day) AS y3
+        |  FROM daily),
+        |pairs AS (
+        |  SELECT event_type, 1 AS lag_k, x, y1 AS y FROM lagged WHERE y1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 2, x, y2 FROM lagged WHERE y2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 3, x, y3 FROM lagged WHERE y3 IS NOT NULL),
+        |sums AS (
+        |  SELECT event_type, lag_k, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |         CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT event_type, CAST(lag_k AS INT) AS lag_k, n,
+        |       ROUND((n * sxy - sx * sy) /
+        |             SQRT((CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |                  (CAST(n AS DOUBLE) * syy - sy * sy)), 4) AS r
+        |FROM sums ORDER BY event_type, lag_k""".stripMargin,
+
+    "win_skyline" ->
+      """WITH parts AS (
+        |  SELECT p_partkey, p_retailprice, p_size,
+        |         CAST(ROUND(CAST(p_retailprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS price_c
+        |  FROM part),
+        |best AS (
+        |  SELECT price_c, MAX(p_size) AS msize FROM parts GROUP BY 1),
+        |f AS (
+        |  SELECT price_c, msize,
+        |         MAX(msize) OVER (ORDER BY price_c
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |  FROM best)
+        |SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM parts p JOIN f USING (price_c)
+        |WHERE (f.prevmax IS NULL OR f.msize > f.prevmax) AND p.p_size = f.msize
+        |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin,
+
+    "agg_argmax" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rt,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |           ORDER BY o_totalprice ASC, o_orderkey ASC) AS rb
+        |  FROM orders)
+        |SELECT t.o_orderstatus,
+        |       t.o_orderkey AS top_key, t.o_totalprice AS top_price,
+        |       b.o_orderkey AS bot_key, b.o_totalprice AS bot_price
+        |FROM (SELECT * FROM r WHERE rt = 1) t
+        |JOIN (SELECT * FROM r WHERE rb = 1) b USING (o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "sample_class_balance" -> {
+      val h = graft.ops.TextOps.md5LongSql("CAST(vec_id AS VARCHAR)")
+      s"""WITH bl AS (
+         |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_before
+         |  FROM embeddings GROUP BY 1),
+         |mn AS (SELECT MIN(n_before) AS min_n FROM bl),
+         |rates AS (
+         |  SELECT label, n_before,
+         |         CAST(FLOOR(10000.0 * min_n / n_before) AS BIGINT) AS rate_bps
+         |  FROM bl CROSS JOIN mn),
+         |kept AS (
+         |  SELECT e.label FROM embeddings e JOIN rates r USING (label)
+         |  WHERE $h % 10000 < r.rate_bps)
+         |SELECT r.label, r.n_before, r.rate_bps,
+         |       CAST(COUNT(*) AS BIGINT) AS n_after
+         |FROM kept k JOIN rates r USING (label)
+         |GROUP BY 1, 2, 3 ORDER BY r.label""".stripMargin
+    },
+
+    "sim_random_projection" -> {
+      val vd = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+      val ys = (0 until JlOut).map { k =>
+        val lits = jlSigns(k).map(v => s"$v.0").mkString("[", ", ", "]")
+        s"list_dot_product(v, $lits) AS y$k"
+      }.mkString(",\n        |         ")
+      s"""WITH e AS (
+         |  SELECT vec_id, label, $vd AS v FROM embeddings),
+         |p AS (
+         |  SELECT vec_id, label, list_dot_product(v, v) AS xx,
+         |         $ys
+         |  FROM e),
+         |m AS (
+         |  SELECT label, $jlMicro AS micro FROM p WHERE xx > 0)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         |       ROUND(CAST(SUM(micro) AS DOUBLE) / (COUNT(*) * 1e6), 4) AS avg_ratio,
+         |       ROUND(MIN(micro) / 1e6, 4) AS min_ratio,
+         |       ROUND(MAX(micro) / 1e6, 4) AS max_ratio
+         |FROM m GROUP BY label ORDER BY label""".stripMargin
+    }
+  )
+}

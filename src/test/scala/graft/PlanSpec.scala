@@ -603,6 +603,78 @@ class PlanSpec extends SparkSpec {
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("batch-3 order-statistic keys: every window runs over a pre-aggregated table") {
+    // agg_weighted_median's cumsum sees (flag × distinct qty) rows,
+    // win_rolling_median's frame sees |days| rows, ts_autocorr's lags
+    // see (type × day) rows, win_skyline's running max sees |distinct
+    // price cents| rows. A WindowExec without a HashAggregate beneath
+    // it would be sorting raw rows — the banned scale shape.
+    Seq("agg_weighted_median", "win_rolling_median", "ts_autocorr",
+      "win_skyline").foreach { name =>
+      val p = planOf(name)
+      val wins = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, s"$name: expected a window")
+      wins.foreach { w =>
+        // a union of identical agg subtrees plans branches 2..n as
+        // ReusedExchange (ts_autocorr) — the aggregate is still there,
+        // living under the reused branch's original
+        val fedByAgg = w.collect {
+          case a: HashAggregateExec => a
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+        }.nonEmpty
+        assert(fedByAgg,
+          s"$name: window must consume an aggregated table, not raw rows")
+      }
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty, name)
+    }
+  }
+
+  test("text_bm25: tf aggregates the query-term slice, stats broadcast, no window") {
+    // the scale claim: the (doc, term) tf shuffle carries only rows
+    // already filtered to the 3 query terms (isin BELOW the aggregate),
+    // df and the corpus stats ride broadcasts, and ranking is a global
+    // top-k (TakeOrderedAndProject), never a window
+    val p = planOf("text_bm25")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "df table must broadcast into the tf join")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "bm25 ranking must be top-k, not a window")
+    assert(p.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, "expected TakeOrderedAndProject for the top-20")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("sample_class_balance: rates broadcast back, map-side filter, no window") {
+    val p = planOf("sample_class_balance")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "per-class rate table must broadcast")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "class balance must stay window-free")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("sim_random_projection: joinless — one partial+final aggregate over a map pass") {
+    // 8 dot-product folds + the ratio are pure projections; the only
+    // shuffle the key is allowed is the per-label aggregate (and the
+    // final sort). Any join here would mean the sign matrix stopped
+    // being a literal.
+    val p = planOf("sim_random_projection")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty
+      && p.collect { case j: BroadcastHashJoinExec => j }.isEmpty
+      && p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "projection must be joinless")
+    assert(p.collect { case a: HashAggregateExec => a }.length >= 2,
+      "per-label stats must aggregate partial + final")
+    assert(p.collect {
+      case e: ShuffleExchangeExec => e
+    }.length <= 2, "expected only the agg + sort exchanges")
+  }
+
   test("agg_group_pricing: filter and column pruning reach the parquet scan") {
     val p = planOf("agg_group_pricing")
     val scan = p.collect { case s: FileSourceScanExec => s }.head

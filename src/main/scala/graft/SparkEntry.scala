@@ -24,6 +24,7 @@ object SparkEntry {
     Ext2Queries,
     Ext3Queries,
     Ext4Queries,
+    Ext5Queries,
     SketchQueries,
     ScaleQueries,
     PipelineQueries,

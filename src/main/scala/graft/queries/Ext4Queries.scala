@@ -273,6 +273,128 @@ object Ext4Queries extends QueryPack {
           expr("ROUND(lo_m / 1e6, 4)").as("min_ratio"),
           expr("ROUND(hi_m / 1e6, 4)").as("max_ratio"))
         .orderBy("label")
+    }),
+
+    "text_bpe_train" -> ((s, d) => {
+      // BPE tokenizer-training pair mining, two merge rounds. The 100 TB
+      // shape is the point: pair counting runs over the VOCAB (distinct
+      // word × corpus frequency — Zipf-small at any scale), never the
+      // token stream; round 2 applies merge #1 to the vocab and
+      // recounts. Merge application is DECLARED as left-to-right
+      // non-overlapping string replace over the space-joined symbol
+      // sequence (both engines' replace() semantics — textbook BPE
+      // differs only on runs like "aaa", an accepted approximation
+      // documented here). Output: top-10 pairs per round, exact BIGINT
+      // weights, tie-break pair-lexicographic.
+      val tok = T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val vocab = tok.groupBy("word").agg(count(lit(1)).as("n"))
+        .withColumn("seq", concat_ws(" ",
+          expr("regexp_extract_all(word, '.', 0)")))
+      def pairCounts(v: org.apache.spark.sql.DataFrame) = v
+        .select(col("n"), explode(graft.ops.TextOps.shingles(
+          split(col("seq"), " "), 2)).as("pair"))
+        .groupBy("pair").agg(sum("n").as("w"))
+      val r1 = pairCounts(vocab)
+      val top1 = r1.orderBy(col("w").desc, col("pair")).limit(1)
+        .select(col("pair").as("m_pair"))
+      val vocab2 = vocab.crossJoin(broadcast(top1))
+        .withColumn("seq", expr(
+          // trim: the sentinel spaces must not become empty symbols in
+          // the round-2 split
+          "trim(replace(' ' || seq || ' ', ' ' || m_pair || ' ', " +
+            "' ' || replace(m_pair, ' ', '') || ' '))"))
+      val r2 = pairCounts(vocab2)
+      r1.withColumn("round", lit(1))
+        .orderBy(col("w").desc, col("pair")).limit(10)
+        .union(r2.withColumn("round", lit(2))
+          .orderBy(col("w").desc, col("pair")).limit(10))
+        .select(col("round"), col("pair"), col("w"))
+        .orderBy(col("round"), col("w").desc, col("pair"))
+    }),
+
+    "quality_kappa" -> ((s, d) => {
+      // Cohen's kappa agreement between two weak labelers (annotation
+      // QA for auto-curated corpora): A = char-length bucket, B =
+      // token-count bucket. Confusion counts are exact BIGINTs per
+      // (lang, a, b); p_o and p_e assemble from integer marginal
+      // products, so the only double is the final kappa ratio —
+      // engine-identical — rounded to 4 dp. All joins run on the
+      // |langs × 3|-row marginal tables.
+      val lab = T.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .withColumn("a", when(col("n_chars") < 220, "short")
+          .when(col("n_chars") < 380, "mid").otherwise("long"))
+        .withColumn("b", when(col("n_tok") < 45, "short")
+          .when(col("n_tok") < 70, "mid").otherwise("long"))
+      val conf = lab.groupBy("lang", "a", "b").agg(count(lit(1)).as("c"))
+      val tot = conf.groupBy("lang").agg(sum("c").as("n"))
+      val diag = conf.filter(col("a") === col("b"))
+        .groupBy("lang").agg(sum("c").as("agree"))
+      val rowm = conf.groupBy("lang", "a").agg(sum("c").as("ra"))
+      val colm = conf.groupBy("lang", "b").agg(sum("c").as("cb"))
+      val pe = rowm.join(colm,
+          rowm("lang") === colm("lang") && rowm("a") === colm("b"))
+        .groupBy(rowm("lang").as("lang"))
+        .agg(sum(col("ra") * col("cb")).as("pe_num"))
+      tot.join(diag, Seq("lang"), "left").join(pe, Seq("lang"), "left")
+        .select(col("lang"), col("n"),
+          coalesce(col("agree"), lit(0L)).as("agree"),
+          expr("ROUND((CAST(coalesce(agree, 0) AS DOUBLE) / n - " +
+            "CAST(coalesce(pe_num, 0) AS DOUBLE) / (n * n)) / " +
+            "(1.0 - CAST(coalesce(pe_num, 0) AS DOUBLE) / (n * n)), 4)")
+            .as("kappa"))
+        .orderBy("lang")
+    }),
+
+    "ts_mom_yoy" -> ((s, d) => {
+      // month-over-month / year-over-year revenue growth — the
+      // reporting staple. Monthly revenue is an exact DECIMAL cent sum;
+      // growth is ONE double division of exact BIGINTs, rounded 4 dp.
+      // lag(1)/lag(12) over the |months| aggregate.
+      val monthly = T.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(expr(
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)")
+          .as("cents"))
+      val w = Window.orderBy("month")
+      monthly
+        .withColumn("prev_m", lag("cents", 1).over(w))
+        .withColumn("prev_y", lag("cents", 12).over(w))
+        .select(col("month"),
+          (col("cents").cast("double") / 100.0).as("revenue"),
+          expr("ROUND((cents - prev_m) / CAST(prev_m AS DOUBLE), 4)").as("mom"),
+          expr("ROUND((cents - prev_y) / CAST(prev_y AS DOUBLE), 4)").as("yoy"))
+        .orderBy("month")
+    }),
+
+    "agg_gini" -> ((s, d) => {
+      // Gini coefficient of customer revenue concentration per nation —
+      // the inequality audit a curation pipeline runs on source
+      // contribution (here on the richer orders⋈customer data). Revenue
+      // aggregates to exact cents per customer FIRST; the rank window
+      // is partitioned by nation over that per-customer table; S1 =
+      // Σ i·xᵢ stays BIGINT; G = 2·S1/(n·S) − (n+1)/n touches doubles
+      // only in the final two divisions on exact integers (tie-order
+      // invariant: equal x contribute identically under any rank order).
+      val rev = T.orders(s, d)
+        .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_custkey"))
+        .agg(expr(
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)")
+          .as("x"))
+      val w = Window.partitionBy("n_name").orderBy("x", "c_custkey")
+      rev.withColumn("i", row_number().over(w))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"), sum("x").as("s"),
+          sum(col("i") * col("x")).as("s1"))
+        .select(col("n_name"), col("n_cust"),
+          (col("s").cast("double") / 100.0).as("total_rev"),
+          expr("ROUND(2.0 * s1 / (CAST(n_cust AS DOUBLE) * s) " +
+            "- (n_cust + 1.0) / n_cust, 4)").as("gini"))
+        .orderBy("n_name")
     })
   )
 
@@ -432,6 +554,98 @@ object Ext4Queries extends QueryPack {
          |       ROUND(MIN(micro) / 1e6, 4) AS min_ratio,
          |       ROUND(MAX(micro) / 1e6, 4) AS max_ratio
          |FROM m GROUP BY label ORDER BY label""".stripMargin
-    }
+    },
+
+    "text_bpe_train" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |vocab AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+        |         array_to_string(regexp_extract_all(word, '.'), ' ') AS seq
+        |  FROM tok WHERE word <> '' GROUP BY word),
+        |p1 AS (
+        |  SELECT pair, CAST(SUM(n) AS BIGINT) AS w
+        |  FROM (SELECT n, unnest(list_transform(range(1, len(t)),
+        |               i -> t[i] || ' ' || t[i+1])) AS pair
+        |        FROM (SELECT n, string_split(seq, ' ') AS t FROM vocab))
+        |  GROUP BY pair),
+        |m1 AS (SELECT pair AS m_pair FROM p1 ORDER BY w DESC, pair LIMIT 1),
+        |vocab2 AS (
+        |  SELECT n, trim(replace(' ' || seq || ' ', ' ' || m_pair || ' ',
+        |                    ' ' || replace(m_pair, ' ', '') || ' ')) AS seq
+        |  FROM vocab CROSS JOIN m1),
+        |p2 AS (
+        |  SELECT pair, CAST(SUM(n) AS BIGINT) AS w
+        |  FROM (SELECT n, unnest(list_transform(range(1, len(t)),
+        |               i -> t[i] || ' ' || t[i+1])) AS pair
+        |        FROM (SELECT n, string_split(seq, ' ') AS t FROM vocab2))
+        |  GROUP BY pair),
+        |u AS (
+        |  SELECT 1 AS round, pair, w FROM (SELECT * FROM p1 ORDER BY w DESC, pair LIMIT 10)
+        |  UNION ALL
+        |  SELECT 2, pair, w FROM (SELECT * FROM p2 ORDER BY w DESC, pair LIMIT 10))
+        |SELECT CAST(round AS INT) AS round, pair, w
+        |FROM u ORDER BY round, w DESC, pair""".stripMargin,
+
+    "quality_kappa" ->
+      """WITH lab AS (
+        |  SELECT lang,
+        |         CASE WHEN n_chars < 220 THEN 'short'
+        |              WHEN n_chars < 380 THEN 'mid' ELSE 'long' END AS a,
+        |         CASE WHEN len(string_split(text, ' ')) < 45 THEN 'short'
+        |              WHEN len(string_split(text, ' ')) < 70 THEN 'mid'
+        |              ELSE 'long' END AS b
+        |  FROM documents),
+        |conf AS (SELECT lang, a, b, CAST(COUNT(*) AS BIGINT) AS c
+        |         FROM lab GROUP BY 1, 2, 3),
+        |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM conf GROUP BY 1),
+        |diag AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS agree
+        |         FROM conf WHERE a = b GROUP BY 1),
+        |rowm AS (SELECT lang, a, CAST(SUM(c) AS BIGINT) AS ra FROM conf GROUP BY 1, 2),
+        |colm AS (SELECT lang, b, CAST(SUM(c) AS BIGINT) AS cb FROM conf GROUP BY 1, 2),
+        |pe AS (
+        |  SELECT rowm.lang, CAST(SUM(ra * cb) AS BIGINT) AS pe_num
+        |  FROM rowm JOIN colm ON rowm.lang = colm.lang AND rowm.a = colm.b
+        |  GROUP BY 1)
+        |SELECT t.lang, t.n, COALESCE(d.agree, 0) AS agree,
+        |       ROUND((CAST(coalesce(d.agree, 0) AS DOUBLE) / t.n -
+        |              CAST(coalesce(pe.pe_num, 0) AS DOUBLE) / (t.n * t.n)) /
+        |             (1.0 - CAST(coalesce(pe.pe_num, 0) AS DOUBLE) / (t.n * t.n)), 4) AS kappa
+        |FROM tot t LEFT JOIN diag d USING (lang) LEFT JOIN pe USING (lang)
+        |ORDER BY t.lang""".stripMargin,
+
+    "ts_mom_yoy" ->
+      """WITH monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |lagged AS (
+        |  SELECT month, cents,
+        |         LAG(cents, 1) OVER (ORDER BY month) AS prev_m,
+        |         LAG(cents, 12) OVER (ORDER BY month) AS prev_y
+        |  FROM monthly)
+        |SELECT month, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |       ROUND((cents - prev_m) / CAST(prev_m AS DOUBLE), 4) AS mom,
+        |       ROUND((cents - prev_y) / CAST(prev_y AS DOUBLE), 4) AS yoy
+        |FROM lagged ORDER BY month""".stripMargin,
+
+    "agg_gini" ->
+      """WITH rev AS (
+        |  SELECT n.n_name, c.c_custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS x
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT n_name, x,
+        |         ROW_NUMBER() OVER (PARTITION BY n_name
+        |           ORDER BY x, c_custkey) AS i
+        |  FROM rev)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |       CAST(SUM(x) AS DOUBLE) / 100.0 AS total_rev,
+        |       ROUND(2.0 * SUM(i * x) / (CAST(COUNT(*) AS DOUBLE) * SUM(x))
+        |             - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini
+        |FROM ranked GROUP BY n_name ORDER BY n_name""".stripMargin
   )
 }

@@ -610,7 +610,7 @@ class PlanSpec extends SparkSpec {
     // price cents| rows. A WindowExec without a HashAggregate beneath
     // it would be sorting raw rows — the banned scale shape.
     Seq("agg_weighted_median", "win_rolling_median", "ts_autocorr",
-      "win_skyline").foreach { name =>
+      "win_skyline", "ts_mom_yoy", "agg_gini").foreach { name =>
       val p = planOf(name)
       val wins = p.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
@@ -648,6 +648,31 @@ class PlanSpec extends SparkSpec {
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("text_bpe_train: pair explosion sits above the vocab aggregate") {
+    // the scale claim: shingle pairs are generated from the DISTINCT-
+    // word vocab table (Zipf-small), never the raw token stream — every
+    // Generate must have the vocab HashAggregate beneath it
+    val p = planOf("text_bpe_train")
+    val gens = p.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.nonEmpty, "expected shingle Generates")
+    // the tokenize explode (word extraction) is the one legitimate
+    // raw-row Generate; every PAIR generate consumes the vocab agg
+    val pairGens = gens.filter(g => g.collect {
+      case a: HashAggregateExec => a
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }.nonEmpty)
+    assert(pairGens.nonEmpty, "pair mining must consume the vocab aggregate")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("quality_kappa: marginal joins only, no window, no cartesian") {
+    val p = planOf("quality_kappa")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "kappa must assemble from aggregates, not windows")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("sample_class_balance: rates broadcast back, map-side filter, no window") {
     val p = planOf("sample_class_balance")
     assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
@@ -673,6 +698,40 @@ class PlanSpec extends SparkSpec {
     assert(p.collect {
       case e: ShuffleExchangeExec => e
     }.length <= 2, "expected only the agg + sort exchanges")
+  }
+
+  test("join_fuzzy_blocked: the fuzzy join is block-equi over the distinct-name aggregate") {
+    // the ER scale shape: levenshtein runs inside a join keyed on the
+    // blocking token, and both join inputs are the |distinct names|
+    // aggregate — never raw part rows, never a cartesian
+    val p = planOf("join_fuzzy_blocked")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "blocked fuzzy join must not plan a cartesian")
+    val joins = p.collect {
+      case j: SortMergeJoinExec => j: SparkPlan
+      case j: BroadcastHashJoinExec => j: SparkPlan
+    }
+    assert(joins.nonEmpty, "expected an equi-join on the blocking key")
+    assert(joins.exists(_.collect { case a: HashAggregateExec => a }.length >= 2),
+      "join inputs must be the distinct-name aggregate")
+  }
+
+  test("sim_centroid_classify: centroids partial-aggregate, argmin is inline, no cartesian") {
+    val p = planOf("sim_centroid_classify")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "argmin must be the inline array fold, not a rank window")
+    assert(p.collect { case a: HashAggregateExec => a }.length >= 4,
+      "per-(label,pos) means and the confusion counts must both run partial+final")
+  }
+
+  test("sample_epoch_plan: two tiny aggregates, no window, no raw-row join") {
+    val p = planOf("sample_epoch_plan")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty)
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
   test("agg_group_pricing: filter and column pruning reach the parquet scan") {

@@ -740,6 +740,105 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("agg_gini equals a driver-side Gini on exact cent revenues") {
+    val rev = T.orders(spark, sf)
+      .join(T.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(T.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = SparkEntry.queries("agg_gini")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    rev.foreach { case (nation, xs) =>
+      val n = xs.length
+      val s = xs.sum.toDouble
+      val s1 = xs.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum.toDouble
+      val expect = math.rint((2.0 * s1 / (n * s) - (n + 1.0) / n) * 1e4) / 1e4
+      assert(math.abs(got(nation) - expect) < 2e-4,
+        s"$nation: gini ${got(nation)} vs driver $expect")
+      assert(got(nation) >= 0 && got(nation) < 1, s"$nation: gini out of range")
+    }
+  }
+
+  test("quality_kappa: kappa bounded and consistent with raw agreement") {
+    val rows = SparkEntry.queries("quality_kappa")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, n, agree, kappa) =>
+      assert(agree <= n, s"$lang: agree > n")
+      assert(kappa >= -1.0001 && kappa <= 1.0001, s"$lang: kappa $kappa out of range")
+      // the two labelers both proxy document length — they must agree
+      // far better than chance
+      assert(kappa > 0.2, s"$lang: length-proxy labelers should correlate, got $kappa")
+    }
+  }
+
+  test("text_bpe_train: round-2 best weight never exceeds round-1 best") {
+    // after merging the best pair, any new pair containing the merged
+    // symbol inherits at most its weight, and surviving old pairs can
+    // only lose adjacencies
+    val rows = SparkEntry.queries("text_bpe_train")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val r1 = rows.filter(_._1 == 1)
+    val r2 = rows.filter(_._1 == 2)
+    assert(r1.length == 10 && r2.length == 10)
+    assert(r2.map(_._3).max <= r1.map(_._3).max,
+      "merging the top pair cannot increase the best pair weight")
+    // every pair is two space-separated non-empty symbols
+    assert(rows.forall { case (_, p, _) =>
+      val s = p.split(" "); s.length == 2 && s.forall(_.nonEmpty) })
+  }
+
+  test("join_fuzzy_blocked equals the brute-force edit-distance pair set within blocks") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = T.part(spark, sf).select("p_name").distinct()
+      .collect().map(_.getString(0))
+    val expect = (for {
+      a <- names; b <- names
+      if a < b && a.split(" ").last == b.split(" ").last && lev(a, b) <= 2
+    } yield (a, b)).toSet
+    val got = SparkEntry.queries("join_fuzzy_blocked")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expect,
+      s"fuzzy pairs diverged: extra=${(got -- expect).take(3)} missing=${(expect -- got).take(3)}")
+    assert(got.nonEmpty, "fixture corpus has lev≤2 name pairs (cold/old etc.)")
+  }
+
+  test("sim_centroid_classify: centroid classifier beats chance decisively") {
+    // labels 0..9 → chance accuracy 10%; the fixture embeddings carry
+    // real label structure (measured 41% at sf0.01)
+    val rows = SparkEntry.queries("sim_centroid_classify")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val total = rows.map(_._3).sum
+    val diag = rows.filter(r => r._1 == r._2).map(_._3).sum
+    assert(total > 0)
+    assert(diag.toDouble / total > 0.25,
+      s"accuracy ${diag.toDouble / total} — centroids lost the label structure")
+  }
+
+  test("sample_epoch_plan: plan arithmetic is exact and hits the target from below") {
+    val rows = SparkEntry.queries("sample_epoch_plan")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, n, target, epochs, fracBps, out) =>
+      assert(epochs == target / n, s"$lang: epochs off")
+      assert(fracBps == 10000 * (target % n) / n, s"$lang: frac off")
+      assert(out == epochs * n + n * fracBps / 10000, s"$lang: expected_out off")
+      // the plan may undershoot only by the basis-point truncation
+      assert(out <= target && out > target - n / 100 - epochs - 1,
+        s"$lang: out $out vs target $target outside truncation slack")
+    }
+  }
+
   test("sim_random_projection: JL distortion concentrates around 1") {
     // E[‖proj‖²/8] = ‖x‖² with ±1 signs; with 8 output dims the ratio's
     // sd is ~1/2 — per-label AVERAGES over hundreds of vectors must sit

@@ -173,6 +173,29 @@ object Ext4Queries extends QueryPack {
         .orderBy("event_type", "lag_k")
     }),
 
+    "ts_drawdown" -> ((s, d) => {
+      // running maximum drawdown of daily order revenue — the metric-
+      // regression detector (how far below its historical peak is the
+      // series, and what was the worst excursion). Revenue is exact
+      // integer cents; peak is a running max over the |days| aggregate;
+      // drawdown is INTEGER basis points (10⁴·(peak−cur)) DIV peak —
+      // no doubles anywhere except the display column.
+      val daily = T.orders(s, d)
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(expr(
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)")
+          .as("cents"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily.withColumn("peak", max("cents").over(w))
+        .withColumn("dd_bps", expr("(10000 * (peak - cents)) DIV peak"))
+        .select(col("day"),
+          (col("cents").cast("double") / 100.0).as("revenue"),
+          (col("peak").cast("double") / 100.0).as("peak_rev"),
+          col("dd_bps"))
+        .orderBy("day")
+    }),
+
     "win_skyline" -> ((s, d) => {
       // Pareto frontier (skyline) of parts: minimize p_retailprice,
       // maximize p_size. NOT an all-pairs dominance join and NOT a
@@ -483,6 +506,21 @@ object Ext4Queries extends QueryPack {
         |             SQRT((CAST(n AS DOUBLE) * sxx - sx * sx) *
         |                  (CAST(n AS DOUBLE) * syy - sy * sy)), 4) AS r
         |FROM sums ORDER BY event_type, lag_k""".stripMargin,
+
+    "ts_drawdown" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT day, cents,
+        |         MAX(cents) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM daily)
+        |SELECT day, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |       CAST(peak AS DOUBLE) / 100.0 AS peak_rev,
+        |       (10000 * (peak - cents)) // peak AS dd_bps
+        |FROM p ORDER BY day""".stripMargin,
 
     "win_skyline" ->
       """WITH parts AS (

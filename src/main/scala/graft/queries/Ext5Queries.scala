@@ -90,6 +90,186 @@ object Ext5Queries extends QueryPack {
         .select(col("lang"), col("n_before"), col("target"), col("epochs"),
           col("frac_bps"), col("expected_out"))
         .orderBy("lang")
+    }),
+
+    "quality_profile" -> ((s, d) => {
+      // Deequ-style per-column data profile of orders: count / null
+      // count / exact distinct / typed min-max. Numerics (and
+      // timestamps, as epoch micros) surface as DOUBLE min/max, strings
+      // lexicographically — never numeric→string casts, whose
+      // formatting is an engine-parity landmine (Spark prints 1.0E7,
+      // DuckDB 10000000.0).
+      //
+      // Shape, MEASURED not guessed: the one-pass multi-countDistinct
+      // aggregate plans an Expand (#cols × rows) whose wide-row shuffle
+      // went 25.6× at 16× data in ScaleProbe — super-linear, the
+      // classic exact-profile trap. The scalable form is six NARROW
+      // subtrees: each reads exactly ONE column from parquet (column
+      // pruning makes the re-scans cheap), each distinct is a two-level
+      // hash aggregate (map-side dedup, no Expand), unioned into the
+      // report. Re-probed at 1.9× for 16× data.
+      val o = T.orders(s, d)
+      def prof(c: String, outName: String, num: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+               isStr: Boolean) = {
+        val base = o.select(col(c))
+        val nulls = sum(when(col(c).isNull, 1L).otherwise(0L)).as("nulls")
+        val nd = countDistinct(col(c)).as("n_distinct")
+        if (isStr)
+          base.agg(count(lit(1)).as("n_rows"), nulls, nd,
+            min(col(c)).as("mn_s"), max(col(c)).as("mx_s"))
+            .select(col("n_rows"), lit(outName).as("col"), col("nulls"),
+              col("n_distinct"),
+              lit(null).cast("double").as("min_num"),
+              lit(null).cast("double").as("max_num"),
+              col("mn_s").as("min_str"), col("mx_s").as("max_str"))
+        else
+          base.agg(count(lit(1)).as("n_rows"), nulls, nd,
+            num(min(col(c))).as("mn_n"), num(max(col(c))).as("mx_n"))
+            .select(col("n_rows"), lit(outName).as("col"), col("nulls"),
+              col("n_distinct"),
+              col("mn_n").as("min_num"), col("mx_n").as("max_num"),
+              lit(null).cast("string").as("min_str"),
+              lit(null).cast("string").as("max_str"))
+      }
+      Seq(
+        prof("o_orderkey", "o_orderkey", _.cast("double"), isStr = false),
+        prof("o_custkey", "o_custkey", _.cast("double"), isStr = false),
+        prof("o_totalprice", "o_totalprice", c => c, isStr = false),
+        prof("o_orderdate", "o_orderdate_us",
+          c => unix_micros(c).cast("double"), isStr = false),
+        prof("o_orderstatus", "o_orderstatus", c => c, isStr = true),
+        prof("o_orderpriority", "o_orderpriority", c => c, isStr = true))
+        .reduce(_.union(_))
+        .orderBy("col")
+    }),
+
+    "sim_label_separation" -> ((s, d) => {
+      // embedding-quality audit: mean intra-label vs inter-label cosine
+      // for the declared probe slice (vec_id < 100, the sim_cosine_knn
+      // cap) against the whole corpus — the margin that predicts
+      // whether label-conditioned retrieval works at all. Per-pair
+      // cosine quantizes to micro-units before the group sums (exact
+      // BIGINT accumulation, the perplexity precedent); probes ride a
+      // broadcast so the pass is one map-side join + one aggregate.
+      // Finding on the fixture corpus (pinned in SemanticsSpec): labels
+      // separate in their MEANS (centroid classifier 41% vs 10% chance)
+      // but pairwise cosines sit in the 64-dim near-orthogonal regime
+      // (|avg| ≈ 0.01) on BOTH sides — exactly the failure mode this
+      // audit exists to surface before anyone ships cosine-threshold
+      // retrieval against such embeddings.
+      graft.GraftFunctions.register(s)
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          graft.ops.VectorOps.unit(
+            graft.ops.VectorOps.toDouble(col("embedding"))).as("u"))
+      val probes = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("a"), col("label").as("la"), col("u").as("ua"))
+      e.filter(col("vec_id") >= 100).join(broadcast(probes), lit(true))
+        .withColumn("m", expr(
+          "CAST(ROUND(graft_dot(ua, u) * 1e6) AS BIGINT)"))
+        .withColumn("same_label", col("label") === col("la"))
+        .groupBy("la", "same_label")
+        .agg(count(lit(1)).as("n_pairs"), sum("m").as("sm"))
+        .select(col("la").as("label"), col("same_label"), col("n_pairs"),
+          expr("ROUND(CAST(sm AS DOUBLE) / (n_pairs * 1e6), 4)").as("avg_cos"))
+        .orderBy("label", "same_label")
+    }),
+
+    "sim_hard_negatives" -> ((s, d) => {
+      // hard-negative mining for retrieval training: for each probe
+      // (the declared vec_id < 100 slice), the top-3 most-similar
+      // vectors with a DIFFERENT label — the pairs a contrastive loss
+      // needs most. Cosines quantize to micro-units (exact integer
+      // ranking, the perplexity precedent); the rank≤3 filter is a
+      // LITERAL limit so it compiles to WindowGroupLimit — each map
+      // task forwards 3 candidates per probe, not its whole fan.
+      import org.apache.spark.sql.expressions.Window
+      graft.GraftFunctions.register(s)
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          graft.ops.VectorOps.unit(
+            graft.ops.VectorOps.toDouble(col("embedding"))).as("u"))
+      val probes = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("a"), col("label").as("label_a"),
+          col("u").as("ua"))
+      val w = Window.partitionBy("a").orderBy(col("m").desc, col("b"))
+      e.filter(col("vec_id") >= 100).join(broadcast(probes), lit(true))
+        .filter(col("label") =!= col("label_a"))
+        .select(col("a"), col("label_a"), col("vec_id").as("b"),
+          col("label").as("label_b"),
+          expr("CAST(ROUND(graft_dot(ua, u) * 1e6) AS BIGINT)").as("m"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("a"), col("rank"), col("b"), col("label_a"),
+          col("label_b"), expr("ROUND(m / 1e6, 4)").as("sim"))
+        .orderBy("a", "rank")
+    }),
+
+    "dedup_keep_best" -> ((s, d) => {
+      // dedup survivor POLICY: inside each exact-dup cluster (the
+      // dedup_exact canonicalization), keep the HIGHEST-QUALITY copy,
+      // not the arbitrary min-id one — the curation choice that decides
+      // what the training corpus actually reads. Quality is the
+      // text_quality score in integer basis points so the argmax
+      // compares exact integers; the winner rides inside max(struct(
+      // q_bps, doc_id)) — one hash aggregate, tie-safe, no window.
+      // naive_doc (min id) ships alongside so the report shows where
+      // the policy CHANGED the outcome.
+      val toks = graft.ops.TextOps.tokens(col("text"))
+      val canon = array_join(array_sort(array_distinct(
+        graft.ops.TextOps.tokens(lower(trim(col("text")))))), " ")
+      T.documents(s, d)
+        .withColumn("h", sha2(canon, 256))
+        .withColumn("n_tok", size(toks).cast("double"))
+        .withColumn("stop_ratio",
+          size(filter(toks, t => t.isin("the", "a"))).cast("double") / col("n_tok"))
+        .withColumn("avg_tok_len",
+          (length(col("text")) - (col("n_tok") - 1)) / col("n_tok"))
+        .withColumn("q_bps", expr(
+          "CAST(ROUND((0.3 * LEAST(n_tok / 50, 1.0)" +
+            " + 0.4 * (1.0 - stop_ratio)" +
+            " + 0.3 * LEAST(avg_tok_len / 6, 1.0)) * 10000) AS BIGINT)"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n"),
+          max(struct(col("q_bps"), col("doc_id"))).as("best"),
+          min(col("doc_id")).as("naive_doc"))
+        .filter(col("n") > 1)
+        .select(col("h"), col("n"),
+          col("best.doc_id").as("keep_doc"),
+          col("best.q_bps").as("keep_q_bps"),
+          col("naive_doc"))
+        .orderBy("h")
+    }),
+
+    "pipeline_lineage_mask" -> ((s, d) => {
+      // pipeline observability: each doc carries a bitmask of which
+      // curation gates it passes (lang / length / quality / token
+      // floor), and the report is the path histogram — which gate
+      // COMBINATIONS hold the corpus, the first question when a funnel
+      // loses volume. Pure integer map pass + one aggregate; shares are
+      // exact integer basis points against a 1-row broadcast total.
+      val toks = graft.ops.TextOps.tokens(col("text"))
+      val masked = T.documents(s, d)
+        .withColumn("n_tok", size(toks).cast("double"))
+        .withColumn("stop_ratio",
+          size(filter(toks, t => t.isin("the", "a"))).cast("double") / col("n_tok"))
+        .withColumn("avg_tok_len",
+          (length(col("text")) - (col("n_tok") - 1)) / col("n_tok"))
+        .withColumn("q_bps", expr(
+          "CAST(ROUND((0.3 * LEAST(n_tok / 50, 1.0)" +
+            " + 0.4 * (1.0 - stop_ratio)" +
+            " + 0.3 * LEAST(avg_tok_len / 6, 1.0)) * 10000) AS BIGINT)"))
+        .withColumn("mask", expr(
+          "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END" +
+            " + CASE WHEN n_chars BETWEEN 150 AND 450 THEN 2 ELSE 0 END" +
+            " + CASE WHEN q_bps >= 6000 THEN 4 ELSE 0 END" +
+            " + CASE WHEN n_tok >= 30 THEN 8 ELSE 0 END AS INT)"))
+      val hist = masked.groupBy("mask").agg(count(lit(1)).as("n"))
+      val tot = hist.agg(sum("n").as("n_total"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("mask"), col("n"),
+          expr("(10000 * n) DIV n_total").as("share_bps"))
+        .orderBy("mask")
     })
   )
 
@@ -151,6 +331,142 @@ object Ext5Queries extends QueryPack {
         |  FROM p)
         |SELECT lang, n_before, target, epochs, frac_bps,
         |       epochs * n_before + (n_before * frac_bps) // 10000 AS expected_out
-        |FROM q ORDER BY lang""".stripMargin
+        |FROM q ORDER BY lang""".stripMargin,
+
+    "quality_profile" ->
+      """WITH a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_key,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd_key,
+        |    CAST(MIN(o_orderkey) AS DOUBLE) AS mn_key,
+        |    CAST(MAX(o_orderkey) AS DOUBLE) AS mx_key,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_cust,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+        |    CAST(MIN(o_custkey) AS DOUBLE) AS mn_cust,
+        |    CAST(MAX(o_custkey) AS DOUBLE) AS mx_cust,
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_tp,
+        |    CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_tp,
+        |    MIN(o_totalprice) AS mn_tp, MAX(o_totalprice) AS mx_tp,
+        |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_dt,
+        |    CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd_dt,
+        |    CAST(MIN(epoch_us(o_orderdate)) AS DOUBLE) AS mn_dt,
+        |    CAST(MAX(epoch_us(o_orderdate)) AS DOUBLE) AS mx_dt,
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_st,
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_st,
+        |    MIN(o_orderstatus) AS mn_st, MAX(o_orderstatus) AS mx_st,
+        |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_pr,
+        |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_pr,
+        |    MIN(o_orderpriority) AS mn_pr, MAX(o_orderpriority) AS mx_pr
+        |  FROM orders)
+        |SELECT n_rows, col, nulls, n_distinct, min_num, max_num, min_str, max_str
+        |FROM (
+        |  SELECT n_rows, 'o_orderkey' AS col, nu_key AS nulls, nd_key AS n_distinct,
+        |         mn_key AS min_num, mx_key AS max_num,
+        |         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+        |  UNION ALL
+        |  SELECT n_rows, 'o_custkey', nu_cust, nd_cust, mn_cust, mx_cust, NULL, NULL FROM a
+        |  UNION ALL
+        |  SELECT n_rows, 'o_totalprice', nu_tp, nd_tp, mn_tp, mx_tp, NULL, NULL FROM a
+        |  UNION ALL
+        |  SELECT n_rows, 'o_orderdate_us', nu_dt, nd_dt, mn_dt, mx_dt, NULL, NULL FROM a
+        |  UNION ALL
+        |  SELECT n_rows, 'o_orderstatus', nu_st, nd_st, NULL, NULL, mn_st, mx_st FROM a
+        |  UNION ALL
+        |  SELECT n_rows, 'o_orderpriority', nu_pr, nd_pr, NULL, NULL, mn_pr, mx_pr FROM a)
+        |ORDER BY col""".stripMargin,
+
+    "sim_label_separation" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |           x -> x / sqrt(list_dot_product(
+        |                  list_transform(embedding, y -> CAST(y AS DOUBLE)),
+        |                  list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS u
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS a, label AS la, u AS ua FROM e WHERE vec_id < 100),
+        |m AS (
+        |  SELECT p.la, (x.label = p.la) AS same_label,
+        |         CAST(ROUND(list_dot_product(p.ua, x.u) * 1e6) AS BIGINT) AS m
+        |  FROM e x CROSS JOIN p
+        |  WHERE x.vec_id >= 100)
+        |SELECT la AS label, same_label, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       ROUND(CAST(SUM(m) AS DOUBLE) / (COUNT(*) * 1e6), 4) AS avg_cos
+        |FROM m GROUP BY la, same_label
+        |ORDER BY label, same_label""".stripMargin,
+
+    "sim_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |           x -> x / sqrt(list_dot_product(
+        |                  list_transform(embedding, y -> CAST(y AS DOUBLE)),
+        |                  list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS u
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS a, label AS label_a, u AS ua FROM e WHERE vec_id < 100),
+        |cand AS (
+        |  SELECT p.a, p.label_a, x.vec_id AS b, x.label AS label_b,
+        |         CAST(ROUND(list_dot_product(p.ua, x.u) * 1e6) AS BIGINT) AS m
+        |  FROM e x CROSS JOIN p
+        |  WHERE x.vec_id >= 100 AND x.label <> p.label_a),
+        |r AS (
+        |  SELECT a, label_a, b, label_b, m,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY a
+        |           ORDER BY m DESC, b) AS INT) AS rank
+        |  FROM cand)
+        |SELECT a, rank, b, label_a, label_b, ROUND(m / 1e6, 4) AS sim
+        |FROM r WHERE rank <= 3 ORDER BY a, rank""".stripMargin,
+
+    "dedup_keep_best" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |         sha256(array_to_string(list_sort(list_distinct(
+        |           string_split(lower(trim(text)), ' '))), ' ')) AS h,
+        |         CAST(ROUND((0.3 * LEAST(n_tok / 50, 1.0)
+        |                   + 0.4 * (1.0 - stop_ratio)
+        |                   + 0.3 * LEAST(avg_tok_len / 6, 1.0)) * 10000) AS BIGINT) AS q_bps
+        |  FROM (SELECT doc_id, text,
+        |               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |               CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+        |                 / len(string_split(text, ' ')) AS stop_ratio,
+        |               (LENGTH(text) - (len(string_split(text, ' ')) - 1))
+        |                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_tok_len
+        |        FROM documents)),
+        |r AS (
+        |  SELECT h, doc_id, q_bps,
+        |         ROW_NUMBER() OVER (PARTITION BY h
+        |           ORDER BY q_bps DESC, doc_id DESC) AS rk,
+        |         COUNT(*) OVER (PARTITION BY h) AS n,
+        |         MIN(doc_id) OVER (PARTITION BY h) AS naive_doc
+        |  FROM q)
+        |SELECT h, CAST(n AS BIGINT) AS n, doc_id AS keep_doc,
+        |       q_bps AS keep_q_bps, naive_doc
+        |FROM r WHERE rk = 1 AND n > 1
+        |ORDER BY h""".stripMargin,
+
+    "pipeline_lineage_mask" ->
+      """WITH q AS (
+        |  SELECT lang, n_chars, n_tok,
+        |         CAST(ROUND((0.3 * LEAST(n_tok / 50, 1.0)
+        |                   + 0.4 * (1.0 - stop_ratio)
+        |                   + 0.3 * LEAST(avg_tok_len / 6, 1.0)) * 10000) AS BIGINT) AS q_bps
+        |  FROM (SELECT lang, n_chars,
+        |               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |               CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+        |                 / len(string_split(text, ' ')) AS stop_ratio,
+        |               (LENGTH(text) - (len(string_split(text, ' ')) - 1))
+        |                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_tok_len
+        |        FROM documents)),
+        |m AS (
+        |  SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+        |       + CASE WHEN n_chars BETWEEN 150 AND 450 THEN 2 ELSE 0 END
+        |       + CASE WHEN q_bps >= 6000 THEN 4 ELSE 0 END
+        |       + CASE WHEN n_tok >= 30 THEN 8 ELSE 0 END AS INT) AS mask
+        |  FROM q),
+        |hist AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM hist)
+        |SELECT mask, n, (10000 * n) // n_total AS share_bps
+        |FROM hist CROSS JOIN tot ORDER BY mask""".stripMargin
   )
 }

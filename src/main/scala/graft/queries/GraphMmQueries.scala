@@ -34,6 +34,35 @@ object GraphMmQueries extends QueryPack {
         .orderBy("level", "node_kind", "node_key")
     }),
 
+    "graph_degree_hist" -> ((s, d) => {
+      // degree-distribution histogram of the shared 1000-node order-FK
+      // quotient graph — the power-law audit run BEFORE any graph
+      // operator (it predicts wedge volume, hub skew, and whether the
+      // triangle orientation trick is needed at all). Distinct
+      // undirected edges → partial-aggregated degrees → power-of-two
+      // buckets via an integer CASE chain (log2 would be a libm call at
+      // an exact-power boundary — the CASE is branch-exact in both
+      // engines). Output rows are ≤ ~11 buckets at any scale.
+      val edges = T.orders(s, d).select(
+        pmod(col("o_custkey"), lit(1000L)).as("src"),
+        pmod(col("o_orderkey"), lit(1000L)).as("dst"))
+      val und = edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val deg = und.select(col("a").as("node"))
+        .union(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val bucket = (0 to 9).foldRight(lit(10)) { (i, e) =>
+        when(col("deg") < (1L << (i + 1)), i).otherwise(e)
+      }
+      deg.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_nodes"),
+          min("deg").as("min_deg"), max("deg").as("max_deg"))
+        .orderBy("bucket")
+    }),
+
     "graph_pagerank" -> ((s, d) => {
       // the crawl-domain ranking shape: damped weighted PageRank on a
       // deterministic 1000-node quotient of the order FK stream (src =
@@ -544,6 +573,24 @@ object GraphMmQueries extends QueryPack {
         |JOIN deg da ON inter.a = da.node
         |JOIN deg db ON inter.b = db.node
         |ORDER BY j DESC, a, b LIMIT 25""".stripMargin,
+
+    "graph_degree_hist" -> {
+      val cases = (0 to 9).map(i =>
+        s"WHEN deg < ${1L << (i + 1)} THEN $i").mkString(" ")
+      s"""WITH und AS (
+         |  SELECT DISTINCT LEAST(o_custkey % 1000, o_orderkey % 1000) AS a,
+         |         GREATEST(o_custkey % 1000, o_orderkey % 1000) AS b
+         |  FROM orders
+         |  WHERE o_custkey % 1000 <> o_orderkey % 1000),
+         |deg AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY node)
+         |SELECT CAST(CASE $cases ELSE 10 END AS INT) AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |       MIN(deg) AS min_deg, MAX(deg) AS max_deg
+         |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
 
     "graph_pagerank" -> pagerankSql(PrDamping, PrIters, QuotientEdgeCte),
 

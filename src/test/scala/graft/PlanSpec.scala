@@ -610,7 +610,7 @@ class PlanSpec extends SparkSpec {
     // price cents| rows. A WindowExec without a HashAggregate beneath
     // it would be sorting raw rows — the banned scale shape.
     Seq("agg_weighted_median", "win_rolling_median", "ts_autocorr",
-      "win_skyline", "ts_mom_yoy", "agg_gini").foreach { name =>
+      "win_skyline", "ts_mom_yoy", "agg_gini", "ts_drawdown").foreach { name =>
       val p = planOf(name)
       val wins = p.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
@@ -732,6 +732,72 @@ class PlanSpec extends SparkSpec {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }.isEmpty)
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("quality_profile: six single-column subtrees, no Expand, no join") {
+    // ScaleProbe measured the one-pass multi-countDistinct form at
+    // 25.6× for 16× data (the Expand multiplies the wide-row shuffle
+    // #cols times) — the shipped shape is six narrow column-pruned
+    // subtrees whose distincts are two-level hash aggregates.
+    // Re-probed at 1.9×.
+    val p = planOf("quality_profile")
+    val scans = p.collect { case s: FileSourceScanExec => s }
+    assert(scans.length == 6, s"expected 6 single-column scans, got ${scans.length}")
+    scans.foreach { s =>
+      assert(s.requiredSchema.fields.length == 1,
+        s"profile scan must read exactly one column, got ${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+    assert(p.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }.isEmpty, "the Expand-based multi-distinct is the measured scale trap")
+    assert(p.collect {
+      case j: SortMergeJoinExec => j: SparkPlan
+      case j: BroadcastHashJoinExec => j: SparkPlan
+      case c: CartesianProductExec => c: SparkPlan
+    }.isEmpty, "profile must be joinless")
+  }
+
+  test("sim_label_separation: probes broadcast, one partial+final aggregate") {
+    val p = planOf("sim_label_separation")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "the probe fan must be a broadcast nested loop, not a cartesian")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty)
+    assert(p.collect { case a: HashAggregateExec => a }.length >= 2,
+      "per-(label, side) sums must aggregate partial + final")
+  }
+
+  test("sim_hard_negatives: the rank≤3 filter compiles to WindowGroupLimit") {
+    // literal K ⇒ each map task forwards 3 candidates per probe instead
+    // of its whole probe×corpus fan — the same pushdown pinned for the
+    // sampling caps
+    val p = planOf("sim_hard_negatives")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }.nonEmpty, "rank≤3 must push down as WindowGroupLimit")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "probe fan must be broadcast, not cartesian")
+  }
+
+  test("graph_degree_hist: degrees partial-aggregate, histogram is windowless") {
+    val p = planOf("graph_degree_hist")
+    assert(p.collect { case a: HashAggregateExec => a }.length >= 4,
+      "edge dedup, degree count, and the bucket histogram must all run partial+final")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty)
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("dedup_keep_best / pipeline_lineage_mask: windowless aggregates, no cartesian") {
+    Seq("dedup_keep_best", "pipeline_lineage_mask").foreach { name =>
+      val p = planOf(name)
+      assert(p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"$name: argmax/histogram must be hash aggregates, not windows")
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty, name)
+    }
   }
 
   test("agg_group_pricing: filter and column pruning reach the parquet scan") {

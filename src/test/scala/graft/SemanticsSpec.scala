@@ -839,6 +839,134 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("quality_profile agrees with directly computed column facts") {
+    val o = T.orders(spark, sf)
+    val nRows = o.count()
+    val ndKey = o.select(countDistinct("o_orderkey")).collect()(0).getLong(0)
+    val rows = SparkEntry.queries("quality_profile")(spark, sf)
+      .collect().map(r => r.getString(1) -> (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.size == 6)
+    rows.foreach { case (c, (n, nulls, _)) =>
+      assert(n == nRows, s"$c: n_rows off")
+      assert(nulls == 0, s"$c: fixture has no nulls, profile found $nulls")
+    }
+    assert(rows("o_orderkey")._3 == ndKey, "orderkey distinct count off")
+    assert(rows("o_orderkey")._3 == nRows, "orderkey must be unique")
+  }
+
+  test("sim_label_separation: pair bookkeeping exact, cosines in the orthogonal regime") {
+    // the fixture's labels separate in their MEANS (the centroid
+    // classifier reads 41% vs 10% chance) but NOT in pairwise cosine —
+    // 64-dim near-orthogonal vectors keep |avg cos| ≈ 0.01 on both
+    // sides, and the audit REPORTING that honestly is its job. What is
+    // pinned: exact pair accounting against the probe/corpus splits,
+    // and the near-orthogonal range.
+    val e = T.embeddings(spark, sf)
+    val probesByLabel = e.filter(col("vec_id") < 100)
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val corpusByLabel = e.filter(col("vec_id") >= 100)
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nCorpus = corpusByLabel.values.sum
+    val rows = SparkEntry.queries("sim_label_separation")(spark, sf)
+      .collect().map(r => ((r.getInt(0), r.getBoolean(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    probesByLabel.foreach { case (l, np) =>
+      val intra = rows.get((l, true)).map(_._1).getOrElse(0L)
+      val inter = rows.get((l, false)).map(_._1).getOrElse(0L)
+      assert(intra == np * corpusByLabel.getOrElse(l, 0L), s"label $l: intra pairs off")
+      assert(intra + inter == np * nCorpus, s"label $l: pair total off")
+    }
+    rows.values.foreach { case (_, avg) =>
+      assert(math.abs(avg) < 0.05, s"avg cosine $avg outside the orthogonal regime")
+    }
+  }
+
+  test("dedup_keep_best picks the true quality argmax of every duplicate cluster") {
+    val qSql =
+      "CAST(ROUND((0.3 * LEAST(n_tok / 50, 1.0) + 0.4 * (1.0 - stop_ratio)" +
+        " + 0.3 * LEAST(avg_tok_len / 6, 1.0)) * 10000) AS BIGINT)"
+    val docs = T.documents(spark, sf)
+      .withColumn("hh", sha2(array_join(array_sort(array_distinct(
+        split(lower(trim(col("text"))), " "))), " "), 256))
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("double"))
+      .withColumn("stop_ratio",
+        size(filter(split(col("text"), " "), t => t.isin("the", "a"))).cast("double") / col("n_tok"))
+      .withColumn("avg_tok_len",
+        (length(col("text")) - (col("n_tok") - 1)) / col("n_tok"))
+      .withColumn("q", expr(qSql))
+      .select("hh", "doc_id", "q")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byH = docs.groupBy(_._1).filter(_._2.length > 1)
+    val got = SparkEntry.queries("dedup_keep_best")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet == byH.keySet, "cluster sets diverged")
+    byH.foreach { case (h, members) =>
+      val (n, keep, keepQ, naive) = got(h)
+      assert(n == members.length)
+      assert(naive == members.map(_._2).min)
+      val best = members.map(m => (m._3, m._2)).max
+      assert((keepQ, keep) == best,
+        s"$h: kept ($keepQ,$keep) but argmax is $best")
+    }
+  }
+
+  test("pipeline_lineage_mask: masks partition the corpus, shares sum to ~10000 bps") {
+    val rows = SparkEntry.queries("pipeline_lineage_mask")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val nDocs = T.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == nDocs, "mask histogram must partition the corpus")
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 15), "mask outside 4 bits")
+    val bps = rows.map(_._3).sum
+    assert(bps <= 10000 && bps > 10000 - rows.length,
+      s"floor-truncated shares must sum within ${rows.length} bps of 10000, got $bps")
+  }
+
+  test("ts_drawdown: peak is monotone, drawdown zero exactly at new peaks") {
+    val rows = SparkEntry.queries("ts_drawdown")(spark, sf)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    var peak = 0.0
+    rows.foreach { case (rev, p, dd) =>
+      peak = math.max(peak, rev)
+      assert(math.abs(p - peak) < 1e-9, "peak must be the running max")
+      assert((dd == 0) == (rev == peak), "dd_bps = 0 iff at the running peak")
+      assert(dd >= 0 && dd < 10000, s"dd_bps $dd out of range")
+    }
+  }
+
+  test("sim_hard_negatives: every negative is cross-label, ranked by descending sim") {
+    val rows = SparkEntry.queries("sim_hard_negatives")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getInt(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._4 != r._5), "a hard negative must be cross-label")
+    rows.groupBy(_._1).foreach { case (a, g) =>
+      val byRank = g.sortBy(_._2)
+      assert(byRank.length <= 3, s"probe $a has more than 3 negatives")
+      assert(byRank.map(_._2).toSeq == (1 to byRank.length).toSeq, s"probe $a: rank gap")
+      val sims = byRank.map(_._6)
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y },
+        s"probe $a: sims not descending")
+    }
+  }
+
+  test("graph_degree_hist: buckets partition the node set, bounds respect bucket edges") {
+    val rows = SparkEntry.queries("graph_degree_hist")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, _, mn, mx) =>
+      assert(mn <= mx)
+      if (b < 10) {
+        assert(mx < (1L << (b + 1)), s"bucket $b: max_deg $mx above edge")
+        if (b > 0) assert(mn >= (1L << b), s"bucket $b: min_deg $mn below edge")
+      }
+    }
+  }
+
   test("sim_random_projection: JL distortion concentrates around 1") {
     // E[‖proj‖²/8] = ‖x‖² with ±1 signs; with 8 output dims the ratio's
     // sd is ~1/2 — per-label AVERAGES over hundreds of vectors must sit

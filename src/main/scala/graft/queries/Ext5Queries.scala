@@ -175,6 +175,58 @@ object Ext5Queries extends QueryPack {
         .orderBy("label", "same_label")
     }),
 
+    "pipeline_content_hash" -> ((s, d) => {
+      // dataset versioning primitive: an ORDER-INVARIANT content
+      // fingerprint per source plus the corpus total (ROLLUP row) —
+      // two corpus builds match iff their fingerprints do, regardless
+      // of partitioning or row order. XOR of per-doc 60-bit md5s:
+      // commutative, associative, overflow-free (a BIGINT SUM of 60-bit
+      // hashes overflows at ~10⁶ docs — the xor is the correct fold at
+      // any scale), and map-side combinable.
+      val h = graft.ops.TextOps.md5Long(col("text"))
+      T.documents(s, d)
+        .withColumn("h", h)
+        .rollup("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(h)").as("content_hash"))
+        .select(coalesce(col("source"), lit("__total__")).as("source"),
+          col("n_docs"), col("content_hash"))
+        .orderBy("source")
+    }),
+
+    "agg_bool_aggs" -> ((s, d) => {
+      // the boolean / conditional aggregate family: count_if,
+      // bool_and, bool_or over order predicates — exact integer and
+      // boolean outputs, oracled by their CASE-expression equivalents
+      // (the oracle need not share the function surface, only the
+      // semantics).
+      T.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("count_if(o_totalprice > 100000)").as("n_big"),
+          expr("bool_and(o_totalprice > 0)").as("all_positive"),
+          expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+          expr("count_if(o_custkey % 2 = 0)").as("n_even_cust"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "fn_hash_codecs" -> ((s, d) => {
+      // the hash / codec scalar surface over supplier names: md5,
+      // sha2-256, base64, uppercase hex, and a base64 decode roundtrip
+      // flag — formats verified byte-identical across engines (base64
+      // padding, hex case, hash hex case).
+      T.supplier(s, d)
+        .select(col("s_suppkey"),
+          md5(col("s_name")).as("h_md5"),
+          sha2(col("s_name"), 256).as("h_sha256"),
+          base64(col("s_name").cast("binary")).as("b64"),
+          hex(col("s_name").cast("binary")).as("hx"),
+          (unbase64(base64(col("s_name").cast("binary"))).cast("string")
+            === col("s_name")).as("rt_ok"))
+        .orderBy("s_suppkey")
+    }),
+
     "sim_hard_negatives" -> ((s, d) => {
       // hard-negative mining for retrieval training: for each probe
       // (the declared vec_id < 100 slice), the top-3 most-similar
@@ -394,6 +446,38 @@ object Ext5Queries extends QueryPack {
         |       ROUND(CAST(SUM(m) AS DOUBLE) / (COUNT(*) * 1e6), 4) AS avg_cos
         |FROM m GROUP BY la, same_label
         |ORDER BY label, same_label""".stripMargin,
+
+    "pipeline_content_hash" -> {
+      val h = graft.ops.TextOps.md5LongSql("text")
+      s"""WITH d AS (SELECT source, $h AS h FROM documents),
+         |per AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(bit_xor(h) AS BIGINT) AS content_hash
+         |  FROM d GROUP BY source),
+         |tot AS (
+         |  SELECT '__total__' AS source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(bit_xor(h) AS BIGINT) AS content_hash
+         |  FROM d)
+         |SELECT * FROM per UNION ALL SELECT * FROM tot
+         |ORDER BY source""".stripMargin
+    },
+
+    "agg_bool_aggs" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |       MIN(o_totalprice > 0) AS all_positive,
+        |       MAX(o_orderpriority = '1-URGENT') AS any_urgent,
+        |       CAST(SUM(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_cust
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "fn_hash_codecs" ->
+      """SELECT s_suppkey,
+        |       md5(s_name) AS h_md5,
+        |       sha256(s_name) AS h_sha256,
+        |       to_base64(encode(s_name)) AS b64,
+        |       hex(encode(s_name)) AS hx,
+        |       (decode(from_base64(to_base64(encode(s_name)))) = s_name) AS rt_ok
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
     "sim_hard_negatives" ->
       """WITH e AS (

@@ -967,6 +967,40 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_content_hash: total row is the xor-fold of the per-source rows") {
+    val rows = SparkEntry.queries("pipeline_content_hash")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (tot, per) = rows.partition(_._1 == "__total__")
+    assert(tot.length == 1 && per.nonEmpty)
+    assert(tot.head._2 == per.map(_._2).sum, "total n_docs must sum the sources")
+    assert(tot.head._3 == per.map(_._3).reduce(_ ^ _),
+      "corpus fingerprint must be the xor of the per-source fingerprints")
+    // order-invariance: recompute driver-side from the raw docs
+    val driverXor = T.documents(spark, sf)
+      .select(graft.ops.TextOps.md5Long(col("text")).as("h"))
+      .collect().map(_.getLong(0)).reduce(_ ^ _)
+    assert(tot.head._3 == driverXor, "fingerprint must be row-order invariant")
+  }
+
+  test("agg_bool_aggs: conditional counts bounded, booleans consistent with counts") {
+    val rows = SparkEntry.queries("agg_bool_aggs")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (st, n, nBig, allPos, _, nEven) =>
+      assert(nBig <= n && nEven <= n, s"$st: conditional count exceeds n")
+      assert(allPos, s"$st: fixture prices are all positive")
+    }
+  }
+
+  test("fn_hash_codecs: the base64 roundtrip holds for every row") {
+    val rows = SparkEntry.queries("fn_hash_codecs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3), "base64 decode roundtrip failed somewhere")
+    assert(rows.forall(_._2.matches("[0-9a-f]{32}")), "md5 must be 32 lowercase hex chars")
+  }
+
   test("sim_random_projection: JL distortion concentrates around 1") {
     // E[‖proj‖²/8] = ‖x‖² with ±1 signs; with 8 output dims the ratio's
     // sd is ~1/2 — per-label AVERAGES over hundreds of vectors must sit

@@ -173,6 +173,74 @@ object Ext4Queries extends QueryPack {
         .orderBy("event_type", "lag_k")
     }),
 
+    "agg_moments" -> ((s, d) => {
+      // skewness / excess kurtosis per return flag WITHOUT the built-in
+      // skewness()/kurtosis() aggregates — their sample-vs-population
+      // conventions differ between engines, and their double power sums
+      // are fold-order sensitive. l_quantity is integer-VALUED, so the
+      // raw power sums Σx..Σx⁴ are exact BIGINTs (x ≤ 50 ⇒ Σx⁴ ≤
+      // ~4·10¹² at sf0.1 — far inside 2⁶³ and 2⁵³); the population
+      // moments assemble from those exact integers in one shared
+      // formula text, with m2^1.5 spelled m2·SQRT(m2) (sqrt is
+      // correctly-rounded IEEE; pow is a libm call).
+      val mom =
+        "ROUND((s3 / CAST(n AS DOUBLE) - 3 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))" +
+          " + 2 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))" +
+          " / (m2 * SQRT(m2)), 4)"
+      val kur =
+        "ROUND((s4 / CAST(n AS DOUBLE) - 4 * (s1 / CAST(n AS DOUBLE)) * (s3 / CAST(n AS DOUBLE))" +
+          " + 6 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))" +
+          " - 3 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))" +
+          " / (m2 * m2) - 3, 4)"
+      T.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          sum(col("x") * col("x") * col("x")).as("s3"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+        .withColumn("mean", expr("ROUND(s1 / CAST(n AS DOUBLE), 4)"))
+        .withColumn("m2", expr(
+          "s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))"))
+        .select(col("l_returnflag"), col("n"), col("mean"),
+          expr("ROUND(m2, 4)").as("var_pop"),
+          expr(mom).as("skew"), expr(kur).as("kurt_excess"))
+        .orderBy("l_returnflag")
+    }),
+
+    "graph_assortativity" -> ((s, d) => {
+      // degree assortativity of the shared order-FK quotient graph —
+      // do high-degree nodes link to high-degree nodes? (decides
+      // whether hub-splitting matters for the wedge shuffles). Each
+      // undirected edge contributes both orientations (the standard
+      // symmetric estimator); Pearson r assembles from exact BIGINT
+      // sums over the (edge ⋈ degree ⋈ degree) stream — the
+      // ts_autocorr device pointed at graph structure.
+      val edges = T.orders(s, d).select(
+        pmod(col("o_custkey"), lit(1000L)).as("src"),
+        pmod(col("o_orderkey"), lit(1000L)).as("dst"))
+      val und = edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val deg = und.select(col("a").as("node"))
+        .union(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val dirPairs = und.select(col("a"), col("b"))
+        .union(und.select(col("b").as("a"), col("a").as("b")))
+      dirPairs
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+        .agg(count(lit(1)).as("m"), sum("da").as("sx"), sum("db").as("sy"),
+          sum(col("da") * col("db")).as("sxy"),
+          sum(col("da") * col("da")).as("sxx"),
+          sum(col("db") * col("db")).as("syy"))
+        .select(col("m"),
+          expr("ROUND((m * sxy - sx * sy) / " +
+            "SQRT((CAST(m AS DOUBLE) * sxx - sx * sx) * " +
+            "(CAST(m AS DOUBLE) * syy - sy * sy)), 4)").as("r"))
+    }),
+
     "ts_drawdown" -> ((s, d) => {
       // running maximum drawdown of daily order revenue — the metric-
       // regression detector (how far below its historical peak is the
@@ -194,6 +262,43 @@ object Ext4Queries extends QueryPack {
           (col("peak").cast("double") / 100.0).as("peak_rev"),
           col("dd_bps"))
         .orderBy("day")
+    }),
+
+    "text_js_divergence" -> ((s, d) => {
+      // Jensen–Shannon divergence between every pair of per-lang
+      // unigram LMs — the symmetric, bounded corpus-drift distance
+      // (KL blows up on one-sided words; JSD doesn't). Work is
+      // vocab-sized: per-(lang, word) counts aggregate map-side, each
+      // word meets its ≤C(5,2) lang pairs in a word-keyed self-join,
+      // never a corpus pass. One-sided words contribute p·ln2 exactly,
+      // folded in closed form as ln2·(1 − Σ_common p) so only COMMON
+      // words need rows. Per-word terms and masses quantize to
+      // nano-units before the pair sums (exact BIGINT accumulation;
+      // the declared semantics are the quantized JSD — both engines
+      // compute identical integers; LN is the accepted libm precedent).
+      val tok = T.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val wl = tok.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      val nl = wl.groupBy("lang").agg(sum("c").as("nt"))
+      val probs = wl.join(broadcast(nl), "lang")
+        .select(col("lang"), col("w"),
+          expr("c / CAST(nt AS DOUBLE)").as("p"))
+      val a = probs.select(col("lang").as("la"), col("w"), col("p").as("pa"))
+      val b = probs.select(col("lang").as("lb"), col("w"), col("p").as("pb"))
+      a.join(b, "w").filter(col("la") < col("lb"))
+        .select(col("la"), col("lb"),
+          expr("CAST(ROUND(pa * LN(2 * pa / (pa + pb)) * 1e9) AS BIGINT)").as("ta"),
+          expr("CAST(ROUND(pb * LN(2 * pb / (pa + pb)) * 1e9) AS BIGINT)").as("tb"),
+          expr("CAST(ROUND(pa * 1e9) AS BIGINT)").as("pan"),
+          expr("CAST(ROUND(pb * 1e9) AS BIGINT)").as("pbn"))
+        .groupBy("la", "lb")
+        .agg(count(lit(1)).as("n_common"), sum("ta").as("sta"),
+          sum("tb").as("stb"), sum("pan").as("spa"), sum("pbn").as("spb"))
+        .select(col("la"), col("lb"), col("n_common"),
+          expr("ROUND((sta + stb + LN(2) * ((1e9 - spa) + (1e9 - spb))) / 2e9, 6)")
+            .as("jsd"))
+        .orderBy("la", "lb")
     }),
 
     "win_skyline" -> ((s, d) => {
@@ -507,6 +612,49 @@ object Ext4Queries extends QueryPack {
         |                  (CAST(n AS DOUBLE) * syy - sy * sy)), 4) AS r
         |FROM sums ORDER BY event_type, lag_k""".stripMargin,
 
+    "agg_moments" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(x*x) AS BIGINT) AS s2,
+        |         CAST(SUM(x*x*x) AS BIGINT) AS s3, CAST(SUM(x*x*x*x) AS BIGINT) AS s4
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x FROM lineitem)
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT *, s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS m2
+        |  FROM s)
+        |SELECT l_returnflag, n, ROUND(s1 / CAST(n AS DOUBLE), 4) AS mean,
+        |       ROUND(m2, 4) AS var_pop,
+        |       ROUND((s3 / CAST(n AS DOUBLE) - 3 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE)) + 2 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) / (m2 * SQRT(m2)), 4) AS skew,
+        |       ROUND((s4 / CAST(n AS DOUBLE) - 4 * (s1 / CAST(n AS DOUBLE)) * (s3 / CAST(n AS DOUBLE)) + 6 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE)) - 3 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) / (m2 * m2) - 3, 4) AS kurt_excess
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "graph_assortativity" ->
+      """WITH und AS (
+        |  SELECT DISTINCT LEAST(o_custkey % 1000, o_orderkey % 1000) AS a,
+        |         GREATEST(o_custkey % 1000, o_orderkey % 1000) AS b
+        |  FROM orders
+        |  WHERE o_custkey % 1000 <> o_orderkey % 1000),
+        |deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY node),
+        |dp AS (
+        |  SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+        |j AS (
+        |  SELECT da.deg AS da, db.deg AS db
+        |  FROM dp JOIN deg da ON dp.a = da.node JOIN deg db ON dp.b = db.node),
+        |su AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |         CAST(SUM(da) AS BIGINT) AS sx, CAST(SUM(db) AS BIGINT) AS sy,
+        |         CAST(SUM(da * db) AS BIGINT) AS sxy,
+        |         CAST(SUM(da * da) AS BIGINT) AS sxx,
+        |         CAST(SUM(db * db) AS BIGINT) AS syy
+        |  FROM j)
+        |SELECT m, ROUND((m * sxy - sx * sy) /
+        |       SQRT((CAST(m AS DOUBLE) * sxx - sx * sx) *
+        |            (CAST(m AS DOUBLE) * syy - sy * sy)), 4) AS r
+        |FROM su""".stripMargin,
+
     "ts_drawdown" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', o_orderdate) AS day,
@@ -521,6 +669,32 @@ object Ext4Queries extends QueryPack {
         |       CAST(peak AS DOUBLE) / 100.0 AS peak_rev,
         |       (10000 * (peak - cents)) // peak AS dd_bps
         |FROM p ORDER BY day""".stripMargin,
+
+    "text_js_divergence" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wl AS (
+        |  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok WHERE w <> '' GROUP BY 1, 2),
+        |nl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS nt FROM wl GROUP BY 1),
+        |probs AS (
+        |  SELECT wl.lang, wl.w, c / CAST(nt AS DOUBLE) AS p
+        |  FROM wl JOIN nl ON wl.lang = nl.lang),
+        |pairs AS (
+        |  SELECT a.lang AS la, b.lang AS lb,
+        |         CAST(ROUND(a.p * LN(2 * a.p / (a.p + b.p)) * 1e9) AS BIGINT) AS ta,
+        |         CAST(ROUND(b.p * LN(2 * b.p / (a.p + b.p)) * 1e9) AS BIGINT) AS tb,
+        |         CAST(ROUND(a.p * 1e9) AS BIGINT) AS pan,
+        |         CAST(ROUND(b.p * 1e9) AS BIGINT) AS pbn
+        |  FROM probs a JOIN probs b ON a.w = b.w AND a.lang < b.lang),
+        |su AS (
+        |  SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS n_common,
+        |         CAST(SUM(ta) AS BIGINT) AS sta, CAST(SUM(tb) AS BIGINT) AS stb,
+        |         CAST(SUM(pan) AS BIGINT) AS spa, CAST(SUM(pbn) AS BIGINT) AS spb
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT la, lb, n_common,
+        |       ROUND((sta + stb + LN(2) * ((1e9 - spa) + (1e9 - spb))) / 2e9, 6) AS jsd
+        |FROM su ORDER BY la, lb""".stripMargin,
 
     "win_skyline" ->
       """WITH parts AS (

@@ -1001,6 +1001,58 @@ class SemanticsSpec extends SparkSpec {
     assert(rows.forall(_._2.matches("[0-9a-f]{32}")), "md5 must be 32 lowercase hex chars")
   }
 
+  test("agg_moments matches Spark's built-in population skewness/kurtosis") {
+    // the key computes moments from exact integer power sums precisely
+    // BECAUSE the built-ins aren't oracle-safe — but numerically they
+    // must agree with Spark's own population estimators
+    val builtin = T.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(skewness(col("l_quantity")).as("sk"), kurtosis(col("l_quantity")).as("ku"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val got = SparkEntry.queries("agg_moments")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(4), r.getDouble(5))).toMap
+    got.foreach { case (flag, (sk, ku)) =>
+      val (bsk, bku) = builtin(flag)
+      assert(math.abs(sk - bsk) < 1e-3, s"$flag: skew $sk vs builtin $bsk")
+      assert(math.abs(ku - bku) < 1e-3, s"$flag: kurtosis $ku vs builtin $bku")
+    }
+  }
+
+  test("graph_assortativity equals a driver-side Pearson over the edge-degree stream") {
+    val edges = T.orders(spark, sf)
+      .select(pmod(col("o_custkey"), lit(1000L)).as("src"),
+        pmod(col("o_orderkey"), lit(1000L)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")), greatest(col("src"), col("dst")))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val pairs = edges.flatMap(e => Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val m = pairs.length.toLong
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val expect = math.rint((m * sxy - sx * sy) /
+      math.sqrt((m.toDouble * sxx - sx.toDouble * sx) * (m.toDouble * syy - sy.toDouble * sy)) * 1e4) / 1e4
+    val row = SparkEntry.queries("graph_assortativity")(spark, sf).collect()(0)
+    assert(row.getLong(0) == m, "directed pair count off")
+    assert(math.abs(row.getDouble(1) - expect) < 2e-4,
+      s"assortativity ${row.getDouble(1)} vs driver $expect")
+  }
+
+  test("text_js_divergence: all C(5,2) pairs present, bounded by ln 2, orientation-canonical") {
+    val rows = SparkEntry.queries("text_js_divergence")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 10, s"expected C(5,2)=10 lang pairs, got ${rows.length}")
+    rows.foreach { case (la, lb, nc, jsd) =>
+      assert(la < lb, "pairs must be canonical la < lb")
+      assert(nc > 0, s"$la/$lb share no vocabulary?")
+      assert(jsd >= -1e-6 && jsd <= math.log(2) + 1e-6,
+        s"$la/$lb: jsd $jsd outside [0, ln 2]")
+    }
+  }
+
   test("sim_random_projection: JL distortion concentrates around 1") {
     // E[‖proj‖²/8] = ‖x‖² with ±1 signs; with 8 output dims the ratio's
     // sd is ~1/2 — per-label AVERAGES over hundreds of vectors must sit

@@ -175,6 +175,48 @@ object Ext5Queries extends QueryPack {
         .orderBy("label", "same_label")
     }),
 
+    "join_null_safe" -> ((s, d) => {
+      // null-safe equality join (<=>): the optional-attribute match
+      // where NULL means "unknown" and unknown matches unknown — a
+      // plain equi-join silently DROPS every NULL row (NULL = NULL is
+      // NULL), the classic enrichment bug. Deterministic NULL seeding:
+      // BUILDING segments become NULL via NULLIF; the dim side is the
+      // per-segment aggregate of the same seeded column, so the NULL
+      // bucket must round-trip. <=> compiles to an equi-join key
+      // (Coalesce/isnull pair), NOT a nested loop — same hash shuffle
+      // as `=` at any scale.
+      val segd = nullif(col("c_mktsegment"), lit("BUILDING"))
+      val cust = T.customer(s, d).withColumn("seg", segd)
+      val dim = cust.groupBy("seg").agg(count(lit(1)).as("seg_n"))
+        .withColumnRenamed("seg", "dim_seg")
+      cust.join(broadcast(dim), col("seg") <=> col("dim_seg"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_cust"), max("seg_n").as("seg_n"))
+        .orderBy(col("seg").asc_nulls_first)
+    }),
+
+    "text_readability" -> ((s, d) => {
+      // Flesch-shaped readability from engine-portable integer proxies:
+      // syllables ≈ vowel runs per word (regexp_extract_all count),
+      // words per doc, chars per word. score = 206.835 − 1.015·(w/d)
+      // − 84.6·(syl/w) with every ratio a single division of exact
+      // BIGINT sums — the curation feature next to text_quality's
+      // shape score. Per-lang aggregate report.
+      val t = T.documents(s, d)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_w"),
+          size(expr("regexp_extract_all(text, '[aeiou]+', 0)")).cast("long")
+            .as("n_syl"))
+      t.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_w").as("sw"),
+          sum("n_syl").as("ss"))
+        .select(col("lang"), col("n_docs"),
+          expr("ROUND(206.835 - 1.015 * (sw / CAST(n_docs AS DOUBLE))" +
+            " - 84.6 * (ss / CAST(sw AS DOUBLE)), 4)").as("flesch"),
+          expr("ROUND(ss / CAST(sw AS DOUBLE), 4)").as("syl_per_word"))
+        .orderBy("lang")
+    }),
+
     "pipeline_content_hash" -> ((s, d) => {
       // dataset versioning primitive: an ORDER-INVARIANT content
       // fingerprint per source plus the corpus total (ROLLUP row) —
@@ -446,6 +488,27 @@ object Ext5Queries extends QueryPack {
         |       ROUND(CAST(SUM(m) AS DOUBLE) / (COUNT(*) * 1e6), 4) AS avg_cos
         |FROM m GROUP BY la, same_label
         |ORDER BY label, same_label""".stripMargin,
+
+    "join_null_safe" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer),
+        |dim AS (
+        |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS seg_n FROM cust GROUP BY seg)
+        |SELECT c.seg, CAST(COUNT(*) AS BIGINT) AS n_cust, MAX(d.seg_n) AS seg_n
+        |FROM cust c JOIN dim d ON c.seg IS NOT DISTINCT FROM d.seg
+        |GROUP BY c.seg
+        |ORDER BY c.seg NULLS FIRST""".stripMargin,
+
+    "text_readability" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       ROUND(206.835 - 1.015 * (SUM(n_w) / CAST(COUNT(*) AS DOUBLE))
+        |             - 84.6 * (SUM(n_syl) / CAST(SUM(n_w) AS DOUBLE)), 4) AS flesch,
+        |       ROUND(SUM(n_syl) / CAST(SUM(n_w) AS DOUBLE), 4) AS syl_per_word
+        |FROM (SELECT lang,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_w,
+        |             CAST(len(regexp_extract_all(text, '[aeiou]+', 0)) AS BIGINT) AS n_syl
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "pipeline_content_hash" -> {
       val h = graft.ops.TextOps.md5LongSql("text")

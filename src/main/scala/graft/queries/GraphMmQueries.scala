@@ -63,6 +63,33 @@ object GraphMmQueries extends QueryPack {
         .orderBy("bucket")
     }),
 
+    "graph_clustering_coeff" -> ((s, d) => {
+      // global clustering coefficient of the quotient graph — 3T/W,
+      // the single scalar that says whether the graph has community
+      // structure (random graphs: cc ≈ density) — composed from the
+      // SAME two measured primitives the family already ships: the
+      // compact-forward triangle count (hub-safe wedge shuffle) and
+      // the partial-aggregated degree table. All-integer until the one
+      // final division: W = Σ C(deg,2) and 3T = Σ per-node
+      // participation are exact BIGINTs.
+      val edges = T.orders(s, d).select(
+        pmod(col("o_custkey"), lit(1000L)).as("src"),
+        pmod(col("o_orderkey"), lit(1000L)).as("dst"))
+      val und = edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val wedges = und.select(col("a").as("node"))
+        .union(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .agg(sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
+      val tri3 = graft.ops.Triangles.perNode(edges)
+        .agg(sum("n_tri").as("tri3")) // Σ participation = 3 · T
+      wedges.crossJoin(broadcast(tri3))
+        .select(col("n_wedges"), expr("tri3 DIV 3").as("n_tri"),
+          expr("ROUND(tri3 / CAST(n_wedges AS DOUBLE), 6)").as("global_cc"))
+    }),
+
     "graph_pagerank" -> ((s, d) => {
       // the crawl-domain ranking shape: damped weighted PageRank on a
       // deterministic 1000-node quotient of the order FK stream (src =
@@ -624,6 +651,24 @@ object GraphMmQueries extends QueryPack {
 
     // brute-force id-ordered 3-way join — orientation-independent, so
     // it oracles the compact-forward operator's output exactly
+    "graph_clustering_coeff" ->
+      """WITH und AS (
+        |  SELECT DISTINCT LEAST(o_custkey % 1000, o_orderkey % 1000) AS a,
+        |         GREATEST(o_custkey % 1000, o_orderkey % 1000) AS b
+        |  FROM orders WHERE o_custkey % 1000 != o_orderkey % 1000),
+        |deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY node),
+        |w AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |tri AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT n_wedges, t AS n_tri,
+        |       ROUND(3 * t / CAST(n_wedges AS DOUBLE), 6) AS global_cc
+        |FROM w CROSS JOIN tri""".stripMargin,
+
     "graph_triangles" ->
       """WITH und AS (
         |  SELECT DISTINCT LEAST(o_custkey % 1000, o_orderkey % 1000) AS a,

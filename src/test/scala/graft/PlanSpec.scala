@@ -790,6 +790,19 @@ class PlanSpec extends SparkSpec {
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("join_null_safe: <=> compiles to a hash join, not a nested loop") {
+    // the whole point of null-safe EQUALITY: Spark canonicalizes <=>
+    // into an equi-join key (coalesce/isnull pair), so it hash-
+    // partitions like `=` — a BroadcastNestedLoopJoin here would mean
+    // the predicate stopped being a join key
+    val p = planOf("join_null_safe")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "<=> against the broadcast dim must plan a BroadcastHashJoin")
+    assert(p.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, "null-safe equality must not degrade to a nested loop")
+  }
+
   test("dedup_keep_best / pipeline_lineage_mask: windowless aggregates, no cartesian") {
     Seq("dedup_keep_best", "pipeline_lineage_mask").foreach { name =>
       val p = planOf(name)

@@ -1053,6 +1053,40 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("join_null_safe: the NULL bucket round-trips and every group matches its own count") {
+    val rows = SparkEntry.queries("join_null_safe")(spark, sf)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    assert(rows.exists(_._1.isEmpty),
+      "the seeded NULL segment must survive the null-safe join")
+    rows.foreach { case (seg, nCust, segN) =>
+      assert(nCust == segN,
+        s"$seg: every customer must match exactly its own segment aggregate")
+    }
+    val nulls = T.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING").count()
+    assert(rows.find(_._1.isEmpty).get._2 == nulls,
+      "NULL-bucket size must equal the seeded BUILDING count")
+  }
+
+  test("graph_clustering_coeff: consistent with wedge bound and the triangle family") {
+    val row = SparkEntry.queries("graph_clustering_coeff")(spark, sf).collect()(0)
+    val (w, t, cc) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    assert(w > 0 && t >= 0)
+    assert(3 * t <= w, "each triangle closes 3 wedges — 3T cannot exceed W")
+    assert(cc >= 0 && cc <= 1, s"cc $cc out of range")
+    assert(math.abs(cc - 3.0 * t / w) < 1e-5)
+  }
+
+  test("text_readability: syllable ratio in the plausible band, flesch finite") {
+    val rows = SparkEntry.queries("text_readability")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 5)
+    rows.foreach { case (lang, flesch, spw) =>
+      assert(spw > 0.3 && spw < 4, s"$lang: syllables/word $spw implausible")
+      assert(!flesch.isNaN && !flesch.isInfinite, s"$lang: flesch $flesch")
+    }
+  }
+
   test("sim_random_projection: JL distortion concentrates around 1") {
     // E[‖proj‖²/8] = ‖x‖² with ±1 signs; with 8 output dims the ratio's
     // sd is ~1/2 — per-label AVERAGES over hundreds of vectors must sit

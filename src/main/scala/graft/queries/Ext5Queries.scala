@@ -175,6 +175,34 @@ object Ext5Queries extends QueryPack {
         .orderBy("label", "same_label")
     }),
 
+    "sample_neyman" -> ((s, d) => {
+      // Neyman (variance-optimal) stratified-sampling allocation: with
+      // a fixed label budget, stratum h gets n_h ∝ N_h·σ_h — high-
+      // variance strata earn more samples than proportional allocation
+      // gives them. σ_h comes from EXACT integer sums of n_chars
+      // (Σx, Σx² BIGINTs → one sqrt on identical doubles); the weights
+      // quantize to micro-units before the cross-strata total so the
+      // normalizing sum is an exact BIGINT, and the final allocation is
+      // integer FLOOR arithmetic. Budget = 1000 labels, declared; the
+      // allocation is UNCAPPED (a stratum may be offered more than it
+      // holds when the budget exceeds the corpus — real deployments
+      // cap-and-redistribute; the plan reports the raw optimum).
+      val st = T.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("nh"), sum("n_chars").as("s1"),
+          sum(col("n_chars") * col("n_chars")).as("s2"))
+        .withColumn("sigma", expr(
+          "SQRT(s2 / CAST(nh AS DOUBLE) - (s1 / CAST(nh AS DOUBLE)) * (s1 / CAST(nh AS DOUBLE)))"))
+        .withColumn("wq", expr("CAST(ROUND(nh * sigma * 1e6) AS BIGINT)"))
+      val tot = st.agg(sum("wq").as("wtot"))
+      st.crossJoin(broadcast(tot))
+        .select(col("lang"), col("nh").as("n_docs"),
+          expr("ROUND(sigma, 4)").as("sigma"),
+          expr("CAST(FLOOR(1000.0 * wq / wtot) AS BIGINT)").as("alloc_n"),
+          expr("(10000 * wq) DIV wtot").as("alloc_bps"))
+        .orderBy("lang")
+    }),
+
     "join_null_safe" -> ((s, d) => {
       // null-safe equality join (<=>): the optional-attribute match
       // where NULL means "unknown" and unknown matches unknown — a
@@ -488,6 +516,26 @@ object Ext5Queries extends QueryPack {
         |       ROUND(CAST(SUM(m) AS DOUBLE) / (COUNT(*) * 1e6), 4) AS avg_cos
         |FROM m GROUP BY la, same_label
         |ORDER BY label, same_label""".stripMargin,
+
+    "sample_neyman" ->
+      """WITH st AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS nh,
+        |         CAST(SUM(n_chars) AS BIGINT) AS s1,
+        |         CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+        |  FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT lang, nh,
+        |         SQRT(s2 / CAST(nh AS DOUBLE) - (s1 / CAST(nh AS DOUBLE)) * (s1 / CAST(nh AS DOUBLE))) AS sigma
+        |  FROM st),
+        |q AS (
+        |  SELECT lang, nh, sigma,
+        |         CAST(ROUND(nh * sigma * 1e6) AS BIGINT) AS wq
+        |  FROM w),
+        |tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS wtot FROM q)
+        |SELECT lang, nh AS n_docs, ROUND(sigma, 4) AS sigma,
+        |       CAST(FLOOR(1000.0 * wq / wtot) AS BIGINT) AS alloc_n,
+        |       (10000 * wq) // wtot AS alloc_bps
+        |FROM q CROSS JOIN tot ORDER BY lang""".stripMargin,
 
     "join_null_safe" ->
       """WITH cust AS (

@@ -18,6 +18,7 @@ object StreamingStatefulQueries extends QueryPack {
     "stream_stateful_count" -> ((s, d) => StreamingJobs.statefulCount(s, d)),
     "stream_stream_join" -> ((s, d) => StreamingJobs.streamStreamJoin(s, d)),
     "stream_tws_agg" -> ((s, d) => StreamingJobs.transformWithStateAgg(s, d)),
+    "stream_tws_list" -> ((s, d) => StreamingJobs.transformWithStateList(s, d)),
     // TEST-only: TTL expiry is processing-time (wall-clock) dependent;
     // the key runs an unexpirable 1-h TTL for determinism and
     // SemanticsSpec pins the expiry semantics with a ms TTL + real gap
@@ -112,6 +113,26 @@ object StreamingStatefulQueries extends QueryPack {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sv
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The ListState buffer keeps the 3 LARGEST event_ids per user —
+    // order-independent, so the final state equals the batch
+    // rank-by-event_id picks regardless of micro-batch boundaries.
+    "stream_tws_list" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY event_id DESC) AS rk,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS n_seen
+        |  FROM events)
+        |SELECT user_id, CAST(n_seen AS BIGINT) AS n_seen,
+        |       MAX(CASE WHEN rk = 1 THEN event_id END) AS id1,
+        |       MAX(CASE WHEN rk = 1 THEN value END) AS v1,
+        |       MAX(CASE WHEN rk = 2 THEN event_id END) AS id2,
+        |       MAX(CASE WHEN rk = 2 THEN value END) AS v2,
+        |       MAX(CASE WHEN rk = 3 THEN event_id END) AS id3,
+        |       MAX(CASE WHEN rk = 3 THEN value END) AS v3
+        |FROM r WHERE rk <= 3
+        |GROUP BY user_id, n_seen ORDER BY user_id""".stripMargin,
 
     // Append-mode watermark emission over an in-order replay emits every
     // finalized window exactly once, so the external parquet sink's

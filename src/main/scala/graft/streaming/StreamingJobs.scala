@@ -460,6 +460,87 @@ object StreamingJobs {
     }
   }
 
+  case class UserLast3(user_id: Long, n_seen: Long,
+      id1: java.lang.Long, v1: java.lang.Double,
+      id2: java.lang.Long, v2: java.lang.Double,
+      id3: java.lang.Long, v3: java.lang.Double)
+
+  /** transformWithState with COMPOSABLE handles — a bounded ListState
+    * (the last-3 events per user by event_id) next to a ValueState
+    * counter in ONE processor: the session-buffer shape (recent-items
+    * feature windows) ValueState can't express. Order-INDEPENDENT by
+    * construction: the buffer keeps the 3 largest event_ids seen, so
+    * any batch/shuffle arrival order converges to the same state —
+    * which is what makes the key oracle-able (rank-by-event_id in SQL).
+    */
+  private class UserLast3Processor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserLast3] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[(Long, Double)] = _
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, Double)]("last3",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserLast3] = {
+      val incoming = rows.map(e => (e.event_id, e.value)).toSeq
+      val merged = (buf.get().toSeq ++ incoming)
+        .sortBy(-_._1).take(3)
+      buf.clear()
+      buf.put(merged.toArray)
+      val n = Option(seen.get()).getOrElse(0L) + incoming.size
+      seen.update(n)
+      def id(i: Int): java.lang.Long =
+        if (merged.isDefinedAt(i)) Long.box(merged(i)._1) else null
+      def v(i: Int): java.lang.Double =
+        if (merged.isDefinedAt(i)) Double.box(merged(i)._2) else null
+      Iterator(UserLast3(key, n, id(0), v(0), id(1), v(1), id(2), v(2)))
+    }
+  }
+
+  def transformWithStateList(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    withRocksDbState(spark) {
+      val nChunks = 2L
+      val ev = events(spark, sfDir)
+      val (n, _) = bounds(ev)
+      val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
+      val staged = ev.withColumn("chunk",
+        floor(col("event_id") / lit(per.toDouble)).cast("long"))
+      replayFileSource(spark, "tws_list", staged, nChunks - 1,
+        (stream, ckpt) => stream.as[Event]
+          .groupByKey(_.user_id)
+          .transformWithState(new UserLast3Processor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+          .toDF()
+          .writeStream.format("memory").queryName("tws_list")
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .start())
+      // n_seen is strictly monotone per user → the final buffer is the
+      // update with the largest n_seen
+      drain(spark, "tws_list")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_seen"), col("id1"), col("v1"),
+          col("id2"), col("v2"), col("id3"), col("v3"))).as("m"))
+        .select(col("user_id"), col("m.n_seen").as("n_seen"),
+          col("m.id1").as("id1"), col("m.v1").as("v1"),
+          col("m.id2").as("id2"), col("m.v2").as("v2"),
+          col("m.id3").as("id3"), col("m.v3").as("v3"))
+        .orderBy("user_id")
+    }
+  }
+
   case class TtlCount(user_id: Long, n: Long)
 
   /** per-user running count whose ValueState carries a PROCESSING-TIME

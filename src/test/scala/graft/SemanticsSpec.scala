@@ -1087,6 +1087,40 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("stream_tws_list: buffers are id-descending, full iff the user saw ≥3 events") {
+    val rows = SparkEntry.queries("stream_tws_list")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nSeen = r.getLong(1)
+      val ids = Seq(2, 4, 6).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i)))
+      val defined = ids.takeWhile(_.isDefined).flatten
+      assert(defined.length == math.min(nSeen, 3L).toInt,
+        s"user ${r.getLong(0)}: buffer size vs n_seen mismatch")
+      assert(ids.drop(defined.length).forall(_.isEmpty), "non-contiguous buffer")
+      assert(defined.zip(defined.tail).forall { case (a, b) => a > b },
+        s"user ${r.getLong(0)}: buffer not id-descending")
+    }
+  }
+
+  test("sample_neyman: allocations exhaust the budget modulo floor truncation") {
+    val rows = SparkEntry.queries("sample_neyman")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length == 5)
+    val allocSum = rows.map(_._4).sum
+    assert(allocSum <= 1000 && allocSum > 1000 - rows.length,
+      s"floor-truncated allocations must sum within ${rows.length} of 1000, got $allocSum")
+    val bpsSum = rows.map(_._5).sum
+    assert(bpsSum <= 10000 && bpsSum > 10000 - rows.length)
+    rows.foreach { case (lang, _, sigma, _, _) =>
+      assert(sigma > 0, s"$lang: zero variance?")
+    }
+    // Neyman is UNCAPPED by declaration: at sf0.001 the 1000-label
+    // budget exceeds the corpus, so a stratum may be allocated more
+    // than it holds (real deployments cap-and-redistribute; the plan
+    // reports the raw optimum)
+  }
+
   test("sim_random_projection: JL distortion concentrates around 1") {
     // E[‖proj‖²/8] = ‖x‖² with ±1 signs; with 8 output dims the ratio's
     // sd is ~1/2 — per-label AVERAGES over hundreds of vectors must sit

@@ -19,6 +19,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private val PrevPath = "/root/repo/bench_prev.json"
+  private val LastPath = "/root/repo/bench_last.json"
+
+  /** load_after_gate of the committed baseline (fallback: load_start) —
+    * the calmness bar a new run must meet to become the next baseline.
+    */
+  private def readPrevGateLoad(): Option[Double] =
+    try {
+      val txt = new String(Files.readAllBytes(Paths.get(PrevPath)), "UTF-8")
+      ("\"load_after_gate\":([0-9.eE+-]+)".r.findFirstMatchIn(txt)
+        orElse "\"load_start\":([0-9.eE+-]+)".r.findFirstMatchIn(txt))
+        .map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
 
   /** minimal parser for the "queries":{"k":v,...} section we wrote;
     * second element = whether a non-empty baseline actually loaded.
@@ -198,11 +210,30 @@ object Bench {
     // the COMPLETE record — every key, every delta, the telemetry — for
     // the next run and for humans; the printed line only summarizes it.
     val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"reran":$reran,"vs_prev":$vsPrev,"prev_loaded":$prevLoaded,"gc_ms":$gcJson,"load":$loadJson,"gc_total_ms":$gcTotal,"load_start":${f3(loadStart)},"load_end":${f3(loadEnd)},"load_gate":{"max_load":${f3(maxLoad)},"waits":$loadWaits,"load_after_gate":${f3(gatedLoad)},"inrun_wait_ms":$inRunWaitMsUsed,"polluted_bar":${f3(pollutedBar)}},"load_polluted":$polluted,"storage_bytes":$storageJson,"storage_bytes_max":$storageMax,"storage_bytes_end":$storageEnd,"sf":"$sfDir"}"""
-    try Files.write(Paths.get(PrevPath), full.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // ---- baseline protection (r12 verdict #5) ------------------------
+    // The r12 driver's ambient run (load 2.6) overwrote the committed
+    // calm baseline in the working tree, so the next vs_prev would have
+    // computed against a polluted floor. The full record ALWAYS lands
+    // in bench_last.json; it is PROMOTED to bench_prev.json (the
+    // vs_prev floor) only when this run is at least as calm as the
+    // baseline it replaces: zero load-polluted samples and a post-gate
+    // load no higher than both the calm bar and the old baseline's own
+    // post-gate load (+0.5 jitter allowance). A missing/unparsable
+    // baseline always promotes.
+    val prevGateLoad = readPrevGateLoad()
+    val promoteBar = math.max(maxLoad, prevGateLoad.getOrElse(maxLoad)) + 0.5
+    val promoted = nPolluted == 0 &&
+      (prevGateLoad.isEmpty || gatedLoad <= promoteBar)
+    try {
+      Files.write(Paths.get(LastPath), full.getBytes("UTF-8"))
+      if (promoted) Files.write(Paths.get(PrevPath), full.getBytes("UTF-8"))
+      else System.err.println(s"bench: NOT promoting to $PrevPath " +
+        s"(n_polluted=$nPolluted, load_after_gate=${f3(gatedLoad)} vs " +
+        s"bar=${f3(promoteBar)}); full record at $LastPath")
+    } catch { case _: Throwable => () }
     val slow10 = results.filter(_._3).sortBy(-_._2).take(10).map(r => r._1 -> r._2)
     val move10 = deltas.sortBy { case (_, d) => -math.abs(d) }.take(10)
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_keys":${results.length},"n_failed":${results.count(!_._3)},"failed":$failed,"reran":$reran,"prev_loaded":$prevLoaded,"gc_total_ms":$gcTotal,"load_start":${f3(loadStart)},"load_end":${f3(loadEnd)},"load_waits":$loadWaits,"inrun_wait_ms":$inRunWaitMsUsed,"n_load_polluted":$nPolluted,"storage_bytes_max":$storageMax,"queries":${jmap(slow10)},"vs_prev":${jmap(move10)},"full":"$PrevPath"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_keys":${results.length},"n_failed":${results.count(!_._3)},"failed":$failed,"reran":$reran,"prev_loaded":$prevLoaded,"gc_total_ms":$gcTotal,"load_start":${f3(loadStart)},"load_end":${f3(loadEnd)},"load_waits":$loadWaits,"inrun_wait_ms":$inRunWaitMsUsed,"n_load_polluted":$nPolluted,"baseline_promoted":$promoted,"storage_bytes_max":$storageMax,"queries":${jmap(slow10)},"vs_prev":${jmap(move10)},"full":"$LastPath"}"""
     spark.stop()
     // printed last so log noise can't interleave into the capture
     println(line)

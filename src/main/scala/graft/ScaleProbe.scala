@@ -140,14 +140,42 @@ object ScaleProbe {
       write(Tables.nation(spark, base), "nation")
     }
 
-    def time(dir: String, key: String): (Double, Long) = {
+    // per-pass shuffle/spill telemetry (the beyond-RAM datapoint the
+    // r12 verdict asked for: run with SPARK_DRIVER_MEM=4g and
+    // GRAFT_SCRATCH_DIR on real disk, and the spill columns say whether
+    // the run actually exercised disk-backed shuffle instead of RAM)
+    val spill = new org.apache.spark.scheduler.SparkListener {
+      val disk = new java.util.concurrent.atomic.AtomicLong
+      val mem = new java.util.concurrent.atomic.AtomicLong
+      val shufW = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          disk.addAndGet(m.diskBytesSpilled)
+          mem.addAndGet(m.memoryBytesSpilled)
+          shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      def snap(): (Long, Long, Long) = (disk.get, mem.get, shufW.get)
+    }
+    spark.sparkContext.addSparkListener(spill)
+
+    def time(dir: String, key: String): (Double, Long, (Long, Long, Long)) = {
       // fresh cache state per (dir, key) set so the memoized family
       // minings are paid inside the measured pass, same as a cold run
+      // listener delivery is async and the bus drain API is
+      // private[spark]; a short settle sleep after the blocking count()
+      // bounds attribution error to the final few task-end events
+      def settled(): (Long, Long, Long) = { Thread.sleep(400); spill.snap() }
+      val (d0, m0, w0) = settled()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(key)(spark, dir)
       val nRows = df.count()
       require(nRows > 0, s"$key returned 0 rows on $dir")
-      ((System.nanoTime() - t0) / 1e9, nRows)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (d1, m1, w1) = settled()
+      (sec, nRows, (d1 - d0, m1 - m0, w1 - w0))
     }
 
     val out = new StringBuilder
@@ -158,16 +186,16 @@ object ScaleProbe {
     val entries = keys.map { key =>
       spark.catalog.clearCache()
       SessionMemo.clear(spark)
-      val (warm, _) = time(dirs(1), key) // warm JIT/codegen on the small corpus
+      val (warm, _, _) = time(dirs(1), key) // warm JIT/codegen on the small corpus
       spark.catalog.clearCache()
       SessionMemo.clear(spark)
-      val (t1, r1) = time(dirs(1), key)
+      val (t1, r1, _) = time(dirs(1), key)
       spark.catalog.clearCache()
       SessionMemo.clear(spark)
-      val (tF, rF) = time(dirs(factor), key)
+      val (tF, rF, (dSp, mSp, shW)) = time(dirs(factor), key)
       val ratio = tF / t1
-      System.err.println(f"[probe] $key%-24s x1 $t1%7.2f s/$r1%d rows  x$factor $tF%7.2f s/$rF%d rows  ratio ${ratio}%5.2f (warm $warm%5.2f)")
-      f""""$key":{"x1_sec":$t1%.3f,"x${factor}_sec":$tF%.3f,"ratio":$ratio%.2f,"x1_rows":$r1%d,"x${factor}_rows":$rF%d}"""
+      System.err.println(f"[probe] $key%-24s x1 $t1%7.2f s/$r1%d rows  x$factor $tF%7.2f s/$rF%d rows  ratio ${ratio}%5.2f (warm $warm%5.2f, xF spill disk ${dSp / 1048576}%d MiB / mem ${mSp / 1048576}%d MiB, shuffle write ${shW / 1048576}%d MiB)")
+      f""""$key":{"x1_sec":$t1%.3f,"x${factor}_sec":$tF%.3f,"ratio":$ratio%.2f,"x1_rows":$r1%d,"x${factor}_rows":$rF%d,"xf_disk_spill_bytes":$dSp%d,"xf_mem_spill_bytes":$mSp%d,"xf_shuffle_write_bytes":$shW%d}"""
     }
     out.append(entries.mkString(","))
     out.append("}}")

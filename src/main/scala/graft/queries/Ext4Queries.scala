@@ -55,8 +55,15 @@ object Ext4Queries extends QueryPack {
     * per-doc sum so accumulation is an exact BIGINT add.
     */
   private val bm25Micro =
-    "CAST(ROUND(LN(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2" +
-      " / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6) AS BIGINT)"
+    // the idf ratio must be DOUBLE/DOUBLE on both engines: with plain
+    // `0.5` Spark types it DECIMAL/DECIMAL (decimal division, reduced
+    // scale) while DuckDB casts to DOUBLE and divides IEEE — an
+    // ulp-level ratio difference can flip the *1e6 ROUND at a .5
+    // boundary. `0.5e0` is an exponent literal = DOUBLE in both
+    // engines, and n_docs is cast explicitly, so the shared fragment
+    // really is one IEEE expression tree (r12 ADVICE).
+    "CAST(ROUND(LN(1 + (CAST(n_docs AS DOUBLE) - df + 0.5e0) / (df + 0.5e0))" +
+      " * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6) AS BIGINT)"
 
   val queries: Map[String, QueryFn] = Map(
     "text_bm25" -> ((s, d) => {
@@ -362,8 +369,11 @@ object Ext4Queries extends QueryPack {
       val rates = byLabel.crossJoin(broadcast(mn))
         .select(col("label"), col("n_before"),
           // FLOOR, not bare CAST: Spark CAST(double→long) truncates but
-          // DuckDB's rounds — FLOOR is the engine-identical spelling
-          expr("CAST(FLOOR(10000.0 * min_n / n_before) AS BIGINT)").as("rate_bps"))
+          // DuckDB's rounds — FLOOR is the engine-identical spelling.
+          // 1e4 (exponent literal = DOUBLE both engines), not 10000.0:
+          // a plain decimal literal makes Spark divide DECIMAL/DECIMAL
+          // while DuckDB divides IEEE (the bm25Micro class, r12 ADVICE)
+          expr("CAST(FLOOR(1e4 * min_n / n_before) AS BIGINT)").as("rate_bps"))
       e.join(broadcast(rates), "label")
         .filter(pmod(TextOps.md5Long(col("vec_id").cast("string")), lit(10000L))
           < col("rate_bps"))
@@ -736,7 +746,7 @@ object Ext4Queries extends QueryPack {
          |mn AS (SELECT MIN(n_before) AS min_n FROM bl),
          |rates AS (
          |  SELECT label, n_before,
-         |         CAST(FLOOR(10000.0 * min_n / n_before) AS BIGINT) AS rate_bps
+         |         CAST(FLOOR(1e4 * min_n / n_before) AS BIGINT) AS rate_bps
          |  FROM bl CROSS JOIN mn),
          |kept AS (
          |  SELECT e.label FROM embeddings e JOIN rates r USING (label)

@@ -199,7 +199,12 @@ object Ext5Queries extends QueryPack {
         .select(col("lang"), col("nh").as("n_docs"),
           expr("ROUND(sigma, 4)").as("sigma"),
           expr("CAST(FLOOR(1000.0 * wq / wtot) AS BIGINT)").as("alloc_n"),
-          expr("(10000 * wq) DIV wtot").as("alloc_bps"))
+          // bps without the 1e4 blowup: 10000*wq overflows BIGINT once
+          // nh·sigma exceeds ~9.2e8 (Spark wraps silently, DuckDB
+          // raises — engine divergence exactly at 100 TB-class strata).
+          // Dividing the TOTAL down first is multiplication-free; wtot
+          // is micro-scaled (≥ 1e6 per stratum) so wtot DIV 10000 > 0.
+          expr("wq DIV (wtot DIV 10000)").as("alloc_bps"))
         .orderBy("lang")
     }),
 
@@ -534,7 +539,7 @@ object Ext5Queries extends QueryPack {
         |tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS wtot FROM q)
         |SELECT lang, nh AS n_docs, ROUND(sigma, 4) AS sigma,
         |       CAST(FLOOR(1000.0 * wq / wtot) AS BIGINT) AS alloc_n,
-        |       (10000 * wq) // wtot AS alloc_bps
+        |       wq // (wtot // 10000) AS alloc_bps
         |FROM q CROSS JOIN tot ORDER BY lang""".stripMargin,
 
     "join_null_safe" ->

@@ -561,11 +561,13 @@ object ExtQueries extends QueryPack {
       """WITH daily AS (
         |  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
         |  FROM events GROUP BY 1),
-        |tot AS (SELECT SUM(n) AS nn, CAST(COUNT(*) AS BIGINT) AS dd FROM daily),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |               CAST(COUNT(*) AS BIGINT) AS dd FROM daily),
         |c AS (
         |  SELECT day, n,
-        |         SUM(n * dd - nn) OVER (ORDER BY day
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |         CAST(SUM(n * dd - nn) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cusum
         |  FROM daily, tot),
         |m AS (SELECT MAX(abs(cusum)) AS mx FROM c)
         |SELECT day, n, cusum,

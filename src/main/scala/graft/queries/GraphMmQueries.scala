@@ -84,7 +84,10 @@ object GraphMmQueries extends QueryPack {
         .groupBy("node").agg(count(lit(1)).as("deg"))
         .agg(sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
       val tri3 = graft.ops.Triangles.perNode(edges)
-        .agg(sum("n_tri").as("tri3")) // Σ participation = 3 · T
+        // Σ participation = 3 · T; coalesce: a triangle-free graph
+        // aggregates an EMPTY per-node table to NULL here, while the
+        // oracle's COUNT(*) CTE yields 0 (r12 ADVICE latent mismatch)
+        .agg(coalesce(sum("n_tri"), lit(0L)).as("tri3"))
       wedges.crossJoin(broadcast(tri3))
         .select(col("n_wedges"), expr("tri3 DIV 3").as("n_tri"),
           expr("ROUND(tri3 / CAST(n_wedges AS DOUBLE), 6)").as("global_cc"))
@@ -154,36 +157,59 @@ object GraphMmQueries extends QueryPack {
         .orderBy("node")
     }),
 
-    "graph_jaccard_neighbors" -> ((s, d) => {
-      // neighbor-set Jaccard node similarity — the link-prediction /
-      // "customers also touched" score — on the same 1000-node order-FK
-      // quotient graph as graph_pagerank/triangles/kcore. Candidate
-      // pairs come from the inverted neighbor index (adj self-joined on
-      // the shared neighbor, a < b canonical), |∩| is the wedge count,
-      // |∪| = deg(a) + deg(b) − |∩| from the partial-aggregated degree
-      // table — never a node×node cartesian; the per-neighbor pair fan
-      // is Σ C(deg,2), the same measured wedge volume graph_triangles
-      // bounds (BASELINE.md §graph-scale). One double division per
-      // output pair (single IEEE op — exact parity), 6-dp round, total
-      // order (j desc, a, b), top 25.
+    "graph_community" -> ((s, d) => {
+      // synchronous label-propagation communities (3 rounds) on the
+      // shared 1000-node quotient graph — the crawl-corpus clustering
+      // step that groups domains/hosts by link structure before
+      // per-community sampling caps (sample_cluster_cap's upstream).
+      // Deterministic by construction: mode-of-neighbor-labels with
+      // ties to the smallest label, all-integer state — so the CTE
+      // unroll replays it exactly. Per-round cost is one hash join +
+      // two hash aggregates (the tie-safe argmax is max(struct), never
+      // a window) — the bounded-round iteration shape PageRank/KCore
+      // already ship.
       val und = T.orders(s, d).select(
           pmod(col("o_custkey"), lit(1000L)).as("src"),
           pmod(col("o_orderkey"), lit(1000L)).as("dst"))
         .filter(col("src") =!= col("dst"))
-      // adj feeds three consumers (degree table + both self-join
-      // sides); materialize the deduped edge list once instead of
-      // re-running the orders scan + distinct per consumer. The
-      // quotient adjacency is ≤ 2·|distinct edges| rows — executor
-      // blocks, not driver memory.
+      val adj = und.select(col("src").as("node"), col("dst").as("nbr"))
+        .unionAll(und.select(col("dst").as("node"), col("src").as("nbr")))
+        .distinct()
+      graft.ops.LabelPropagation.run(adj, LpaRounds)
+        .orderBy("node")
+    }),
+
+    "graph_jaccard_neighbors" -> ((s, d) => {
+      // neighbor-set Jaccard node similarity — the link-prediction /
+      // "customers also touched" score — on the same 1000-node order-FK
+      // quotient graph as graph_pagerank/triangles/kcore. |∩| is the
+      // exact shared-neighbor count mined by PairMining.cooccur —
+      // hash-chunked posting lists, so a hub neighbor of degree d fans
+      // its C(d,2) wedge pairs across ⌈d/64⌉² bounded buckets instead
+      // of one task (the r12 power-law scale-killer; the total Σ C(d,2)
+      // wedge volume is the irreducible cost of EXACTNESS and
+      // parallelizes perfectly — see ops/PairMining.scala). |∪| =
+      // deg(a) + deg(b) − |∩| from the partial-aggregated degree table
+      // — never a node×node cartesian. One double division per output
+      // pair (single IEEE op — exact parity), 6-dp round, total order
+      // (j desc, a, b), top 25. The brute-force self-join oracle is
+      // unchanged: this is a plan device, not a semantics change.
+      val und = T.orders(s, d).select(
+          pmod(col("o_custkey"), lit(1000L)).as("src"),
+          pmod(col("o_orderkey"), lit(1000L)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      // adj feeds two consumers (degree table + pair mining);
+      // materialize the deduped edge list once instead of re-running
+      // the orders scan + distinct per consumer. The quotient adjacency
+      // is ≤ 2·|distinct edges| rows — executor blocks, not driver
+      // memory.
       val adj = und.select(col("src").as("node"), col("dst").as("nbr"))
         .unionAll(und.select(col("dst").as("node"), col("src").as("nbr")))
         .distinct()
         .localCheckpoint(true)
       val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
-      val inter = adj.as("x").join(adj.as("y"),
-          col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
-        .groupBy(col("x.node").as("a"), col("y.node").as("b"))
-        .agg(count(lit(1)).as("ni"))
+      val inter = graft.ops.PairMining.cooccur(adj, "nbr", "node", 64)
+        .withColumnRenamed("n", "ni")
       inter
         .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
         .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
@@ -470,6 +496,34 @@ object GraphMmQueries extends QueryPack {
   private val PrDamping = 0.85
   private val PrIters = 3
   private val KCoreRounds = 3
+  private val LpaRounds = 3
+
+  /** the label-propagation oracle: the identical synchronous mode-label
+    * rounds unrolled as a CTE chain (tie-break = smallest label, the
+    * rank-1 window replay of the operator's max(struct(cnt, -lbl))). */
+  private def lpaSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS (
+         |  SELECT a.node, l.lbl, COUNT(*) AS cnt
+         |  FROM adj a JOIN l${i - 1} l ON a.nbr = l.node GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |           ROW_NUMBER() OVER (PARTITION BY node
+         |             ORDER BY cnt DESC, lbl) AS rk
+         |    FROM c$i) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst
+       |  FROM orders WHERE o_custkey % 1000 <> o_orderkey % 1000),
+       |adj AS (
+       |  SELECT src AS node, dst AS nbr FROM e
+       |  UNION
+       |  SELECT dst AS node, src AS nbr FROM e),
+       |l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+       |$steps
+       |SELECT node, lbl AS community FROM l$rounds ORDER BY node""".stripMargin
+  }
 
   /** the k-core oracle: the identical fixed-round peel unrolled as a
     * CTE chain over the shared 1000-node quotient graph. */
@@ -619,6 +673,8 @@ object GraphMmQueries extends QueryPack {
          |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
     },
 
+    "graph_community" -> lpaSql(LpaRounds),
+
     "graph_pagerank" -> pagerankSql(PrDamping, PrIters, QuotientEdgeCte),
 
     // raw-FK PageRank, oracled since round 12: the bipartite
@@ -649,8 +705,6 @@ object GraphMmQueries extends QueryPack {
 
     "graph_kcore" -> kcoreSql(KCoreRounds),
 
-    // brute-force id-ordered 3-way join — orientation-independent, so
-    // it oracles the compact-forward operator's output exactly
     "graph_clustering_coeff" ->
       """WITH und AS (
         |  SELECT DISTINCT LEAST(o_custkey % 1000, o_orderkey % 1000) AS a,
@@ -669,6 +723,8 @@ object GraphMmQueries extends QueryPack {
         |       ROUND(3 * t / CAST(n_wedges AS DOUBLE), 6) AS global_cc
         |FROM w CROSS JOIN tri""".stripMargin,
 
+    // brute-force id-ordered 3-way join — orientation-independent, so
+    // it oracles the compact-forward operator's output exactly
     "graph_triangles" ->
       """WITH und AS (
         |  SELECT DISTINCT LEAST(o_custkey % 1000, o_orderkey % 1000) AS a,

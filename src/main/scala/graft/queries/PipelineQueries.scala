@@ -402,13 +402,20 @@ object PipelineQueries extends QueryPack {
       // dedup_span_apply is the report: for every touched doc, the
       // surviving tokens re-joined in position order (possibly the
       // empty string when nothing survives). Output is bounded to
-      // TOUCHED docs; reconstruction is per-doc collect_list of
-      // (pos, token) structs sorted in-array — the KMeans centroid
-      // reassembly pattern, an ObjectHashAggregate with partial+final
-      // phases, never a window. Rides the same memoized coverage set
-      // as the report key.
-      spanTokens(T.documents(s, d))
-        .join(spanCovered(s, d).withColumn("cov", lit(1)),
+      // TOUCHED docs — and so is the COMPUTE: the removal set's
+      // doc_ids ARE the touched docs, so a semi-join below the
+      // posexplode confines tokenization + reassembly to the touched
+      // slice (the pipeline_corpus device; r12 adjudication: the 4.0 s
+      // calm wall was the struct collect_list running over the FULL
+      // corpus token stream and filtering only after aggregation).
+      // Reconstruction is per-doc collect_list of (pos, token) structs
+      // sorted in-array — the KMeans centroid reassembly pattern, an
+      // ObjectHashAggregate with partial+final phases, never a window.
+      // Rides the same memoized coverage set as the report key.
+      val rm = spanCovered(s, d)
+      spanTokens(T.documents(s, d)
+          .join(rm.select("doc_id").distinct(), Seq("doc_id"), "left_semi"))
+        .join(rm.withColumn("cov", lit(1)),
           Seq("doc_id", "pos"), "left")
         .groupBy("doc_id", "lang")
         .agg(sum(when(col("cov").isNotNull, 1L).otherwise(0L)).as("n_removed"),

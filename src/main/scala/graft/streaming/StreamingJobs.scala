@@ -497,7 +497,10 @@ object StreamingJobs {
         .sortBy(-_._1).take(3)
       buf.clear()
       buf.put(merged.toArray)
-      val n = Option(seen.get()).getOrElse(0L) + incoming.size
+      // explicit absent-state guard (the TtlCountProcessor pattern):
+      // Option(seen.get()) is a dead branch here — unboxing to scala
+      // Long already null→0L-coerces before Option wraps it
+      val n = (if (seen.exists()) seen.get() else 0L) + incoming.size
       seen.update(n)
       def id(i: Int): java.lang.Long =
         if (merged.isDefinedAt(i)) Long.box(merged(i)._1) else null

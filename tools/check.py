@@ -68,8 +68,18 @@ def main():
             print(f"FAIL {name}: rows oracle={len(exp)} spark={len(act)}")
             n_fail += 1; continue
         bad = None
+        dtype_drift = None
         for c in exp.columns:
             e, a = exp[c], act[c]
+            # Driver parity: the driver hashes raw values, so an integer
+            # Spark column against a float oracle column (e.g. DuckDB
+            # SUM(BIGINT) -> HUGEINT -> float64 fetch) hash-mismatches
+            # even when numerically equal.  Fail loudly on kind drift
+            # instead of coercing it away (the r12 ts_changepoint escape).
+            ef_, af_ = (pd.api.types.is_float_dtype(e),
+                        pd.api.types.is_float_dtype(a))
+            if ef_ != af_:
+                dtype_drift = (c, e.dtype, a.dtype); break
             if pd.api.types.is_float_dtype(e) or pd.api.types.is_float_dtype(a):
                 ef = pd.to_numeric(e, errors="coerce").astype(float)
                 af = pd.to_numeric(a, errors="coerce").astype(float)
@@ -79,7 +89,12 @@ def main():
             if neq.any():
                 i = int(neq.idxmax())
                 bad = (c, i, e.iloc[i], a.iloc[i]); break
-        if bad:
+        if dtype_drift:
+            c, ed, ad = dtype_drift
+            print(f"FAIL {name}: col {c} dtype drift: oracle={ed} spark={ad} "
+                  "(driver hashes raw — int vs float mismatches even when equal)")
+            n_fail += 1
+        elif bad:
             c, i, ev, av = bad
             print(f"FAIL {name}: col {c} row {i}: oracle={ev!r} spark={av!r}")
             n_fail += 1

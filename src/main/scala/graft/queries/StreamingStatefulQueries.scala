@@ -23,6 +23,7 @@ object StreamingStatefulQueries extends QueryPack {
     // the key runs an unexpirable 1-h TTL for determinism and
     // SemanticsSpec pins the expiry semantics with a ms TTL + real gap
     "stream_tws_ttl" -> ((s, d) => StreamingJobs.twsTtl(s, d)),
+    "stream_session_tws" -> ((s, d) => StreamingJobs.twsSessionize(s, d)),
     "stream_foreachbatch_sink" -> ((s, d) => StreamingJobs.foreachBatchSink(s, d)),
     "stream_available_now" -> ((s, d) => StreamingJobs.availableNowDrain(s, d)),
     "stream_restart_recovery" -> ((s, d) => StreamingJobs.restartRecovery(s, d)),
@@ -133,6 +134,30 @@ object StreamingStatefulQueries extends QueryPack {
         |       MAX(CASE WHEN rk = 3 THEN value END) AS v3
         |FROM r WHERE rk <= 3
         |GROUP BY user_id, n_seen ORDER BY user_id""".stripMargin,
+
+    // Custom event-time sessionization (transformWithState + timers):
+    // the in-order replay plus the terminal flush chunk closes EVERY
+    // session exactly once (in-fold when the next event exceeds the
+    // gap, by watermark timer when the user goes idle), so the session
+    // table equals batch gaps-islands sessionization with the same
+    // strict > 1-day gap. Ties in ts are ordered by event_id in both
+    // the processor's intra-batch sort and the oracle's windows.
+    "stream_session_tws" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+        |                ORDER BY ts, event_id) > INTERVAL 1 DAY
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM d)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // Append-mode watermark emission over an in-order replay emits every
     // finalized window exactly once, so the external parquet sink's

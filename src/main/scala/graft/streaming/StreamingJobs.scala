@@ -647,6 +647,152 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("n_events")
 
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Timestamp ↔ epoch-µs, exact (getTime alone is ms and would drop
+    * the µs the regenerated testdata carries). */
+  private def tsToUs(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def usToTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Event-time session windows as CUSTOM state + timers — the shape
+    * the built-in `session_window` aggregate (stream_session) cannot
+    * express once the per-session payload stops being an aggregate
+    * (here it could carry arbitrary state). One ValueState per user
+    * holds the open session (startUs, lastUs, n); rows extend it or —
+    * when the event-time gap is exceeded — close it and emit; ONE live
+    * event-time timer per key, re-armed at every extension, closes the
+    * session when the WATERMARK passes its gap end (the idle-user
+    * path; at 100 TB this is what bounds state: closed sessions leave
+    * the store immediately instead of accumulating until job end).
+    *
+    * Emission is exactly-once and content-deterministic under the
+    * in-order chunk replay: a future chunk's rows all carry
+    * ts ≥ maxTs(previous chunks) and the timer only fires once
+    * last + gap ≤ watermark = maxTs − delay < any future ts — so a
+    * timer-closed session can never be extended by in-order data, and
+    * a session extended in the same batch its old timer expires is
+    * protected by the expiry-vs-state validity check (stale timer ⇒
+    * no-op). Within a batch, a user's rows are sorted by (ts,
+    * event_id) before folding — handleInputRows has no intra-batch
+    * order contract.
+    */
+  private class SessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var sess: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    // timer registration is ms-granular; +1 ms so the timer sits
+    // strictly AFTER the gap end (a µs-truncated timer could fire one
+    // watermark-ms early — harmless under in-order replay, but the
+    // strict form matches the > gap session predicate)
+    private def timerMs(lastUs: Long): Long =
+      Math.floorDiv(lastUs + gapUs, 1000L) + 1L
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toArray.sortBy(e => (tsToUs(e.ts), e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur: Option[(Long, Long, Long)] =
+        if (sess.exists()) Some(sess.get()) else None
+      val oldTimer = cur.map(c => timerMs(c._2))
+      for (e <- sorted) {
+        val us = tsToUs(e.ts)
+        cur = cur match {
+          case Some((s0, l0, n0)) if us - l0 > gapUs =>
+            out += SessionOut(key, usToTs(s0), usToTs(l0), n0)
+            Some((us, us, 1L))
+          case Some((s0, l0, n0)) =>
+            Some((s0, math.max(l0, us), n0 + 1L))
+          case None =>
+            Some((us, us, 1L))
+        }
+      }
+      cur.foreach { c =>
+        sess.update(c)
+        val t = timerMs(c._2)
+        if (!oldTimer.contains(t)) {
+          oldTimer.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(t)
+        }
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (sess.exists()) {
+        val (s0, l0, n0) = sess.get()
+        if (expiredTimerInfo.getExpiryTimeInMs == timerMs(l0)) {
+          sess.clear()
+          Iterator.single(SessionOut(key, usToTs(s0), usToTs(l0), n0))
+        } else Iterator.empty // stale: session extended after this timer armed
+      } else Iterator.empty
+    }
+  }
+
+  /** the `stream_session_tws` key: per-user event-time sessionization
+    * (gap 1 day — the corpus has ~7 events/user/day over 30 days, so
+    * the day gap yields real multi-event sessions; a web-scale 30-min
+    * gap would make every event its own session here) via
+    * transformWithState + event-time timers under RocksDB. The
+    * terminal flush chunk pushes the watermark a week past the data so
+    * every open session's timer fires and the output is the COMPLETE
+    * session table — which equals batch gaps-islands sessionization,
+    * the DuckDB oracle. Sink = batchId-keyed scratch parquet
+    * (idempotent overwrite), driver never holds rows.
+    */
+  def twsSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val outDir = Tmp.dir("tws_sess_out").toString
+    try withRocksDbState(spark) {
+      val nChunks = 3L
+      val ev = events(spark, sfDir)
+      val (n, maxTs) = bounds(ev)
+      val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
+      val staged = ev.withColumn("chunk",
+          floor(col("event_id") / lit(per.toDouble)).cast("long"))
+        .unionByName(flushRows(spark, maxTs, nChunks, 1))
+      replayFileSource(spark, "tws_sess", staged, nChunks,
+        (stream, ckpt) => stream
+          .withWatermark("ts", "10 minutes")
+          .as[Event]
+          .groupByKey(_.user_id)
+          .transformWithState(new SessionProcessor(24L * 3600 * 1000000L),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            OutputMode.Append())
+          .toDF()
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            df.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          }
+          .start())
+      spark.read.parquet(outDir)
+        .drop("batch") // sink-layout partition col — never a payload
+        .filter(col("user_id") >= 0) // the ___flush row's session never closes
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+        .localCheckpoint(true)
+    } finally quietDelete(java.nio.file.Paths.get(outDir))
+  }
+
   /** streaming → EXTERNAL sink through foreachBatch: the watermarked
     * 1-h tumbling aggregate emitted per micro-batch into an append-only
     * parquet directory, then read back. Append mode emits each window

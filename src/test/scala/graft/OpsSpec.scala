@@ -388,6 +388,31 @@ class OpsSpec extends SparkSpec {
     assert(ng == 5)
   }
 
+  test("LabelPropagation == driver-side synchronous reference") {
+    import spark.implicits._
+    // seeded random undirected graph: 40 nodes, ~250 distinct edges
+    val rnd = new scala.util.Random(11)
+    val es = (1 to 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val und = (es ++ es.map(_.swap)).distinct
+    val adj = und.toDF("node", "nbr")
+    val got = graft.ops.LabelPropagation.run(adj, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: synchronous mode-of-neighbor-labels, ties to smallest
+    val nbrs = und.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+    var lbl = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = nbrs.map { case (n, ns) =>
+        val cnt = ns.groupBy(lbl).view.mapValues(_.size)
+        n -> cnt.maxBy { case (l, c) => (c, -l) }._1
+      }
+    }
+    assert(got == lbl, "LPA labels diverge from the synchronous reference")
+    // labels coarsen: after 3 rounds there are fewer distinct labels
+    // than nodes on a connected-ish random graph
+    assert(got.values.toSet.size < got.size)
+  }
+
   test("PairMining.cooccur handles singleton and two-item groups") {
     import spark.implicits._
     val rows = Seq((1L, 10L), (2L, 20L), (2L, 30L)).toDF("k", "v")

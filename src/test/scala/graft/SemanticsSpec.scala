@@ -236,6 +236,46 @@ class SemanticsSpec extends SparkSpec {
       s"streaming dedup counts $streamed != batch counts $batch")
   }
 
+  test("stream_session_tws: exactly-once emission, gap structure, and batch equality") {
+    val out = SparkEntry.queries("stream_session_tws")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    // exactly-once: no session emitted twice (in-fold AND by its timer)
+    assert(out.map(s => (s._1, s._2)).distinct.length == out.length,
+      "duplicate (user, session_start) — a session was emitted twice")
+    // session accounting: every event lands in exactly one session
+    assert(out.map(_._4).sum == T.events(spark, sf).count(),
+      "session n_events do not sum to the event count")
+    // gap structure: within a user, consecutive sessions are separated
+    // by MORE than the 1-day gap, and each session spans start <= end
+    out.groupBy(_._1).foreach { case (u, ss) =>
+      val sorted = ss.sortBy(_._2.getTime)
+      sorted.foreach(s => assert(!s._2.after(s._3), s"user $u: start > end"))
+      sorted.sliding(2).map(_.toSeq).foreach {
+        case Seq(a, b) =>
+          // getTime is ms (floor of the µs gap), so the strict µs
+          // inequality weakens to >= at ms granularity
+          assert(b._2.getTime - a._3.getTime >= 24L * 3600 * 1000,
+            s"user $u: sessions closer than the gap — should have merged")
+        case _ => ()
+      }
+    }
+    // equality with batch gaps-islands sessionization (the oracle's
+    // Spark-side replay — pins the operator against the declarative
+    // form inside one engine too)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = T.events(spark, sf)
+      .withColumn("us", expr("unix_micros(ts)")) // µs-exact, not cast-to-seconds
+      .withColumn("brk", when(col("us") - lag(col("us"), 1).over(w)
+        > 24L * 3600 * 1000000L, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
+    assert(out.toSet == batch, "streamed sessions != batch gaps-islands sessions")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = SparkEntry.queries("stream_stream_join")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -45,8 +45,38 @@ object SkewProbe {
         f"distinct pairs ${n.getLong(0)}%d  sum n ${n.getLong(1)}%d")
     }
 
+    def runCount(label: String)(df: => DataFrame): Unit = {
+      maxTask.set(0)
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(400)
+      println(f"$label%-22s wall ${wall}%7.2f s  longest task ${maxTask.get / 1000.0}%7.2f s  rows $n%d")
+    }
+
+    // component isolation for the chunked path
+    import org.apache.spark.sql.expressions.Window
+    def base(cap: Int) = rows
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("k")))
+      .withColumn("ng", expr(s"(df + ${cap - 1}) div $cap"))
+      .withColumn("c", pmod(xxhash64(col("v")), col("ng")))
+    def xsOf(b: DataFrame) = b.select(col("k"), col("v").as("xv"), col("c").as("b1"),
+      explode(sequence(col("c"), col("ng") - 1)).as("b2"))
+    def ysOf(b: DataFrame) = b.select(col("k"), col("v").as("yv"),
+      explode(sequence(lit(0L), col("c"))).as("b1"), col("c").as("b2"))
+
     for (round <- 1 to 2) {
       println(s"--- round $round (hub degree $d, C(d,2) = ${d.toLong * (d - 1) / 2} pairs)")
+      runCount("explode sides only") { val b = base(64); xsOf(b).unionAll(ysOf(b)) }
+      runCount("join, no final agg") {
+        val b = base(64)
+        xsOf(b).join(ysOf(b).hint("SHUFFLE_HASH"), Seq("k", "b1", "b2"))
+          .filter(col("b1") =!= col("b2") || col("xv") < col("yv"))
+      }
+      runCount("naive join, no agg") {
+        rows.as("x").join(rows.as("y"),
+          col("x.k") === col("y.k") && col("x.v") < col("y.v"))
+      }
       run("PairMining cap=64") {
         graft.ops.PairMining.cooccur(rows, "k", "v", 64)
       }

@@ -218,12 +218,16 @@ object Bench {
     // vs_prev floor) only when this run is at least as calm as the
     // baseline it replaces: zero load-polluted samples and a post-gate
     // load no higher than both the calm bar and the old baseline's own
-    // post-gate load (+0.5 jitter allowance). A missing/unparsable
-    // baseline always promotes.
+    // post-gate load (+0.5 jitter allowance) — BOTH bounds, i.e. the
+    // bar is the MIN of the two, else a load-2.6 ambient run would
+    // still displace a load-0.5 calm baseline through the admission
+    // gate's 3.0 (the exact r12 incident this exists to prevent). A
+    // missing/unparsable baseline always promotes — even a polluted,
+    // self-annotated record beats a permanently absent floor.
     val prevGateLoad = readPrevGateLoad()
-    val promoteBar = math.max(maxLoad, prevGateLoad.getOrElse(maxLoad)) + 0.5
-    val promoted = nPolluted == 0 &&
-      (prevGateLoad.isEmpty || gatedLoad <= promoteBar)
+    val promoteBar = math.min(maxLoad, prevGateLoad.getOrElse(maxLoad) + 0.5)
+    val promoted = prevGateLoad.isEmpty ||
+      (nPolluted == 0 && gatedLoad <= promoteBar)
     try {
       Files.write(Paths.get(LastPath), full.getBytes("UTF-8"))
       if (promoted) Files.write(Paths.get(PrevPath), full.getBytes("UTF-8"))

@@ -198,13 +198,18 @@ object Ext5Queries extends QueryPack {
       st.crossJoin(broadcast(tot))
         .select(col("lang"), col("nh").as("n_docs"),
           expr("ROUND(sigma, 4)").as("sigma"),
-          expr("CAST(FLOOR(1000.0 * wq / wtot) AS BIGINT)").as("alloc_n"),
-          // bps without the 1e4 blowup: 10000*wq overflows BIGINT once
-          // nh·sigma exceeds ~9.2e8 (Spark wraps silently, DuckDB
-          // raises — engine divergence exactly at 100 TB-class strata).
-          // Dividing the TOTAL down first is multiplication-free; wtot
-          // is micro-scaled (≥ 1e6 per stratum) so wtot DIV 10000 > 0.
-          expr("wq DIV (wtot DIV 10000)").as("alloc_bps"))
+          // exponent literals (1e3/1e4 = DOUBLE in both engines), never
+          // decimal literals: a decimal-typed product/division is exact
+          // in Spark but cast-to-DOUBLE in DuckDB — the bm25Micro drift
+          // class. The DOUBLE path also cannot overflow where the old
+          // integer spelling (10000 * wq) wrapped BIGINT once nh·sigma
+          // passed ~9.2e8 (Spark wraps silently, DuckDB raises — engine
+          // divergence exactly at 100 TB-class strata), and unlike
+          // wq DIV (wtot DIV 1e4) it has no denominator-truncation
+          // error and no division-by-zero window for tiny corpora.
+          // FLOOR of one shared IEEE expression tree = engine-identical.
+          expr("CAST(FLOOR(1e3 * wq / wtot) AS BIGINT)").as("alloc_n"),
+          expr("CAST(FLOOR(1e4 * wq / wtot) AS BIGINT)").as("alloc_bps"))
         .orderBy("lang")
     }),
 
@@ -538,8 +543,8 @@ object Ext5Queries extends QueryPack {
         |  FROM w),
         |tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS wtot FROM q)
         |SELECT lang, nh AS n_docs, ROUND(sigma, 4) AS sigma,
-        |       CAST(FLOOR(1000.0 * wq / wtot) AS BIGINT) AS alloc_n,
-        |       wq // (wtot // 10000) AS alloc_bps
+        |       CAST(FLOOR(1e3 * wq / wtot) AS BIGINT) AS alloc_n,
+        |       CAST(FLOOR(1e4 * wq / wtot) AS BIGINT) AS alloc_bps
         |FROM q CROSS JOIN tot ORDER BY lang""".stripMargin,
 
     "join_null_safe" ->

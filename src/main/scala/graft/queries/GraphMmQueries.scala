@@ -172,9 +172,14 @@ object GraphMmQueries extends QueryPack {
           pmod(col("o_custkey"), lit(1000L)).as("src"),
           pmod(col("o_orderkey"), lit(1000L)).as("dst"))
         .filter(col("src") =!= col("dst"))
+      // adj feeds 1 + LpaRounds consumers (seed-label distinct + one
+      // join per round) — materialize the deduped edge list once
+      // instead of re-running the orders scan + distinct per consumer
+      // (the graph_jaccard_neighbors device)
       val adj = und.select(col("src").as("node"), col("dst").as("nbr"))
         .unionAll(und.select(col("dst").as("node"), col("src").as("nbr")))
         .distinct()
+        .localCheckpoint(true)
       graft.ops.LabelPropagation.run(adj, LpaRounds)
         .orderBy("node")
     }),

@@ -54,7 +54,12 @@ object SkewProbe {
       println(f"$label%-22s wall ${wall}%7.2f s  longest task ${maxTask.get / 1000.0}%7.2f s  rows $n%d")
     }
 
-    // component isolation for the chunked path
+    // component isolation for the chunked path — a DELIBERATE inline
+    // copy of PairMining.cooccur's interior (window df, chunk hash,
+    // two-sided explode): if cooccur's chunking changes, re-sync these
+    // stages or the component timings stop describing the shipped
+    // operator (the full-pipeline A/B below always measures the real
+    // cooccur, so the headline numbers cannot desynchronize)
     import org.apache.spark.sql.expressions.Window
     def base(cap: Int) = rows
       .withColumn("df", count(lit(1)).over(Window.partitionBy("k")))

@@ -531,6 +531,20 @@ class PlanSpec extends SparkSpec {
     }.nonEmpty, "rank-1 most-specific filter should compile to WindowGroupLimit")
   }
 
+  test("graph_community: hash-aggregate rounds, no window, no cartesian") {
+    // the LPA tie-safe argmax must stay max(struct) — a window would
+    // sort every hub neighborhood in one task; per round the plan is
+    // join + two HashAggregates (partial counts fold map-side)
+    val p = planOf("graph_community")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "graph_community has a CartesianProduct node")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "graph_community plans a Window — the argmax regressed")
+    assert(p.collect { case h: HashAggregateExec => h }.length >= 6,
+      "expected >= 2 hash aggregates per LPA round")
+  }
+
   test("graph_jaccard_neighbors / multimodal_phash: bucket joins, never cartesian") {
     // both keys mine pairs from keyed buckets (shared neighbor /
     // (w,h,phash) group) — a degrade to a cartesian or broadcast

@@ -76,9 +76,26 @@ def main():
             # SUM(BIGINT) -> HUGEINT -> float64 fetch) hash-mismatches
             # even when numerically equal.  Fail loudly on kind drift
             # instead of coercing it away (the r12 ts_changepoint escape).
-            ef_, af_ = (pd.api.types.is_float_dtype(e),
-                        pd.api.types.is_float_dtype(a))
-            if ef_ != af_:
+            # Same for bool-vs-int and datetime-vs-anything-else: the
+            # astype(str) compare below can render those equal while the
+            # driver's raw hash would not.
+            def kind(s):
+                t = pd.api.types
+                if t.is_float_dtype(s): return "float"
+                if t.is_bool_dtype(s): return "bool"
+                if t.is_datetime64_any_dtype(s): return "datetime"
+                if t.is_integer_dtype(s): return "int"
+                # Spark DATE parquet reads back as object(datetime.date)
+                # while DuckDB DATE fetches as datetime64 — the driver's
+                # comparator treats those as equal (7 date-output keys
+                # are green in its gate), so kind them together.
+                import datetime as _dt
+                if s.map(lambda v: v is None or pd.isna(v)
+                         or isinstance(v, (_dt.date, _dt.datetime))).all() \
+                        and s.notna().any():
+                    return "datetime"
+                return "object"
+            if kind(e) != kind(a):
                 dtype_drift = (c, e.dtype, a.dtype); break
             if pd.api.types.is_float_dtype(e) or pd.api.types.is_float_dtype(a):
                 ef = pd.to_numeric(e, errors="coerce").astype(float)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables => T}
 import graft.mr.MapReduce
-import graft.multimodal.{BinaryFeatures, PpmCodec, WavCodec}
+import graft.multimodal.{BinaryFeatures, PngCodec, PpmCodec, WavCodec}
 import graft.ops.TextOps
 
 /** SURVEY.md §2B category I (rest) — BFS levels (Mimir's BFS app as
@@ -371,6 +371,52 @@ object GraphMmQueries extends QueryPack {
         .groupBy(col("w").as("width"))
         .agg(count(lit(1)).as("n_images"), sum("px").as("n_pixels"),
           sum("sr").as("sum_r"), sum("sg").as("sum_g"), sum("sb").as("sum_b"))
+        .orderBy("width")
+    }),
+
+    "multimodal_png_roundtrip" -> ((s, d) => {
+      // the COMPRESSED codec member (PNG: zlib DEFLATE + predictive
+      // filters + CRC-checked chunking, dependency-free via the JDK's
+      // Inflater — see multimodal/PngCodec). Each doc synthesizes an
+      // RGB plane from shared arithmetic, encodes it with filter
+      // doc_id % 5 — all FIVE spec filters (None/Sub/Up/Average/Paeth)
+      // run in the production pass — the %4 slice carries an ancillary
+      // tEXt chunk the chunk walker must CRC-check and skip, and the
+      // decoder recovers the exact plane from the entropy-coded bytes.
+      // Lossless means the arithmetic oracle replays the DECODED
+      // profile; n_crc_ok == n_images certifies every stream verified.
+      // One mapPartitions pass; the only shuffle is the profile.
+      import s.implicits._
+      T.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val w = (5 + id % 11).toInt
+            val h = (4 + id % 5).toInt
+            val px = Array.tabulate[Byte](w * h * 3)(j =>
+              ((id * 11 + j.toLong * 17) % 256).toByte)
+            val enc = PngCodec.encode(w, h, px, (id % 5).toInt,
+              if (id % 4 == 0) Some(s"doc $id") else None)
+            val (dw, dh, plane, crcOk) = PngCodec.decode(enc)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var j = 0
+            while (j < plane.length) {
+              val v = (plane(j) & 0xff).toLong
+              (j % 3: @unchecked) match {
+                case 0 => sr += v
+                case 1 => sg += v
+                case 2 => sb += v
+              }
+              j += 1
+            }
+            (dw.toLong, dh.toLong, dw.toLong * dh, sr, sg, sb,
+              if (crcOk) 1L else 0L)
+          }
+        }
+        .toDF("w", "h", "px", "sr", "sg", "sb", "ok")
+        .groupBy(col("w").as("width"))
+        .agg(count(lit(1)).as("n_images"), sum("px").as("n_pixels"),
+          sum("sr").as("sum_r"), sum("sg").as("sum_g"), sum("sb").as("sum_b"),
+          sum("ok").as("n_crc_ok"))
         .orderBy("width")
     }),
 
@@ -877,6 +923,32 @@ object GraphMmQueries extends QueryPack {
         |       CAST(SUM(sr) AS BIGINT) AS sum_r,
         |       CAST(SUM(sg) AS BIGINT) AS sum_g,
         |       CAST(SUM(sb) AS BIGINT) AS sum_b
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the PNG roundtrip is LOSSLESS, so the arithmetic that synthesized
+    // each plane replays the DECODED profile exactly — any filter,
+    // inflate, defilter, or chunk-walk bug hash-mismatches; n_crc_ok
+    // must equal n_images (every stream CRC-verified)
+    "multimodal_png_roundtrip" ->
+      """WITH p AS (
+        |  SELECT doc_id, 5 + (doc_id % 11) AS w, 4 + (doc_id % 5) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS j
+        |  FROM p),
+        |a AS (
+        |  SELECT doc_id, w, h,
+        |         SUM(CASE WHEN j % 3 = 0 THEN (doc_id * 11 + j * 17) % 256 ELSE 0 END) AS sr,
+        |         SUM(CASE WHEN j % 3 = 1 THEN (doc_id * 11 + j * 17) % 256 ELSE 0 END) AS sg,
+        |         SUM(CASE WHEN j % 3 = 2 THEN (doc_id * 11 + j * 17) % 256 ELSE 0 END) AS sb
+        |  FROM s GROUP BY 1, 2, 3)
+        |SELECT CAST(w AS BIGINT) AS width,
+        |       CAST(COUNT(*) AS BIGINT) AS n_images,
+        |       CAST(SUM(w * h) AS BIGINT) AS n_pixels,
+        |       CAST(SUM(sr) AS BIGINT) AS sum_r,
+        |       CAST(SUM(sg) AS BIGINT) AS sum_g,
+        |       CAST(SUM(sb) AS BIGINT) AS sum_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_crc_ok
         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "mr_wordcount" ->

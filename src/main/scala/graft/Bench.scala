@@ -32,6 +32,21 @@ object Bench {
         .map(_.group(1).toDouble)
     } catch { case _: Throwable => None }
 
+  /** The baseline-promotion predicate (r12 verdict #5), extracted so
+    * BenchPromotionSpec can pin it: a run replaces the committed calm
+    * baseline only when (a) no baseline exists to protect (even a
+    * polluted self-annotated record beats a permanently absent floor),
+    * or (b) the run had zero load-polluted samples AND its post-gate
+    * load meets BOTH calmness bounds — the admission gate and the old
+    * baseline's own post-gate load +0.5 jitter (min of the two; a
+    * max() here is the bug that would let a load-2.6 ambient run
+    * displace a load-0.5 calm baseline through the 3.0 admission gate).
+    */
+  private[graft] def shouldPromote(nPolluted: Int, gatedLoad: Double,
+      maxLoad: Double, prevGateLoad: Option[Double]): Boolean =
+    prevGateLoad.isEmpty ||
+      (nPolluted == 0 && gatedLoad <= math.min(maxLoad, prevGateLoad.get + 0.5))
+
   /** minimal parser for the "queries":{"k":v,...} section we wrote;
     * second element = whether a non-empty baseline actually loaded.
     */
@@ -226,8 +241,7 @@ object Bench {
     // self-annotated record beats a permanently absent floor.
     val prevGateLoad = readPrevGateLoad()
     val promoteBar = math.min(maxLoad, prevGateLoad.getOrElse(maxLoad) + 0.5)
-    val promoted = prevGateLoad.isEmpty ||
-      (nPolluted == 0 && gatedLoad <= promoteBar)
+    val promoted = shouldPromote(nPolluted, gatedLoad, maxLoad, prevGateLoad)
     try {
       Files.write(Paths.get(LastPath), full.getBytes("UTF-8"))
       if (promoted) Files.write(Paths.get(PrevPath), full.getBytes("UTF-8"))

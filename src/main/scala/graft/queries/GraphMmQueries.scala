@@ -184,6 +184,48 @@ object GraphMmQueries extends QueryPack {
         .orderBy("node")
     }),
 
+    "graph_modularity" -> ((s, d) => {
+      // modularity of the LPA communities — the quality score that says
+      // whether graph_community's detected partition actually
+      // concentrates edges (Q_c = e_c/m − (d_c/2m)², positive when a
+      // community holds more than its degree-expected edge share).
+      // Composes the family's primitives (the sim_ann_ivf_pq
+      // composition precedent): the SAME label-propagation run, the
+      // SAME partial-aggregated degree table, e_c from one
+      // edge⋈labels⋈labels equi-join chain. All counts are exact
+      // BIGINTs; q_micro is ONE shared IEEE expression tree (exponent
+      // literals — the decimal-literal division drift class), 1e-6
+      // units. The oracle replays the identical LPA CTE chain.
+      val und0 = T.orders(s, d).select(
+          pmod(col("o_custkey"), lit(1000L)).as("src"),
+          pmod(col("o_orderkey"), lit(1000L)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val adj = und0.select(col("src").as("node"), col("dst").as("nbr"))
+        .unionAll(und0.select(col("dst").as("node"), col("src").as("nbr")))
+        .distinct()
+        .localCheckpoint(true) // feeds labels + degrees + the edge set
+      val labels = graft.ops.LabelPropagation.run(adj, LpaRounds)
+      val undE = adj.filter(col("node") < col("nbr"))
+        .select(col("node").as("a"), col("nbr").as("b"))
+      val m = undE.agg(count(lit(1)).as("m"))
+      val dc = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+        .join(labels, "node")
+        .groupBy("community")
+        .agg(sum("deg").as("dc"), count(lit(1)).as("n_nodes"))
+      val ec = undE
+        .join(labels.select(col("node").as("a"), col("community").as("ca")), "a")
+        .join(labels.select(col("node").as("b"), col("community").as("cb")), "b")
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community")).agg(count(lit(1)).as("ec"))
+      dc.join(ec, Seq("community"), "left")
+        .na.fill(0L, Seq("ec"))
+        .crossJoin(broadcast(m))
+        .select(col("community"), col("n_nodes"), col("dc"), col("ec"),
+          expr("CAST(ROUND(1e6 * (4*m*ec - dc*dc) / (4e0*m*m)) AS BIGINT)")
+            .as("q_micro"))
+        .orderBy("community")
+    }),
+
     "graph_jaccard_neighbors" -> ((s, d) => {
       // neighbor-set Jaccard node similarity — the link-prediction /
       // "customers also touched" score — on the same 1000-node order-FK
@@ -552,7 +594,10 @@ object GraphMmQueries extends QueryPack {
   /** the label-propagation oracle: the identical synchronous mode-label
     * rounds unrolled as a CTE chain (tie-break = smallest label, the
     * rank-1 window replay of the operator's max(struct(cnt, -lbl))). */
-  private def lpaSql(rounds: Int): String = {
+  /** the LPA CTE chain (WITH-body only, final labels in l$rounds) —
+    * shared by the graph_community oracle and the graph_modularity
+    * oracle, which scores the same detected partition. */
+  private def lpaCtes(rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s"""c$i AS (
          |  SELECT a.node, l.lbl, COUNT(*) AS cnt
@@ -564,7 +609,7 @@ object GraphMmQueries extends QueryPack {
          |             ORDER BY cnt DESC, lbl) AS rk
          |    FROM c$i) WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst
        |  FROM orders WHERE o_custkey % 1000 <> o_orderkey % 1000),
        |adj AS (
@@ -572,9 +617,36 @@ object GraphMmQueries extends QueryPack {
        |  UNION
        |  SELECT dst AS node, src AS nbr FROM e),
        |l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
-       |$steps
-       |SELECT node, lbl AS community FROM l$rounds ORDER BY node""".stripMargin
+       |$steps""".stripMargin
   }
+
+  private def lpaSql(rounds: Int): String =
+    s"""WITH ${lpaCtes(rounds)}
+       |SELECT node, lbl AS community FROM l$rounds ORDER BY node""".stripMargin
+
+  /** the modularity oracle: the identical LPA chain, then exact-BIGINT
+    * per-community edge/degree sums and the one shared IEEE division. */
+  private def modularitySql(rounds: Int): String =
+    s"""WITH ${lpaCtes(rounds)},
+       |und AS (SELECT node AS a, nbr AS b FROM adj WHERE node < nbr),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+       |dcs AS (
+       |  SELECT l.lbl AS community, CAST(SUM(d.deg) AS BIGINT) AS dc,
+       |         CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |  FROM (SELECT node, COUNT(*) AS deg FROM adj GROUP BY 1) d
+       |  JOIN l$rounds l ON d.node = l.node GROUP BY 1),
+       |ecs AS (
+       |  SELECT la.lbl AS community, CAST(COUNT(*) AS BIGINT) AS ec
+       |  FROM und u
+       |  JOIN l$rounds la ON u.a = la.node
+       |  JOIN l$rounds lb ON u.b = lb.node
+       |  WHERE la.lbl = lb.lbl GROUP BY 1)
+       |SELECT d.community, d.n_nodes, d.dc,
+       |       CAST(COALESCE(e.ec, 0) AS BIGINT) AS ec,
+       |       CAST(ROUND(1e6 * (4*m*CAST(COALESCE(e.ec, 0) AS BIGINT) - d.dc*d.dc)
+       |         / (4e0*m*m)) AS BIGINT) AS q_micro
+       |FROM dcs d LEFT JOIN ecs e USING (community) CROSS JOIN mm
+       |ORDER BY community""".stripMargin
 
   /** the k-core oracle: the identical fixed-round peel unrolled as a
     * CTE chain over the shared 1000-node quotient graph. */
@@ -725,6 +797,8 @@ object GraphMmQueries extends QueryPack {
     },
 
     "graph_community" -> lpaSql(LpaRounds),
+
+    "graph_modularity" -> modularitySql(LpaRounds),
 
     "graph_pagerank" -> pagerankSql(PrDamping, PrIters, QuotientEdgeCte),
 

@@ -57,9 +57,18 @@ object ScaleProbe {
     val keys = sys.env.get("GRAFT_PROBE_KEYS")
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(DefaultKeys)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitions sized to the WORKING SET, not the core count
+    // (the default elsewhere): at ×F beyond RAM, cpus-many partitions
+    // make each task's sort spill hundreds of runs, and the final
+    // spill-merge OOMs on the per-run ReadAheadInputStream buffers
+    // before any row moves (measured: ×16 wedge fan, 8 partitions,
+    // 4 GiB heap). A real cluster runs thousands of shuffle
+    // partitions for exactly this reason; AQE coalesces them back
+    // when small.
+    val shufP = sys.env.getOrElse("GRAFT_PROBE_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufP)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", Tmp.dir("wh").toString)
@@ -180,9 +189,27 @@ object ScaleProbe {
 
     val out = new StringBuilder
     out.append(s"""{"base":"$base","factor":$factor,"keys":{""")
-    val dirs = Map(1 -> s"${Tmp.dir("probe_x1")}", factor -> s"${Tmp.dir(s"probe_x$factor")}")
-    replicate(dirs(1), 1)
-    replicate(dirs(factor), factor)
+    // GRAFT_PROBE_CORPUS_DIR: persistent corpus root. Replication is
+    // harness SETUP, not the operator under measurement, and its ×F
+    // parquet write needs full-size buffers (under a 4 GiB heap the
+    // 32 MiB write allocations × 32 tasks starve the GCLocker and die
+    // in UNABLE_TO_ACQUIRE_MEMORY before any key runs). With this set,
+    // a beyond-RAM pass builds the corpus once under the normal heap
+    // and the constrained JVM reuses it: layout $root/x1, $root/x$F;
+    // nation is written last, so its _SUCCESS marks a complete build.
+    val dirs = sys.env.get("GRAFT_PROBE_CORPUS_DIR") match {
+      case Some(root) => Map(1 -> s"$root/x1", factor -> s"$root/x$factor")
+      case None => Map(1 -> s"${Tmp.dir("probe_x1")}",
+        factor -> s"${Tmp.dir(s"probe_x$factor")}")
+    }
+    def ready(dir: String): Boolean = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "nation.parquet", "_SUCCESS"))
+    if (!ready(dirs(1))) replicate(dirs(1), 1)
+    if (!ready(dirs(factor))) replicate(dirs(factor), factor)
+    if (sys.env.contains("GRAFT_PROBE_BUILD_ONLY")) {
+      System.err.println(s"[probe] corpus built at ${dirs(factor)}; exiting (BUILD_ONLY)")
+      spark.stop(); return
+    }
     val entries = keys.map { key =>
       spark.catalog.clearCache()
       SessionMemo.clear(spark)

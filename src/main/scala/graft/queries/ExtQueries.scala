@@ -75,6 +75,38 @@ object ExtQueries extends QueryPack {
   private def md5Bucket(colSql: String, buckets: Int): String =
     s"CAST(conv(substring(md5($colSql), 1, 15), 16, 10) AS BIGINT) % $buckets"
 
+  /** Unit-impulse weights of the 10-step zero-init Holt recursion
+    * (α = β = ½): l_t = (x_t + l + b)/2, b_t = (l_t − l + b)/2. Index
+    * j = 0 is the OLDEST of the 10 observations; the pair is the
+    * coefficient of x_j in the final (level, trend), exact integers at
+    * scale 2^20. Every intermediate in the fold below is a dyadic
+    * rational with a ≤ 21-bit numerator, so the Double arithmetic is
+    * EXACT (halving never rounds, and the adds stay within one ulp
+    * span); the require proves integrality at class-init time. The
+    * driver-computed-constants device (the JL sign-matrix precedent):
+    * both engines get the same inlined literals, zero cross-libm
+    * exposure.
+    */
+  private val (holtWl, holtWb) = {
+    val k = 10
+    val (wl, wb) = (0 until k).map { j =>
+      var l = 0.0
+      var b = 0.0
+      for (t <- 0 until k) {
+        val x = if (t == j) 1.0 else 0.0
+        val nl = (x + l + b) / 2.0
+        b = (nl - l + b) / 2.0
+        l = nl
+      }
+      (l * (1L << 20), b * (1L << 20))
+    }.unzip
+    def toLongs(ws: Seq[Double]): Seq[Long] = ws.map { w =>
+      require(w == math.rint(w), s"non-integral Holt weight $w")
+      w.toLong
+    }
+    (toLongs(wl), toLongs(wb))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "scan_orc_roundtrip" -> ((s, d) => {
       val tmp = graft.Tmp.dir("orc").toString
@@ -333,6 +365,44 @@ object ExtQueries extends QueryPack {
         .orderBy("d")
     }),
 
+    "ts_holt_linear" -> ((s, d) => {
+      // Holt double exponential smoothing (level + linear trend) of the
+      // daily revenue series, α = β = ½, initialized 10 observed days
+      // back from zero state — the ts_ewma dyadic device extended to
+      // TWO coupled recurrences, yielding the thing EWMA cannot give: a
+      // trend estimate and an h-step forecast. Unrolling the recursion
+      // ten steps from zero init makes each output an EXACT fixed
+      // dyadic convolution of the last 10 daily cents (unit-impulse
+      // weights holtWl/holtWb, exact integers at scale 2^20, computed
+      // once at class init and inlined into BOTH engines), so the
+      // whole state is integer; the only doubles are final correctly-
+      // rounded divisions (exact while Σ|w|·cents ≤ 2^53 — daily
+      // revenue below ~$430 M, roughly SF ≲ 40; past that both engines
+      // round the same long→double cast identically, the ts_ewma
+      // rule). Forecast fc7 = level + 7·trend stays in the same
+      // integer state. Aggregate-then-window: the windowed stream is
+      // |days| rows, never raw orders; full frames only (x ≥ 9).
+      val daily = T.orders(s, d)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
+          .cast("long").as("cents"))
+      val w = Window.orderBy("d")
+      def conv(ws: Seq[Long]) = (0 until 10).map(k =>
+          coalesce(lag(col("cents"), k).over(w), lit(0L)) * lit(ws(9 - k)))
+        .reduce(_ + _)
+      daily.select(col("d"), col("cents"),
+          (row_number().over(w) - 1).as("x"),
+          conv(holtWl).as("numL"), conv(holtWb).as("numB"))
+        .filter(col("x") >= 9)
+        .select(col("d"),
+          round(col("cents").cast("double") / 100.0, 2).as("revenue"),
+          round(col("numL").cast("double") / 104857600.0, 4).as("level"),
+          round(col("numB").cast("double") / 104857600.0, 4).as("trend"),
+          round((col("numL") + lit(7L) * col("numB")).cast("double")
+            / 104857600.0, 4).as("fc7"))
+        .orderBy("d")
+    }),
+
     "ts_changepoint" -> ((s, d) => {
       // CUSUM changepoint detection on the daily event-count series —
       // the level-shift locator that tells an ingest pipeline WHEN a
@@ -554,6 +624,28 @@ object ExtQueries extends QueryPack {
          |  FROM daily)
          |SELECT d, ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
          |       ROUND(CAST(num AS DOUBLE) / 102300.0, 4) AS ewma
+         |FROM f WHERE x >= 9 ORDER BY d""".stripMargin
+    },
+
+    "ts_holt_linear" -> {
+      // both lag chains generated from the SAME driver-computed exact
+      // dyadic weights as the Spark side (holtWl/holtWb) — lockstep
+      def conv(ws: Seq[Long]) = (0 until 10).map(k =>
+          s"COALESCE(lag(cents, $k) OVER (ORDER BY d), 0) * ${ws(9 - k)}")
+        .mkString(" + ")
+      s"""WITH daily AS (
+         |  SELECT o_orderdate AS d,
+         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |f AS (
+         |  SELECT d, cents,
+         |         ROW_NUMBER() OVER (ORDER BY d) - 1 AS x,
+         |         ${conv(holtWl)} AS num_l, ${conv(holtWb)} AS num_b
+         |  FROM daily)
+         |SELECT d, ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+         |       ROUND(CAST(num_l AS DOUBLE) / 104857600.0, 4) AS level,
+         |       ROUND(CAST(num_b AS DOUBLE) / 104857600.0, 4) AS trend,
+         |       ROUND(CAST(num_l + 7 * num_b AS DOUBLE) / 104857600.0, 4) AS fc7
          |FROM f WHERE x >= 9 ORDER BY d""".stripMargin
     },
 

@@ -206,6 +206,51 @@ object SimQueries extends QueryPack {
         .orderBy("a", "rank")
     }),
 
+    "sim_ann_mips" -> ((s, d) => {
+      // max-inner-product search via the public asymmetric reduction
+      // (Neyshabur & Srebro 2015 / Bachrach et al. 2014): raw dot is
+      // NOT locality-sensitive (unbounded in ||x||), but scale the
+      // corpus by its max norm M and augment each DATA vector with
+      // sqrt(1 − ||x||²/M²) — and each PROBE with 0 after unit-
+      // normalizing it — and every augmented vector is unit with
+      // dot(q′,x′) = dot(q,x)/(M·||q||): rank-monotone per probe in
+      // the raw inner product. Sign-bucket LSH on the AUGMENTED space
+      // therefore blocks by inner product; candidates share a bucket,
+      // exact raw-dot re-rank, top-3 per probe (the sim_ann_lsh
+      // search tail). The asymmetry (different probe/data transforms
+      // through the same planes) is the whole trick — this is the
+      // recommender/rescoring shape where magnitude carries signal
+      // and cosine ANN returns the wrong neighbors. 100 TB shape: M
+      // is one broadcast scalar, both transforms are map-side
+      // projections, the bucket equi-join shuffle-partitions the
+      // corpus, and the literal rank ≤ 3 compiles to
+      // WindowGroupLimit — no all-pairs anywhere.
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("raw"))
+        .withColumn("n", VectorOps.norm(col("raw")))
+      val m = e.agg(max(col("n")).as("m"))
+      val em = e.crossJoin(broadcast(m))
+      val r = col("n") / col("m")
+      val dataAug = concat(transform(col("raw"), _ / col("m")),
+        array(sqrt(greatest(lit(1.0) - r * r, lit(0.0)))))
+      val probeAug = concat(transform(col("raw"), _ / col("n")),
+        array(lit(0.0)))
+      val cands = em.select(col("vec_id").as("b"), col("raw").as("vb"),
+        VectorOps.lshBucket(dataAug, PLANES, DIM + 1).as("bucket"))
+      val probes = em.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("a"), col("raw").as("va"),
+          VectorOps.lshBucket(probeAug, PLANES, DIM + 1).as("bucket"))
+      val w = Window.partitionBy("a").orderBy(col("ip").desc, col("b"))
+      probes.join(cands, Seq("bucket"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          round(graft.GraftFunctions.dotCol(s, col("va"), col("vb")), 4).as("ip"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("a", "rank", "b", "ip")
+        .orderBy("a", "rank")
+    }),
+
     "dedup_embedding" -> ((s, d) => {
       // embedding-cosine near-dup pairs (threshold tuned to the corpus).
       // Exact result through the triangle-inequality cell blocking —
@@ -664,6 +709,45 @@ object SimQueries extends QueryPack {
        |SELECT a, rank, b, sim FROM ranked WHERE rank <= 3 ORDER BY a, rank""".stripMargin
   }
 
+  /** sim_ann_mips oracle: the asymmetric MIPS transforms spelled with
+    * the exact IEEE trees the Spark side builds (divide components,
+    * then append the augmented coordinate; GREATEST clamps the
+    * max-norm vector's 1 − r·r at 0), then the annSql search tail with
+    * the probe bucket computed from the probe transform and the data
+    * bucket from the data transform — the asymmetry, in SQL.
+    */
+  private def mipsSql: String = {
+    def bucketExpr(v: String): String = (0 until PLANES).map { j =>
+      val coefs = VectorOps.lshCoefs(j, DIM + 1).map(c => s"$c.0")
+        .mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product($v, $coefs) > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings),
+       |en AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS n FROM e),
+       |mx AS (SELECT MAX(n) AS m FROM en),
+       |aug AS (
+       |  SELECT vec_id, v,
+       |         list_append(list_transform(v, x -> x / m),
+       |                     SQRT(GREATEST(1e0 - (n / m) * (n / m), 0e0))) AS va,
+       |         list_append(list_transform(v, x -> x / n), 0e0) AS qa
+       |  FROM en CROSS JOIN mx),
+       |bk AS (
+       |  SELECT vec_id, v,
+       |         CAST(${bucketExpr("va")} AS INT) AS bucket,
+       |         CAST(${bucketExpr("qa")} AS INT) AS qbucket
+       |  FROM aug),
+       |pairs AS (
+       |  SELECT p.vec_id AS a, c.vec_id AS b,
+       |         ROUND(list_dot_product(p.v, c.v), 4) AS ip
+       |  FROM bk p JOIN bk c ON p.qbucket = c.bucket AND p.vec_id <> c.vec_id
+       |  WHERE p.vec_id < 100),
+       |ranked AS (
+       |  SELECT a, b, ip,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY ip DESC, b) AS INT) AS rank
+       |  FROM pairs)
+       |SELECT a, rank, b, ip FROM ranked WHERE rank <= 3 ORDER BY a, rank""".stripMargin
+  }
+
   /** the PQ index + ADC lookup CTEs — four prefixed per-subspace Lloyd
     * chains, per-vector codes, the unioned codebook, probe subvectors
     * (vec_id < 100), and the (qid, m, cell, term) lookup table.
@@ -719,6 +803,8 @@ object SimQueries extends QueryPack {
          |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin,
 
     "sim_ann_lsh" -> annSql,
+
+    "sim_ann_mips" -> mipsSql,
 
     "sim_kmeans" -> kmeansSql(KmK, KmIters),
 

@@ -459,6 +459,33 @@ class PlanSpec extends SparkSpec {
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("sim_ann_mips: rank≤3 → WindowGroupLimit; no data×data cartesian") {
+    // the MIPS search must stay bucketed end to end: the only
+    // nested-loop allowed is the 1-row max-norm broadcast (a scalar
+    // crossJoin), never a data×data pair fan, and the literal rank≤3
+    // must ship K rows per map task via WindowGroupLimit
+    val p = planOf("sim_ann_mips")
+    val limits = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.length >= 2,
+      s"expected partial (map-side) + final WindowGroupLimit, got ${limits.length}")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "sim_ann_mips has a CartesianProduct node")
+  }
+
+  test("ts_holt_linear: aggregate-then-window, one shared window pass") {
+    // both dyadic lag chains and the frame counter share ONE window
+    // spec (ORDER BY d) over the |days|-row aggregate — a second
+    // WindowExec would mean the convolutions didn't fuse
+    val p = planOf("ts_holt_linear")
+    val wins = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.length == 1,
+      s"lag chains + row_number must fuse into one window pass, got ${wins.length}")
+  }
+
   test("agg_distinct_kmv: the rank≤k sketch filter compiles to WindowGroupLimit") {
     // the KMV sketch's mergeability, materialized in the plan: the
     // k-smallest selection must truncate each map partition to its

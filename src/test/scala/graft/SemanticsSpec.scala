@@ -1173,4 +1173,78 @@ class SemanticsSpec extends SparkSpec {
         s"label $label: avg distortion $avg off the JL expectation (n=$n)")
     }
   }
+
+  test("sim_ann_mips: the asymmetric augmentation is unit and order-preserving") {
+    // the reduction's two mathematical claims, replayed driver-side on
+    // the real corpus: (1) both transforms emit unit vectors (data side
+    // by construction of the √(1−r²) coordinate, probe side by
+    // normalization); (2) per probe, ranking candidates by
+    // cos(q′, x′) IS ranking by raw dot(q, x) — the rank-monotonicity
+    // that lets a cosine LSH bucket serve an inner-product query. The
+    // oracle pins the emitted pairs; this pins WHY the device is valid.
+    val vecs = T.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.ops.VectorOps.toDouble(col("embedding")).as("v"))
+      .limit(120).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val m = vecs.map { case (_, v) => math.sqrt(dot(v, v)) }.max
+    def aug(v: Array[Double]) = {
+      val n = math.sqrt(dot(v, v))
+      v.map(_ / m) :+ math.sqrt(math.max(1.0 - (n / m) * (n / m), 0.0))
+    }
+    def unit0(v: Array[Double]) = {
+      val n = math.sqrt(dot(v, v))
+      v.map(_ / n) :+ 0.0
+    }
+    vecs.take(40).foreach { case (id, v) =>
+      val na = math.sqrt(dot(aug(v), aug(v)))
+      assert(math.abs(na - 1.0) < 1e-9, s"data aug of $id not unit: $na")
+    }
+    val (qid, q) = vecs.head
+    val others = vecs.filter(_._1 != qid)
+    val byDot = others.sortBy { case (_, x) => -dot(q, x) }.map(_._1).take(10)
+    val byAug = others.sortBy { case (_, x) => -dot(unit0(q), aug(x)) }
+      .map(_._1).take(10)
+    assert(byDot.sameElements(byAug),
+      s"augmented-cosine order diverges from inner-product order:\n" +
+        s"  dot: ${byDot.mkString(",")}\n  aug: ${byAug.mkString(",")}")
+  }
+
+  test("ts_holt_linear: the dyadic convolution equals the direct recursion") {
+    // the inlined unit-impulse weights ARE the 10-step zero-init Holt
+    // recursion — prove it on the real daily series: fold the
+    // recurrence directly over each 10-day frame and compare to the
+    // key's level/trend/fc7 at 4 dp
+    val out = SparkEntry.queries("ts_holt_linear")(spark, sf).collect()
+      .map(r => (r.get(0).toString, r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    val daily = T.orders(spark, sf)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("long").as("cents"))
+      .orderBy("d").collect()
+      .map(r => (r.get(0).toString, r.getLong(1)))
+    val byDate = out.map(t => t._1 -> t).toMap
+    daily.indices.drop(9).foreach { i =>
+      var l = 0.0
+      var b = 0.0
+      ((i - 9) to i).foreach { t =>
+        val x = daily(t)._2 / 100.0
+        val nl = (x + l + b) / 2.0
+        b = (nl - l + b) / 2.0
+        l = nl
+      }
+      val (_, level, trend, fc7) = byDate(daily(i)._1)
+      def r4(x: Double) = math.rint(x * 1e4) / 1e4
+      assert(math.abs(r4(l) - level) <= 1e-4,
+        s"day ${daily(i)._1}: recursion level ${r4(l)} vs key $level")
+      assert(math.abs(r4(b) - trend) <= 1e-4,
+        s"day ${daily(i)._1}: recursion trend ${r4(b)} vs key $trend")
+      assert(math.abs(r4(l + 7 * b) - fc7) <= 2e-4,
+        s"day ${daily(i)._1}: recursion fc7 ${r4(l + 7 * b)} vs key $fc7")
+    }
+  }
 }

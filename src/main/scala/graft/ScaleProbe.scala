@@ -202,10 +202,29 @@ object ScaleProbe {
       case None => Map(1 -> s"${Tmp.dir("probe_x1")}",
         factor -> s"${Tmp.dir(s"probe_x$factor")}")
     }
-    def ready(dir: String): Boolean = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "nation.parquet", "_SUCCESS"))
-    if (!ready(dirs(1))) replicate(dirs(1), 1)
-    if (!ready(dirs(factor))) replicate(dirs(factor), factor)
+    // a cached corpus is only valid for the base it was derived from —
+    // a BASE marker (written after nation, the last table) carries the
+    // provenance; a mismatch fails loudly instead of silently timing
+    // keys against a stale corpus while stamping the new base
+    def markerPath(dir: String) = java.nio.file.Paths.get(dir, "BASE")
+    def ready(dir: String): Boolean = {
+      val done = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "nation.parquet", "_SUCCESS"))
+      if (done && java.nio.file.Files.exists(markerPath(dir))) {
+        val built = new String(
+          java.nio.file.Files.readAllBytes(markerPath(dir)), "UTF-8").trim
+        require(built == base,
+          s"cached probe corpus at $dir was built from $built, not $base — " +
+            "delete it or point GRAFT_PROBE_CORPUS_DIR elsewhere")
+      }
+      done
+    }
+    def build(dir: String, f: Int): Unit = {
+      replicate(dir, f)
+      java.nio.file.Files.write(markerPath(dir), base.getBytes("UTF-8"))
+    }
+    if (!ready(dirs(1))) build(dirs(1), 1)
+    if (!ready(dirs(factor))) build(dirs(factor), factor)
     if (sys.env.contains("GRAFT_PROBE_BUILD_ONLY")) {
       System.err.println(s"[probe] corpus built at ${dirs(factor)}; exiting (BUILD_ONLY)")
       spark.stop(); return

@@ -75,6 +75,22 @@ object ExtQueries extends QueryPack {
   private def md5Bucket(colSql: String, buckets: Int): String =
     s"CAST(conv(substring(md5($colSql), 1, 15), 16, 10) AS BIGINT) % $buckets"
 
+  /** Exact DECIMAL-cents daily revenue series — the shared input of the
+    * ts_ewma / ts_holt_linear dyadic devices (one definition per
+    * engine, so the cents cast can never diverge between the keys).
+    */
+  private def dailyCents(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Tables.orders(s, d)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("long").as("cents"))
+
+  private val dailyCentsCte =
+    """daily AS (
+      |  SELECT o_orderdate AS d,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1)""".stripMargin
+
   /** Unit-impulse weights of the 10-step zero-init Holt recursion
     * (α = β = ½): l_t = (x_t + l + b)/2, b_t = (l_t − l + b)/2. Index
     * j = 0 is the OLDEST of the 10 observations; the pair is the
@@ -348,10 +364,7 @@ object ExtQueries extends QueryPack {
       // perform the same cast), per the ts_anomaly integer-state
       // rule. Aggregate-then-window: the windowed stream
       // is |days| rows, never raw orders; full frames only (x ≥ 9).
-      val daily = T.orders(s, d)
-        .groupBy(col("o_orderdate").as("d"))
-        .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
-          .cast("long").as("cents"))
+      val daily = dailyCents(s, d)
       val w = Window.orderBy("d")
       val num = (0 until 10).map(k =>
           coalesce(lag(col("cents"), k).over(w), lit(0L)) * lit(1L << (9 - k)))
@@ -382,10 +395,7 @@ object ExtQueries extends QueryPack {
       // rule). Forecast fc7 = level + 7·trend stays in the same
       // integer state. Aggregate-then-window: the windowed stream is
       // |days| rows, never raw orders; full frames only (x ≥ 9).
-      val daily = T.orders(s, d)
-        .groupBy(col("o_orderdate").as("d"))
-        .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
-          .cast("long").as("cents"))
+      val daily = dailyCents(s, d)
       val w = Window.orderBy("d")
       def conv(ws: Seq[Long]) = (0 until 10).map(k =>
           coalesce(lag(col("cents"), k).over(w), lit(0L)) * lit(ws(9 - k)))
@@ -613,10 +623,7 @@ object ExtQueries extends QueryPack {
       val num = (0 until 10).map(k =>
           s"COALESCE(lag(cents, $k) OVER (ORDER BY d), 0) * ${1L << (9 - k)}")
         .mkString(" + ")
-      s"""WITH daily AS (
-         |  SELECT o_orderdate AS d,
-         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
-         |  FROM orders GROUP BY 1),
+      s"""WITH $dailyCentsCte,
          |f AS (
          |  SELECT d, cents,
          |         ROW_NUMBER() OVER (ORDER BY d) - 1 AS x,
@@ -633,10 +640,7 @@ object ExtQueries extends QueryPack {
       def conv(ws: Seq[Long]) = (0 until 10).map(k =>
           s"COALESCE(lag(cents, $k) OVER (ORDER BY d), 0) * ${ws(9 - k)}")
         .mkString(" + ")
-      s"""WITH daily AS (
-         |  SELECT o_orderdate AS d,
-         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
-         |  FROM orders GROUP BY 1),
+      s"""WITH $dailyCentsCte,
          |f AS (
          |  SELECT d, cents,
          |         ROW_NUMBER() OVER (ORDER BY d) - 1 AS x,

@@ -237,7 +237,10 @@ object SimQueries extends QueryPack {
         array(lit(0.0)))
       val cands = em.select(col("vec_id").as("b"), col("raw").as("vb"),
         VectorOps.lshBucket(dataAug, PLANES, DIM + 1).as("bucket"))
-      val probes = em.filter(col("vec_id") < 100)
+      // the probe transform only needs the per-vector norm, not M —
+      // derive probes from e so the plan carries ONE max-norm
+      // aggregate subtree (under the data side), not two
+      val probes = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("a"), col("raw").as("va"),
           VectorOps.lshBucket(probeAug, PLANES, DIM + 1).as("bucket"))
       val w = Window.partitionBy("a").orderBy(col("ip").desc, col("b"))

@@ -129,6 +129,7 @@ object Bench {
       .config("spark.local.dir", Tmp.dir("local").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark) // native exprs + the HOF-dot rewrite rule
     // untimed warm-up: JVM/codegen/parquet-reader paths, so per-query
     // numbers reflect steady state rather than first-job init cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()

@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dotDescriptor)
     ext.injectFunction(GraftFunctions.bloomAggDescriptor)
     ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofDot)
   }
 }
 
@@ -68,6 +69,13 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_dot", build, "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_agg", buildBloomAgg, "built-in")
     reg.createOrReplaceTempFunction("graft_might_contain", buildBloomContains, "built-in")
+    // the HOF-dot rewrite rides along with function registration so
+    // every harness session gets it (idempotent; GRAFT_NO_HOF_DOT
+    // disables for A/B measurement)
+    if (!sys.env.contains("GRAFT_NO_HOF_DOT") &&
+        !spark.experimental.extraOptimizations.contains(graft.plans.RewriteHofDot))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteHofDot
   }
 
   /** graft_dot as a Column for the DataFrame DSL (routes through the

@@ -75,6 +75,7 @@ object ScaleProbe {
       .config("spark.local.dir", Tmp.dir("local").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark) // native exprs + the HOF-dot rewrite rule
 
     def replicate(dest: String, f: Int): Unit = {
       import spark.implicits._

@@ -30,6 +30,7 @@ object Verify {
       .config("spark.local.dir", Tmp.dir("local").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark) // native exprs + the HOF-dot rewrite rule
     new java.io.File(outDir).mkdirs()
     for (sfDir <- sfDirs) {
       val dest =

@@ -7,6 +7,18 @@ import org.apache.spark.sql.functions._
   */
 class DotProductSpec extends SparkSpec {
 
+  /** evaluate with RewriteHofDot removed, so "reference" queries really
+    * run the interpreted HOF fold instead of being rewritten to the
+    * very expression under test (planning is lazy — wrapping the
+    * action is enough)
+    */
+  private def withoutHofDot[T](body: => T): T = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev.filterNot(_ == graft.plans.RewriteHofDot)
+    try body finally spark.experimental.extraOptimizations = prev
+  }
+
   test("graft_dot equals zip_with/aggregate fold bit-for-bit") {
     import spark.implicits._
     val df = Seq(
@@ -14,12 +26,46 @@ class DotProductSpec extends SparkSpec {
       (Array(0.1, -0.2), Array(0.3, 0.7)),
       (Array.empty[Double], Array.empty[Double]))
       .toDF("a", "b")
-    val got = df.select(
-      GraftFunctions.dotCol(spark, col("a"), col("b")).as("fast"),
-      graft.ops.VectorOps.dot(col("a"), col("b")).as("ref"))
-      .collect()
+    val got = withoutHofDot {
+      df.select(
+        GraftFunctions.dotCol(spark, col("a"), col("b")).as("fast"),
+        graft.ops.VectorOps.dot(col("a"), col("b")).as("ref"))
+        .collect()
+    }
     got.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
     assert(got(0).getDouble(0) == 32.0)
+  }
+
+  test("RewriteHofDot: the declarative HOF dot plans as native DotProduct") {
+    GraftFunctions.register(spark)
+    // range input, not Seq.toDF: a literal LocalRelation is collapsed
+    // (project evaluated) by ConvertToLocalRelation before the
+    // user-provided batch runs, leaving nothing to rewrite
+    val df = spark.range(3).select(
+      array(col("id").cast("double"), lit(2.0)).as("a"),
+      array(lit(3.0), lit(4.0)).as("b"))
+    def plansNative(q: org.apache.spark.sql.DataFrame): Boolean =
+      q.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[graft.expr.DotProduct]))
+    // QueryExecution memoizes the optimized plan per DataFrame —
+    // rebuild the query in each rule context or the check is vacuous
+    def mk() = df.select(graft.ops.VectorOps.dot(col("a"), col("b")).as("d"))
+    val q = mk()
+    assert(plansNative(q), s"rule did not fire:\n${q.queryExecution.optimizedPlan}")
+    assert(q.collect().map(_.getDouble(0)).sorted.sameElements(Array(8.0, 11.0, 14.0)))
+    assert(withoutHofDot { !plansNative(mk()) }, "withoutHofDot helper is vacuous")
+    // guarded NON-matches keep HOF semantics: a reused lambda variable
+    // (x*x is not a dot), and a non-zero fold seed
+    val notDot = df.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * x), 0.0d, (acc, e) -> acc + e)").as("d"))
+    assert(!plansNative(notDot), "x*x must not rewrite")
+    val seeded = df.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 1.0d, (acc, e) -> acc + e)").as("d"))
+    assert(!plansNative(seeded), "non-zero seed must not rewrite")
+    // and the rewrite IS the fold: values agree with the HOF reference
+    val fast = q.collect().map(_.getDouble(0)).sorted
+    val ref = withoutHofDot { mk().collect().map(_.getDouble(0)).sorted }
+    assert(fast.sameElements(ref))
   }
 
   test("graft_dot is null-safe") {

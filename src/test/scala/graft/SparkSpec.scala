@@ -19,5 +19,6 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def beforeAll(): Unit = {
     super.beforeAll()
     spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark) // native exprs + the HOF-dot rewrite rule
   }
 }

@@ -15,7 +15,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dotDescriptor)
     ext.injectFunction(GraftFunctions.bloomAggDescriptor)
     ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
-    ext.injectOptimizerRule(_ => graft.plans.RewriteHofDot)
+    // same kill-switch as register(): an A/B "OFF" run must stay off
+    // through BOTH installation paths
+    if (!sys.env.contains("GRAFT_NO_HOF_DOT"))
+      ext.injectOptimizerRule(_ => graft.plans.RewriteHofDot)
   }
 }
 
@@ -70,12 +73,15 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_bloom_agg", buildBloomAgg, "built-in")
     reg.createOrReplaceTempFunction("graft_might_contain", buildBloomContains, "built-in")
     // the HOF-dot rewrite rides along with function registration so
-    // every harness session gets it (idempotent; GRAFT_NO_HOF_DOT
-    // disables for A/B measurement)
-    if (!sys.env.contains("GRAFT_NO_HOF_DOT") &&
-        !spark.experimental.extraOptimizations.contains(graft.plans.RewriteHofDot))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.RewriteHofDot
+    // every harness session gets it (GRAFT_NO_HOF_DOT disables for A/B
+    // measurement). check-then-append is raced under concurrent query
+    // builders (dotCol calls register per column), so serialize on the
+    // experimental methods object — idempotent for real
+    if (!sys.env.contains("GRAFT_NO_HOF_DOT")) spark.experimental.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteHofDot))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.RewriteHofDot
+    }
   }
 
   /** graft_dot as a Column for the DataFrame DSL (routes through the

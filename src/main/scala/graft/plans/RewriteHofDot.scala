@@ -58,11 +58,12 @@ object RewriteHofDot extends Rule[LogicalPlan] {
             Seq(ma: NamedLambdaVariable, mb: NamedLambdaVariable), _),
           LambdaFunction(fb: NamedLambdaVariable,
             Seq(fa: NamedLambdaVariable), _))
+        // the Set equalities alone rule out reused variables (x*x):
+        // freshly bound lambda args always have distinct exprIds, so a
+        // singleton left side can never equal the two-element right
         if java.lang.Double.doubleToRawLongBits(zero) == 0L &&
           isDoubleArray(l) && isDoubleArray(r) &&
-          mx.exprId != my.exprId &&
           Set(mx.exprId, my.exprId) == Set(zx.exprId, zy.exprId) &&
-          aa.exprId != ab.exprId &&
           Set(aa.exprId, ab.exprId) == Set(ma.exprId, mb.exprId) &&
           fb.exprId == fa.exprId =>
         DotProduct(l, r)

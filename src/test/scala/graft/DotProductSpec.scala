@@ -37,7 +37,6 @@ class DotProductSpec extends SparkSpec {
   }
 
   test("RewriteHofDot: the declarative HOF dot plans as native DotProduct") {
-    GraftFunctions.register(spark)
     // range input, not Seq.toDF: a literal LocalRelation is collapsed
     // (project evaluated) by ConvertToLocalRelation before the
     // user-provided batch runs, leaving nothing to rewrite
@@ -52,7 +51,8 @@ class DotProductSpec extends SparkSpec {
     def mk() = df.select(graft.ops.VectorOps.dot(col("a"), col("b")).as("d"))
     val q = mk()
     assert(plansNative(q), s"rule did not fire:\n${q.queryExecution.optimizedPlan}")
-    assert(q.collect().map(_.getDouble(0)).sorted.sameElements(Array(8.0, 11.0, 14.0)))
+    val fast = q.collect().map(_.getDouble(0)).sorted
+    assert(fast.sameElements(Array(8.0, 11.0, 14.0)))
     assert(withoutHofDot { !plansNative(mk()) }, "withoutHofDot helper is vacuous")
     // guarded NON-matches keep HOF semantics: a reused lambda variable
     // (x*x is not a dot), and a non-zero fold seed
@@ -62,8 +62,13 @@ class DotProductSpec extends SparkSpec {
     val seeded = df.select(expr(
       "aggregate(zip_with(a, b, (x, y) -> x * y), 1.0d, (acc, e) -> acc + e)").as("d"))
     assert(!plansNative(seeded), "non-zero seed must not rewrite")
+    // POSITIVE match through the SQL parser too — without this, the two
+    // SQL cases above are only non-match guards and a parser/analyzer
+    // shape change could silently stop the rule firing for SQL dots
+    val sqlDot = df.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, e) -> acc + e)").as("d"))
+    assert(plansNative(sqlDot), "SQL-spelled dot must rewrite")
     // and the rewrite IS the fold: values agree with the HOF reference
-    val fast = q.collect().map(_.getDouble(0)).sorted
     val ref = withoutHofDot { mk().collect().map(_.getDouble(0)).sorted }
     assert(fast.sameElements(ref))
   }

@@ -120,6 +120,42 @@ object WindowQueries extends QueryPack {
         .groupBy("user_id")
         .agg(sum("len").as("n_days"), max("len").as("max_streak"))
         .orderBy("user_id")
+    }),
+
+    "win_attribution" -> ((s, d) => {
+      // last-touch marketing attribution: each purchase credits its
+      // full value to the user's most recent PRECEDING marketing touch
+      // (click/view) within a 7-day lookback, else 'direct' — the
+      // revenue-attribution shape every growth pipeline runs. The
+      // touch carry is a frame last(_, ignoreNulls) over
+      // (unbounded, -1): ONE hash shuffle into user window partitions,
+      // the per-user stream evaluated in a single sorted pass, then a
+      // ≤3-row channel rollup. Value micro-quantized BEFORE summation
+      // (the text_perplexity integer rule); event time compared in
+      // integer microseconds (unix_micros ≡ epoch_us); (us, event_id)
+      // is a total order so the carried touch is engine-deterministic.
+      val lookbackUs = 7L * 86400L * 1000000L
+      val ev = T.events(s, d).select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"),
+        expr("CAST(ROUND(value * 1e6) AS BIGINT)").as("val_micro"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type").isin("click", "view"),
+        struct(col("us").as("tus"), col("event_type").as("ttype")))
+      ev.withColumn("lastTouch", last(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          when(col("lastTouch").isNotNull &&
+              col("lastTouch.tus") >= col("us") - lookbackUs,
+            col("lastTouch.ttype")).otherwise(lit("direct")).as("channel"),
+          col("val_micro"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_conversions"),
+          round(sum(col("val_micro")).cast("double") / 1e6, 2)
+            .as("attributed_value"))
+        .orderBy("channel")
     })
   )
 
@@ -197,6 +233,32 @@ object WindowQueries extends QueryPack {
         |st AS (SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2)
         |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
         |       CAST(MAX(len) AS BIGINT) AS max_streak
-        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // two IGNORE NULLS last_values carry (touch time, touch type) from
+    // the SAME row (both null exactly when the row is not a touch), so
+    // the pair equals the Spark side's single ignoreNulls struct carry
+    "win_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+        |         CAST(ROUND(value * 1e6) AS BIGINT) AS val_micro
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, us, event_type, val_micro,
+        |         LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN us END IGNORE NULLS)
+        |           OVER w AS tus,
+        |         LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+        |           OVER w AS ttype
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (
+        |  SELECT CASE WHEN tus IS NOT NULL AND tus >= us - 604800000000
+        |              THEN ttype ELSE 'direct' END AS channel,
+        |         val_micro
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |       ROUND(CAST(SUM(val_micro) AS DOUBLE) / 1e6, 2) AS attributed_value
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

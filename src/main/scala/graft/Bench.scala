@@ -32,25 +32,59 @@ object Bench {
         .map(_.group(1).toDouble)
     } catch { case _: Throwable => None }
 
-  /** The baseline-promotion predicate (r12 verdict #5), extracted so
-    * BenchPromotionSpec can pin it: a run replaces the committed calm
-    * baseline only when (a) no baseline exists to protect (even a
-    * polluted self-annotated record beats a permanently absent floor),
-    * or (b) the run had zero load-polluted samples AND its post-gate
-    * load meets BOTH calmness bounds — the admission gate and the old
-    * baseline's own post-gate load +0.5 jitter (min of the two; a
-    * max() here is the bug that would let a load-2.6 ambient run
-    * displace a load-0.5 calm baseline through the 3.0 admission gate).
+  /** The run-calmness predicate (r12 verdict #5), extracted so
+    * BenchPromotionSpec can pin it. Originally the gate on replacing
+    * the committed baseline wholesale; since the r13 min-merge floor
+    * (below) it is the `run_calm` ANNOTATION on the floor record: true
+    * when (a) no baseline existed to compare against, or (b) the run
+    * had zero load-polluted samples AND its post-gate load met BOTH
+    * calmness bounds — the admission gate and the old baseline's own
+    * post-gate load +0.5 jitter (min of the two; a max() here is the
+    * bug that would let a load-2.6 ambient run look as calm as a
+    * load-0.5 baseline through the 3.0 admission gate).
     */
   private[graft] def shouldPromote(nPolluted: Int, gatedLoad: Double,
       maxLoad: Double, prevGateLoad: Option[Double]): Boolean =
     prevGateLoad.isEmpty ||
       (nPolluted == 0 && gatedLoad <= math.min(maxLoad, prevGateLoad.get + 0.5))
 
-  /** minimal parser for the "queries":{"k":v,...} section we wrote;
-    * second element = whether a non-empty baseline actually loaded.
+  /** min-merge floor (r13): the calmness predicate above annotates a
+    * run, but it cannot ADJUDICATE one — the r13 incident run gated at
+    * load 0.12 yet inflated +14.5 s spread thinly across 200 keys while
+    * its per-key loadavg (2.2-2.9) sat under the 5.0 pollution bar,
+    * indistinguishable by telemetry from the committed baseline's own
+    * self-load (local[32] alone drives the 1-min loadavg to 2-3), and
+    * host-level contention on this VM is invisible to the guest's
+    * loadavg entirely (only the steal counter sees it). The one-sided
+    * physics is the robust signal instead: contention can only INFLATE
+    * a wall time, never deflate it, so a per-key MIN is valid evidence
+    * from ANY run — a key that beat the floor under load did so despite
+    * the load — and pollution can never lower floor quality for an
+    * existing key. The vs_prev floor is therefore the per-key MIN of
+    * every run ever admitted: the tightest observed capability
+    * envelope, a ratchet rather than a latest-run snapshot. New keys
+    * enter at their first observed time (possibly inflated; later runs
+    * ratchet it down), keys dropped from the inventory leave the floor,
+    * failed keys (-1) stay failed rather than inheriting a stale prev
+    * time, and a real code regression stays visible in vs_prev until
+    * actually fixed. The record annotates how many keys kept the older
+    * time (floor_merged_keys) and whether the contributing run met the
+    * calmness predicate (run_calm).
     */
-  private def readPrev(): (Map[String, Double], Boolean) =
+  private[graft] def mergeFloor(now: Seq[(String, Double, Boolean)],
+      prev: Map[String, Double]): Seq[(String, Double, Boolean)] =
+    now.map { case (k, v, ok) =>
+      val merged =
+        if (ok) prev.get(k).filter(p => p >= 0 && p < v).getOrElse(v) else v
+      (k, merged, ok)
+    }
+
+  /** minimal parser for the "queries":{"k":v,...} section we wrote;
+    * second element = whether a non-empty baseline actually loaded;
+    * third = the baseline's recorded SF dir (a floor measured at one SF
+    * must never min-merge with a run at another).
+    */
+  private def readPrev(): (Map[String, Double], Boolean, Option[String]) =
     try {
       val txt = new String(Files.readAllBytes(Paths.get(PrevPath)), "UTF-8")
       val m = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
@@ -60,8 +94,9 @@ object Bench {
           case _ => None
         }
       }.toMap).getOrElse(Map.empty[String, Double])
-      (parsed, parsed.nonEmpty)
-    } catch { case _: Throwable => (Map.empty, false) }
+      val sf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      (parsed, parsed.nonEmpty, sf)
+    } catch { case _: Throwable => (Map.empty, false, None) }
 
   private def f3(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
@@ -81,6 +116,20 @@ object Bench {
     try new String(Files.readAllBytes(Paths.get("/proc/loadavg")), "UTF-8")
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
+
+  /** cumulative CPU steal (ms) from /proc/stat — on this Firecracker
+    * guest, HOST-level contention is invisible to the guest's loadavg
+    * (the r13 188.7 s run showed a process-idle guest yet broad +10%
+    * per-key inflation); the hypervisor steal counter is the only
+    * telemetry that can see it. USER_HZ jiffies = 10 ms. -1 if the
+    * field is absent (non-Linux / no virt).
+    */
+  private def stealMs(): Long =
+    try {
+      val cpu = new String(Files.readAllBytes(Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.next().trim.split("\\s+")
+      if (cpu.length > 8) cpu(8).toLong * 10L else -1L
+    } catch { case _: Throwable => -1L }
 
   private def gcMs(): Long = {
     import scala.jdk.CollectionConverters._
@@ -134,7 +183,7 @@ object Bench {
     // numbers reflect steady state rather than first-job init cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val (prev, prevLoaded) = readPrev()
+    val (prev, prevLoaded, prevSf) = readPrev()
     def time1(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -172,10 +221,12 @@ object Bench {
         inRunWaitMsLeft -= 5000; inRunWaitMsUsed += 5000
       }
     val loadStart = loadAvg()
+    val stealStart = stealMs()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       gateKey()
       val load0 = loadAvg()
       val gc0 = gcMs()
+      val steal0 = stealMs()
       val (v, ok) = time1(fn)
       val suspect = ok && prev.get(name).exists(p => p > 0 && v > 2 * p && v - p > 0.5)
       val firstRun = ok && prevLoaded && !prev.contains(name)
@@ -188,20 +239,25 @@ object Bench {
       // GC attribution covers every attempt for the key (a re-run's GC
       // is still this key's memory story); load is sampled at key start;
       // persisted-bytes sampled at key END so the memoized-population
-      // growth curve is readable per key (r10 verdict #3 telemetry)
-      (name, vKept, ok, rerun, gcMs() - gc0, load0, SessionMemo.storageBytes(spark))
+      // growth curve is readable per key (r10 verdict #3 telemetry);
+      // steal delta spans the key's attempts (host contention story)
+      val stealD = { val s1 = stealMs(); if (steal0 < 0 || s1 < 0) -1L else s1 - steal0 }
+      (name, vKept, ok, rerun, gcMs() - gc0, load0, SessionMemo.storageBytes(spark), stealD)
     }
-    val qs = results.map { case (k, v, ok, _, _, _, _) =>
+    val qs = results.map { case (k, v, ok, _, _, _, _, _) =>
       "\"" + k + "\":" + (if (ok) f3(v) else "-1") }.mkString("{", ",", "}")
     val failed = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val reran = results.filter(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val deltas = results.collect { case (k, v, true, _, _, _, _) if prev.get(k).exists(_ >= 0) =>
+    val deltas = results.collect { case (k, v, true, _, _, _, _, _) if prev.get(k).exists(_ >= 0) =>
       k -> (v - prev(k)) }
     val vsPrev = jmap(deltas)
     val total = results.filter(_._3).map(_._2).sum
-    val gcJson = results.map { case (k, _, _, _, g, _, _) => "\"" + k + "\":" + g }
+    val gcJson = results.map { case (k, _, _, _, g, _, _, _) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
-    val loadJson = jmap(results.map { case (k, _, _, _, _, l, _) => k -> l })
+    val loadJson = jmap(results.map { case (k, _, _, _, _, l, _, _) => k -> l })
+    val stealJson = results.map { case (k, _, _, _, _, _, _, st) => "\"" + k + "\":" + st }
+      .mkString("{", ",", "}")
+    val stealTotal = { val e = stealMs(); if (stealStart < 0 || e < 0) -1L else e - stealStart }
     val gcTotal = results.map(_._5).sum
     val loadEnd = loadAvg()
     // keys whose start-of-key loadavg looks EXTERNALLY polluted: the
@@ -219,40 +275,49 @@ object Bench {
     val polluted = results.filter(_._6 > pollutedBar).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val nPolluted = results.count(_._6 > pollutedBar)
-    val storageJson = results.map { case (k, _, _, _, _, _, sb) =>
+    val storageJson = results.map { case (k, _, _, _, _, _, sb, _) =>
       "\"" + k + "\":" + sb }.mkString("{", ",", "}")
     val storageMax = if (results.nonEmpty) results.map(_._7).max else 0L
     val storageEnd = SessionMemo.storageBytes(spark)
     // the COMPLETE record — every key, every delta, the telemetry — for
     // the next run and for humans; the printed line only summarizes it.
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"reran":$reran,"vs_prev":$vsPrev,"prev_loaded":$prevLoaded,"gc_ms":$gcJson,"load":$loadJson,"gc_total_ms":$gcTotal,"load_start":${f3(loadStart)},"load_end":${f3(loadEnd)},"load_gate":{"max_load":${f3(maxLoad)},"waits":$loadWaits,"load_after_gate":${f3(gatedLoad)},"inrun_wait_ms":$inRunWaitMsUsed,"polluted_bar":${f3(pollutedBar)}},"load_polluted":$polluted,"storage_bytes":$storageJson,"storage_bytes_max":$storageMax,"storage_bytes_end":$storageEnd,"sf":"$sfDir"}"""
-    // ---- baseline protection (r12 verdict #5) ------------------------
-    // The r12 driver's ambient run (load 2.6) overwrote the committed
-    // calm baseline in the working tree, so the next vs_prev would have
-    // computed against a polluted floor. The full record ALWAYS lands
-    // in bench_last.json; it is PROMOTED to bench_prev.json (the
-    // vs_prev floor) only when this run is at least as calm as the
-    // baseline it replaces: zero load-polluted samples and a post-gate
-    // load no higher than both the calm bar and the old baseline's own
-    // post-gate load (+0.5 jitter allowance) — BOTH bounds, i.e. the
-    // bar is the MIN of the two, else a load-2.6 ambient run would
-    // still displace a load-0.5 calm baseline through the admission
-    // gate's 3.0 (the exact r12 incident this exists to prevent). A
-    // missing/unparsable baseline always promotes — even a polluted,
-    // self-annotated record beats a permanently absent floor.
+    def record(value: Double, qsJson: String, extra: String): String =
+      s"""{"metric":"total","value":${f3(value)},"unit":"sec","queries":$qsJson,"failed":$failed,"reran":$reran,"vs_prev":$vsPrev,"prev_loaded":$prevLoaded,"gc_ms":$gcJson,"load":$loadJson,"gc_total_ms":$gcTotal,"load_start":${f3(loadStart)},"load_end":${f3(loadEnd)},"load_gate":{"max_load":${f3(maxLoad)},"waits":$loadWaits,"load_after_gate":${f3(gatedLoad)},"inrun_wait_ms":$inRunWaitMsUsed,"polluted_bar":${f3(pollutedBar)}},"load_polluted":$polluted,"steal_ms":$stealJson,"steal_total_ms":$stealTotal,"storage_bytes":$storageJson,"storage_bytes_max":$storageMax,"storage_bytes_end":$storageEnd$extra,"sf":"$sfDir"}"""
+    val full = record(total, qs, "")
+    // ---- baseline protection (r12 verdict #5, r13 min-merge) ---------
+    // bench_last.json always holds the pure new run. bench_prev.json —
+    // the vs_prev floor — is the per-key MIN of this run and the floor
+    // it extends (mergeFloor above has the full argument): a polluted
+    // run can only contribute times it achieved DESPITE the load, so
+    // min-merging from any run never degrades the floor, while the r12
+    // whole-file-replace policy either lost a slow run's genuine per-key
+    // improvements (when refusing) or let a thin mid-run ramp displace a
+    // calm floor wholesale (when the gate-time load looked clean — the
+    // r13 incident). shouldPromote survives as the run_calm ANNOTATION:
+    // whether this run met the calmness bars of the floor it fed. The
+    // SF guard: a floor measured at one SF never merges with a run at
+    // another — a changed SF resets the floor to this run.
     val prevGateLoad = readPrevGateLoad()
-    val promoteBar = math.min(maxLoad, prevGateLoad.getOrElse(maxLoad) + 0.5)
-    val promoted = shouldPromote(nPolluted, gatedLoad, maxLoad, prevGateLoad)
+    val runCalm = shouldPromote(nPolluted, gatedLoad, maxLoad, prevGateLoad)
+    val sfMatches = prevSf.forall(_ == sfDir)
+    val mergedSeq =
+      if (prevLoaded && sfMatches) mergeFloor(results.map(r => (r._1, r._2, r._3)), prev)
+      else results.map(r => (r._1, r._2, r._3))
+    val nKept = mergedSeq.zip(results).count { case ((_, mv, _), r) => r._3 && mv < r._2 }
+    val floor =
+      if (nKept > 0) {
+        val qsFloor = mergedSeq.map { case (k, v, ok) =>
+          "\"" + k + "\":" + (if (ok) f3(v) else "-1") }.mkString("{", ",", "}")
+        record(mergedSeq.filter(_._3).map(_._2).sum, qsFloor,
+          s""","floor_merged_keys":$nKept,"run_calm":$runCalm""")
+      } else record(total, qs, s""","floor_merged_keys":0,"run_calm":$runCalm""")
     try {
       Files.write(Paths.get(LastPath), full.getBytes("UTF-8"))
-      if (promoted) Files.write(Paths.get(PrevPath), full.getBytes("UTF-8"))
-      else System.err.println(s"bench: NOT promoting to $PrevPath " +
-        s"(n_polluted=$nPolluted, load_after_gate=${f3(gatedLoad)} vs " +
-        s"bar=${f3(promoteBar)}); full record at $LastPath")
+      Files.write(Paths.get(PrevPath), floor.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val slow10 = results.filter(_._3).sortBy(-_._2).take(10).map(r => r._1 -> r._2)
     val move10 = deltas.sortBy { case (_, d) => -math.abs(d) }.take(10)
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_keys":${results.length},"n_failed":${results.count(!_._3)},"failed":$failed,"reran":$reran,"prev_loaded":$prevLoaded,"gc_total_ms":$gcTotal,"load_start":${f3(loadStart)},"load_end":${f3(loadEnd)},"load_waits":$loadWaits,"inrun_wait_ms":$inRunWaitMsUsed,"n_load_polluted":$nPolluted,"baseline_promoted":$promoted,"storage_bytes_max":$storageMax,"queries":${jmap(slow10)},"vs_prev":${jmap(move10)},"full":"$LastPath"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_keys":${results.length},"n_failed":${results.count(!_._3)},"failed":$failed,"reran":$reran,"prev_loaded":$prevLoaded,"gc_total_ms":$gcTotal,"load_start":${f3(loadStart)},"load_end":${f3(loadEnd)},"load_waits":$loadWaits,"inrun_wait_ms":$inRunWaitMsUsed,"n_load_polluted":$nPolluted,"steal_total_ms":$stealTotal,"run_calm":$runCalm,"floor_merged_keys":$nKept,"storage_bytes_max":$storageMax,"queries":${jmap(slow10)},"vs_prev":${jmap(move10)},"full":"$LastPath"}"""
     spark.stop()
     // printed last so log noise can't interleave into the capture
     println(line)

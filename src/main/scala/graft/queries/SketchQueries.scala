@@ -153,6 +153,60 @@ object SketchQueries extends QueryPack {
             .cast("long").as("inter_est"))
     }),
 
+    // Deterministic HyperLogLog — the REGISTER-based distinct sketch
+    // with a full hash oracle, completing the deterministic sketch
+    // trio (KMV = order statistics, Count-Min = frequency, HLL =
+    // registers). Spark's native approx_count_distinct stays TEST-only
+    // (HLL++ internals are engine-private), but the classic Flajolet
+    // HLL is pure integer arithmetic on a portable hash, so every
+    // intermediate replays in SQL: h = md5Long("hll:"+user), register
+    // j = h mod 64, remainder w = h div 64 (54 bits), and the rank
+    // rho = leading-zeros(w)+1 computed EXACTLY as the position of the
+    // first '1' in lpad(bin(w),54,'0') — a string device, not libm, so
+    // there is no log2 rounding-boundary risk (both engines' bin() is
+    // minimal-width). Registers are max(rho) per (group, j) — a
+    // two-level partial aggregate that folds map-side to ≤64 cells per
+    // group, the textbook mergeable-sketch shape at 100 TB. The
+    // harmonic sum stays integer by scaling: Z = Σ_j 2^(55−M[j]) (absent
+    // registers contribute 2^55), so the only doubles are the final
+    // estimator tree — raw = ⌊α₆₄·m²·2^55/Z⌋ spelled with exponent
+    // literals as ONE shared IEEE tree, and the standard small-range
+    // linear-counting branch est = ⌊m·LN(m/V)⌋ when raw ≤ 2.5m and
+    // empty registers remain (LN = the accepted tfidf-precedent libm
+    // risk; its integer inputs are identical on both engines). The
+    // fixtures exercise BOTH branches: sf0.001/0.01 land in linear
+    // counting, sf0.1 (1500 distinct users/group ≫ 160) in raw HLL.
+    "agg_hll_det" -> ((s, d) => {
+      import graft.ops.TextOps
+      val base = T.events(s, d)
+        .select(col("event_type"),
+          TextOps.md5Long(concat(lit("hll:"), col("user_id"))).as("h"))
+        .selectExpr("event_type", "pmod(h, 64) AS j", "h DIV 64 AS w")
+        .withColumn("rho",
+          when(col("w") === 0L, lit(55))
+            .otherwise(instr(lpad(bin(col("w")), 54, "0"), "1"))
+            .cast("int"))
+      val regs = base.groupBy("event_type", "j").agg(max("rho").as("mj"))
+      val grouped = regs.groupBy("event_type").agg(
+        count(lit(1)).cast("long").as("n_present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - mj)")).as("z_present"))
+      val ex = T.events(s, d).groupBy("event_type")
+        .agg(countDistinct("user_id").cast("long").as("n_exact"))
+      grouped.join(ex, "event_type")
+        .withColumn("v0", lit(64L) - col("n_present"))
+        .withColumn("z", col("z_present") + col("v0") * lit(36028797018963968L))
+        .withColumn("raw", expr(
+          "CAST(FLOOR(7.09e-1 * 4.096e3 * (3.6028797018963968e16 / CAST(z AS DOUBLE))) AS BIGINT)"))
+        .withColumn("hll_est", expr(
+          "CASE WHEN v0 > 0 AND raw <= 160 " +
+            "THEN CAST(FLOOR(6.4e1 * LN(6.4e1 / CAST(v0 AS DOUBLE))) AS BIGINT) " +
+            "ELSE raw END"))
+        .withColumn("err_bp", expr(
+          "CAST(FLOOR(ABS(hll_est - n_exact) * 1e4 / CAST(n_exact AS DOUBLE)) AS BIGINT)"))
+        .select("event_type", "n_exact", "hll_est", "err_bp")
+        .orderBy("event_type")
+    }),
+
     // Count-Min frequency sketch over the corpus token stream, probed
     // at the exact top-10 tokens. The sketch is a d=4 × w=64 counter
     // grid: each token increments one bucket per hash row, and
@@ -198,6 +252,52 @@ object SketchQueries extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // replays the register pipeline verbatim: same 60-bit md5 hash,
+    // same mod-64 register split, rho via the identical lpad(bin(w))
+    // string device (DuckDB strpos ≡ Spark instr, both 1-based/0-if-
+    // absent and both bin()s minimal-width), integer-scaled harmonic
+    // sum, and the one shared IEEE estimator tree. SUMs wrapped in
+    // CAST(...AS BIGINT) — DuckDB SUM(BIGINT) is HUGEINT and fetches
+    // as float64 otherwise (the ts_changepoint lesson).
+    "agg_hll_det" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         CAST(('0x' || substring(md5('hll:' || user_id), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |rw AS (SELECT event_type, h % 64 AS j, h // 64 AS w FROM h),
+        |rho AS (
+        |  SELECT event_type, j,
+        |         CASE WHEN w = 0 THEN 55
+        |              ELSE strpos(lpad(bin(w), 54, '0'), '1') END AS rho
+        |  FROM rw),
+        |regs AS (SELECT event_type, j, MAX(rho) AS mj FROM rho GROUP BY 1, 2),
+        |grp AS (
+        |  SELECT event_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n_present,
+        |         CAST(SUM(CAST(1 AS BIGINT) << (55 - mj)) AS BIGINT) AS z_present
+        |  FROM regs GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY 1),
+        |est AS (
+        |  SELECT g.event_type, e.n_exact,
+        |         64 - g.n_present AS v0,
+        |         g.z_present + (64 - g.n_present) * 36028797018963968 AS z
+        |  FROM grp g JOIN ex e USING (event_type)),
+        |fin AS (
+        |  SELECT event_type, n_exact, v0,
+        |         CAST(FLOOR(7.09e-1 * 4.096e3 * (3.6028797018963968e16 / CAST(z AS DOUBLE))) AS BIGINT) AS raw
+        |  FROM est),
+        |picked AS (
+        |  SELECT event_type, n_exact,
+        |         CASE WHEN v0 > 0 AND raw <= 160
+        |              THEN CAST(FLOOR(6.4e1 * LN(6.4e1 / CAST(v0 AS DOUBLE))) AS BIGINT)
+        |              ELSE raw END AS hll_est
+        |  FROM fin)
+        |SELECT event_type, n_exact, hll_est,
+        |       CAST(FLOOR(ABS(hll_est - n_exact) * 1e4 / CAST(n_exact AS DOUBLE)) AS BIGINT) AS err_bp
+        |FROM picked ORDER BY event_type""".stripMargin,
+
     "agg_distinct_kmv" ->
       """WITH hashed AS (
         |  SELECT DISTINCT event_type,

@@ -41,6 +41,40 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("agg_hll_det: estimate within the m=64 error envelope, registers max-mergeable") {
+    // the two claims the deterministic HLL exists to make: (a) the
+    // estimate sits inside the classic 1.04/√m ≈ 13% envelope (3σ
+    // asserted — the fixture's deterministic draw measures 6-12%), and
+    // (b) registers are MAX-mergeable: per-shard register tables folded
+    // cell-wise by max must equal the whole-input registers — the
+    // partial-aggregate property that makes it a one-pass sketch at
+    // 100 TB. The oracle already pins the exact output values; this
+    // pins the statistics and the merge algebra.
+    val rows = SparkEntry.queries("agg_hll_det")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, exact, est, errBp) =>
+      assert(errBp <= 3900, s"$et: err $errBp bp exceeds the 3σ HLL envelope")
+      assert(errBp == math.floor(math.abs(est - exact) * 10000.0 / exact).toLong)
+    }
+    import graft.ops.TextOps
+    def regs(filter: org.apache.spark.sql.Column): Map[(String, Long), Int] =
+      T.events(spark, sf).filter(filter)
+        .select(col("event_type"),
+          TextOps.md5Long(concat(lit("hll:"), col("user_id"))).as("h"))
+        .selectExpr("event_type", "pmod(h, 64) AS j", "h DIV 64 AS w")
+        .withColumn("rho", when(col("w") === 0L, lit(55))
+          .otherwise(instr(lpad(bin(col("w")), 54, "0"), "1")).cast("int"))
+        .groupBy("event_type", "j").agg(max("rho").as("mj"))
+        .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getInt(2)).toMap
+    val even = regs(col("user_id") % 2 === 0)
+    val odd = regs(col("user_id") % 2 =!= 0)
+    val whole = regs(lit(true))
+    val folded = (even.keySet ++ odd.keySet).map { k =>
+      k -> math.max(even.getOrElse(k, 0), odd.getOrElse(k, 0)) }.toMap
+    assert(folded == whole, "per-shard max-folded registers != whole-input registers")
+  }
+
   test("sink_zorder_layout: the 2-dim box prunes scan rows a 1-dim sort cannot") {
     // the key's oracle proves the ANSWER is layout-invariant; this pins
     // the layout's point — identical data written (a) z-clustered and

@@ -153,6 +153,75 @@ object SketchQueries extends QueryPack {
             .cast("long").as("inter_est"))
     }),
 
+    // Deterministic Bloom filter — the membership sketch with a full
+    // hash oracle, pairing the native agg_bloom_filter (TEST-only:
+    // Catalyst's filter bytes are engine-private) the way agg_countmin
+    // pairs approx_top_k. Build side = partkeys with p_size = 50 (a
+    // naturally sparse ~2% slice); m = 4096 bits, k = 3 probes derived
+    // from ONE portable 60-bit md5 by Kirsch–Mitzenmacher double
+    // hashing — b_i = (h1 + i·h2) mod m with h1 = low 30 bits and
+    // h2 = 2·(high 30 bits)+1 (odd, so coprime with the power-of-two m;
+    // [Kirsch & Mitzenmacher 2006] shows g_i = h1 + i·h2 preserves the
+    // asymptotic FP rate of k independent hashes) — one digest per
+    // probe row instead of k; the filter is stored in the REAL Bloom layout — 4096 bits
+    // packed into 64 BIGINT words (bit_or-folded per word, densified
+    // over range(64)) on ONE broadcast row — which is the 100 TB
+    // join-pruning shape: the probe side (every lineitem row) evaluates
+    // membership MAP-SIDE as k O(1) word tests
+    // (word[b DIV 64] & (1 << b%64), AND-folded over k), no shuffle of
+    // non-matching rows and no per-row set scan (a first cut kept the
+    // filter as a sorted position ARRAY and probed with array_except —
+    // Catalyst rebuilds the ~900-element hash set PER ROW, O(rows·|bits|),
+    // and it benched 15.6 s vs ~1 s for the word test — the
+    // representation IS the operator here). Output is the (maybe, actual)
+    // confusion matrix with row counts: (true,true) hits, (true,false)
+    // the false positives the ~1.2% fill-rate theory predicts at sf0.1,
+    // (false,false) pruned — and a (false,true) row CANNOT appear
+    // (collisions only set bits, never clear them), which the oracle
+    // enforces structurally: a false negative would emit a row the
+    // replay does not have. The replay computes the same bits/probes
+    // on DISTINCT keys (maybe/actual are key-functions) and weighs by
+    // per-key row counts — arithmetically identical to Spark's
+    // probe-per-row aggregation.
+    "agg_bloom_det" -> ((s, d) => {
+      import graft.ops.TextOps
+      val m = 4096L
+      def bitsOf(key: org.apache.spark.sql.Column) = {
+        val h = TextOps.md5Long(concat(lit("bf:"), key))
+        val h1 = pmod(h, lit(1073741824L))
+        val h2 = shiftright(h, 30) * lit(2L) + lit(1L)
+        array((0 until 3).map(i => pmod(h1 + lit(i.toLong) * h2, lit(m))): _*)
+      }
+      val build = T.part(s, d).filter(col("p_size") === 50)
+        .select(col("p_partkey")).distinct()
+      // pack set bits into 64 BIGINT words; densify over range(64) so
+      // element_at is total, then fold the words into one ordered array
+      val words = build.select(explode(bitsOf(col("p_partkey"))).as("b"))
+        .groupBy(shiftright(col("b"), 6).cast("int").as("w"))
+        .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 64 AS INT))"))
+          .as("word"))
+      val bloom = s.range(64).select(col("id").cast("int").as("w"))
+        .join(words, Seq("w"), "left")
+        .agg(transform(array_sort(collect_list(struct(col("w"),
+          coalesce(col("word"), lit(0L)).as("word")))), x => x("word"))
+          .as("bitmap"))
+      val probed = T.lineitem(s, d).select(col("l_partkey"))
+        .crossJoin(broadcast(bloom))
+        .withColumn("h", TextOps.md5Long(concat(lit("bf:"), col("l_partkey"))))
+        .withColumn("h1", pmod(col("h"), lit(1073741824L)))
+        .withColumn("h2", shiftright(col("h"), 30) * lit(2L) + lit(1L))
+        .withColumn("maybe", (0 until 3).map(i => expr(
+          s"(element_at(bitmap, CAST(pmod(h1 + $i * h2, $m) DIV 64 AS INT) + 1) & " +
+          s"shiftleft(CAST(1 AS BIGINT), CAST(pmod(h1 + $i * h2, $m) % 64 AS INT))) <> 0"))
+          .reduce(_ && _))
+      val actual = build.select(col("p_partkey").as("bk"))
+      probed.join(broadcast(actual), col("l_partkey") === col("bk"), "left")
+        .withColumn("actual", col("bk").isNotNull)
+        .groupBy("maybe", "actual")
+        .agg(count(lit(1)).cast("long").as("n_rows"))
+        .orderBy("maybe", "actual")
+    }),
+
     // Deterministic HyperLogLog — the REGISTER-based distinct sketch
     // with a full hash oracle, completing the deterministic sketch
     // trio (KMV = order statistics, Count-Min = frequency, HLL =
@@ -252,6 +321,45 @@ object SketchQueries extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // replays bits/probes on DISTINCT keys (maybe/actual are functions
+    // of the key) weighted by per-key row counts — identical totals to
+    // Spark's probe-per-row fold. A Spark false negative would emit a
+    // (false,true) row the replay cannot produce -> structural FN pin.
+    "agg_bloom_det" ->
+      """WITH build AS (
+        |  SELECT DISTINCT p_partkey FROM part WHERE p_size = 50),
+        |hs AS (SELECT unnest([0, 1, 2]) AS i),
+        |bh AS (
+        |  SELECT CAST(('0x' || substring(md5('bf:' || p_partkey), 1, 15)) AS BIGINT) AS h
+        |  FROM build),
+        |bits AS (
+        |  SELECT DISTINCT
+        |         (h % 1073741824 + hs.i * (2 * (h // 1073741824) + 1)) % 4096 AS b
+        |  FROM bh CROSS JOIN hs),
+        |keys AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1),
+        |kh AS (
+        |  SELECT l_partkey,
+        |         CAST(('0x' || substring(md5('bf:' || l_partkey), 1, 15)) AS BIGINT) AS h
+        |  FROM keys),
+        |kb AS (
+        |  SELECT k.l_partkey,
+        |         (h % 1073741824 + hs.i * (2 * (h // 1073741824) + 1)) % 4096 AS b
+        |  FROM kh k CROSS JOIN hs),
+        |hits AS (
+        |  SELECT kb.l_partkey, CAST(COUNT(*) AS BIGINT) AS nhit
+        |  FROM kb JOIN bits USING (b) GROUP BY 1),
+        |flags AS (
+        |  SELECT k.l_partkey, k.n,
+        |         COALESCE(h.nhit, 0) = 3 AS maybe,
+        |         (b2.p_partkey IS NOT NULL) AS actual
+        |  FROM keys k
+        |  LEFT JOIN hits h USING (l_partkey)
+        |  LEFT JOIN build b2 ON k.l_partkey = b2.p_partkey)
+        |SELECT maybe, actual, CAST(SUM(n) AS BIGINT) AS n_rows
+        |FROM flags GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // replays the register pipeline verbatim: same 60-bit md5 hash,
     // same mod-64 register split, rho via the identical lpad(bin(w))
     // string device (DuckDB strpos ≡ Spark instr, both 1-based/0-if-

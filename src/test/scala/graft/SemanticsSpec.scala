@@ -41,6 +41,49 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("agg_bloom_det: zero false negatives, FP rate inside theory, bit set union-mergeable") {
+    // (a) no (maybe=false, actual=true) row may exist — bits are only
+    // ever SET, so a member's k bits are always present; (b) the FP
+    // KEY-rate is bounded by ~2x the fill-rate theory (1-e^{-kn/m})^k;
+    // (c) the filter is union-mergeable: per-shard bit sets OR-folded
+    // equal the whole-build bit set — the partial-aggregate property.
+    val rows = SparkEntry.queries("agg_bloom_det")(spark, sf)
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(!rows.exists { case (maybe, actual, _) => !maybe && actual },
+      "bloom produced a false negative")
+    import graft.ops.TextOps
+    def kmBits(key: org.apache.spark.sql.Column) = {
+      val h = TextOps.md5Long(concat(lit("bf:"), key))
+      val h1 = pmod(h, lit(1073741824L))
+      val h2 = shiftright(h, 30) * lit(2L) + lit(1L)
+      array((0 until 3).map(i =>
+        pmod(h1 + lit(i.toLong) * h2, lit(4096L))): _*)
+    }
+    def bitsOf(filter: org.apache.spark.sql.Column): Set[Long] =
+      T.part(spark, sf).filter(col("p_size") === 50).filter(filter)
+        .select(explode(kmBits(col("p_partkey"))).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSet
+    val whole = bitsOf(lit(true))
+    assert((bitsOf(col("p_partkey") % 2 === 0) union
+      bitsOf(col("p_partkey") % 2 =!= 0)) == whole,
+      "per-shard OR-folded bit sets != whole-build bit set")
+    // FP KEY-rate vs fill-rate theory, re-derived on distinct probe
+    // keys with the key's exact hash formula against the whole bit set
+    val n = T.part(spark, sf).filter(col("p_size") === 50).count()
+    val fpTheory = math.pow(1.0 - math.exp(-3.0 * n / 4096.0), 3)
+    val bitsLit = typedLit(whole.toSeq.sorted)
+    val keys = T.lineitem(spark, sf).select(col("l_partkey")).distinct()
+      .join(T.part(spark, sf).filter(col("p_size") === 50)
+        .select(col("p_partkey").as("bk")), col("l_partkey") === col("bk"), "left")
+    val nonMemberKeys = keys.filter(col("bk").isNull).count()
+    val fpKeys = keys.filter(col("bk").isNull)
+      .filter(size(array_except(kmBits(col("l_partkey")), bitsLit)) === 0)
+      .count()
+    assert(fpKeys <= math.max(4.0, 2.0 * fpTheory * nonMemberKeys),
+      s"FP keys $fpKeys exceed 2x theory ${fpTheory * nonMemberKeys}")
+  }
+
   test("agg_hll_det: estimate within the m=64 error envelope, registers max-mergeable") {
     // the two claims the deterministic HLL exists to make: (a) the
     // estimate sits inside the classic 1.04/√m ≈ 13% envelope (3σ

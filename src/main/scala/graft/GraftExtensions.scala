@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // through BOTH installation paths
     if (!sys.env.contains("GRAFT_NO_HOF_DOT"))
       ext.injectOptimizerRule(_ => graft.plans.RewriteHofDot)
+    if (!sys.env.contains("GRAFT_NO_NATIVE_MD5"))
+      ext.injectOptimizerRule(_ => graft.plans.RewriteMd5Prefix)
   }
 }
 
@@ -81,6 +83,11 @@ object GraftFunctions {
       if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteHofDot))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ graft.plans.RewriteHofDot
+    }
+    if (!sys.env.contains("GRAFT_NO_NATIVE_MD5")) spark.experimental.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteMd5Prefix))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.RewriteMd5Prefix
     }
   }
 

@@ -222,6 +222,55 @@ object SketchQueries extends QueryPack {
         .orderBy("maybe", "actual")
     }),
 
+    // Exact distributed quantiles in TWO PASSES — the deterministic
+    // twin of the TEST-only agg_approx_quantile, and the shape exact
+    // percentiles take at 100 TB where a global sort is off the table:
+    // pass 1 histograms integer-cent prices into 4096 equi-width bins
+    // (map-side partial aggregate over <= 4096 keys, one tiny shuffle);
+    // the bin histogram + its running sum locate, for each target rank
+    // k = ceil(q*n), the ONE bin holding it and the residual rank
+    // inside that bin. Pass 2 re-scans with a broadcast semi-filter to
+    // the <= 5 target bins (99.9% of rows dropped map-side), sorts only
+    // those slices (row_number per target over ~n/4096 rows), and picks
+    // the residual rank. No driver scalars: min/max and n ride as
+    // 1-row/4096-row broadcasts. All arithmetic is integer (cents,
+    // basis-point ranks via (q_bp*n + 9999) DIV 10000), so both
+    // engines agree bit-for-bit; the oracle replays rank selection
+    // directly (row_number = k), which is the DEFINITION the binning
+    // must reproduce — ties across a bin boundary cannot split (equal
+    // values share a bin), and the value at global rank k is unique
+    // under any tie permutation.
+    "agg_quantile_det" -> ((s, d) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val B = 4096L
+      val v = T.lineitem(s, d).select(
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("c"))
+      val mm = v.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+      val binned = v.crossJoin(broadcast(mm))
+        .withColumn("bin", expr(s"((c - lo) * $B) DIV (hi - lo + 1)"))
+      val hist = binned.groupBy("bin").agg(count(lit(1)).as("cnt"))
+      // windows over the <= 4096-row histogram, not the data
+      val hist2 = hist
+        .withColumn("cum_below", coalesce(sum("cnt").over(
+          W.orderBy("bin").rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum("cnt").over(
+          W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      val targets = Seq(2500, 5000, 7500, 9000, 9900).toDF("q_bp")
+        .crossJoin(hist2)
+        .withColumn("k", expr("(CAST(q_bp AS BIGINT) * n + 9999) DIV 10000"))
+        .filter(col("cum_below") < col("k") &&
+          col("k") <= col("cum_below") + col("cnt"))
+        .select(col("q_bp"), col("n"), col("k"), col("bin"),
+          (col("k") - col("cum_below")).as("rank_in_bin"))
+      binned.join(broadcast(targets), Seq("bin"))
+        .withColumn("rn", row_number().over(W.partitionBy("q_bp").orderBy("c")))
+        .filter(col("rn") === col("rank_in_bin"))
+        .select(col("q_bp"), col("n"), col("k"), col("c").as("value_cents"))
+        .orderBy("q_bp")
+    }),
+
     // Deterministic HyperLogLog — the REGISTER-based distinct sketch
     // with a full hash oracle, completing the deterministic sketch
     // trio (KMV = order statistics, Count-Min = frequency, HLL =
@@ -359,6 +408,22 @@ object SketchQueries extends QueryPack {
         |  LEFT JOIN build b2 ON k.l_partkey = b2.p_partkey)
         |SELECT maybe, actual, CAST(SUM(n) AS BIGINT) AS n_rows
         |FROM flags GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // replays rank selection DIRECTLY (row_number = k over the sorted
+    // cents) — the definition the two-pass binning must reproduce;
+    // identical integer k and decimal-cents device on both engines
+    "agg_quantile_det" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        |qs AS (SELECT CAST(unnest([2500, 5000, 7500, 9000, 9900]) AS INT) AS q_bp),
+        |t AS (SELECT q_bp, n, (CAST(q_bp AS BIGINT) * n + 9999) // 10000 AS k
+        |      FROM qs CROSS JOIN nn),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v)
+        |SELECT t.q_bp, t.n, t.k, r.c AS value_cents
+        |FROM t JOIN r ON r.rn = t.k
+        |ORDER BY q_bp""".stripMargin,
 
     // replays the register pipeline verbatim: same 60-bit md5 hash,
     // same mod-64 register split, rho via the identical lpad(bin(w))

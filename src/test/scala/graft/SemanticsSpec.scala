@@ -84,6 +84,24 @@ class SemanticsSpec extends SparkSpec {
       s"FP keys $fpKeys exceed 2x theory ${fpTheory * nonMemberKeys}")
   }
 
+  test("agg_quantile_det: two-pass bin selection equals direct rank selection") {
+    // the operator's whole claim: histogram + within-bin residual rank
+    // picks exactly the value a global sort would put at rank
+    // k = ceil(q*n), for every target, including duplicate-heavy data
+    val rows = SparkEntry.queries("agg_quantile_det")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 5, s"expected 5 quantiles, got ${rows.length}")
+    val cents = T.lineitem(spark, sf)
+      .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    for ((qbp, nn, k, v) <- rows) {
+      assert(nn == n)
+      assert(k == (qbp.toLong * n + 9999) / 10000, s"rank formula drift at $qbp")
+      assert(v == cents((k - 1).toInt), s"value at rank $k differs for q_bp=$qbp")
+    }
+  }
+
   test("agg_hll_det: estimate within the m=64 error envelope, registers max-mergeable") {
     // the two claims the deterministic HLL exists to make: (a) the
     // estimate sits inside the classic 1.04/√m ≈ 13% envelope (3σ

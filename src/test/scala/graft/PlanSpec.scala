@@ -862,4 +862,28 @@ class PlanSpec extends SparkSpec {
     assert(!readCols.contains("l_comment") && readCols.size <= 8,
       s"scan reads more columns than the query needs: $readCols")
   }
+
+  test("agg_quantile_det: target-bin prune is a broadcast join, no sort-merge") {
+    // pass 2's whole point: rows reach the rank window only through a
+    // broadcast hash join against the <= 5 target bins (map-side drop
+    // of ~99.9% of the scan), and the big side is never sort-merged
+    val p = planOf("agg_quantile_det")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "target-bin filter must be a broadcast hash join")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "no shuffle join may touch the full scan")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("agg_bloom_det / agg_hll_det: probe side joins only broadcasts") {
+    // the sketch is ONE broadcast row; the probe scan must never
+    // shuffle (the 100 TB shape: filter bytes move, rows do not)
+    Seq("agg_bloom_det", "agg_hll_det").foreach { name =>
+      val p = planOf(name)
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"$name shuffles its probe side")
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$name has a CartesianProduct node")
+    }
+  }
 }

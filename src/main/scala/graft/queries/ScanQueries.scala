@@ -147,6 +147,72 @@ object ScanQueries extends QueryPack {
       s.read.text(tmp).select(col("value")).orderBy("value")
     }),
 
+    "scan_avro_roundtrip" -> ((s, d) => {
+      // Avro completes the format matrix (csv/json/xml/orc/text/gzip/
+      // binary/parquet): the row-oriented container format Kafka
+      // pipelines and schema registries standardize on. spark-avro
+      // (the DataSource) is not bundled in this distribution, but
+      // Apache Avro itself ships in Spark's own jars — so the
+      // roundtrip exercises the REAL object-container format through
+      // the avro Java API: each task writes its partition as one
+      // deflate-compressed .avro container (executor-side
+      // foreachPartition, the binaryFile-layout precedent), and the
+      // read path goes binaryFile -> DataFileStream per file, so
+      // sync-marker framing, block deflate, and schema header all
+      // round-trip. At 100 TB this is the one-container-per-task
+      // ingest shape; containers are splittable by sync marker (a
+      // distributed reader would split blocks — the per-file
+      // DataFileStream here is the single-container case). Oracle is
+      // the identity SELECT: any encode/decode loss hash-mismatches.
+      import s.implicits._
+      val avroSchemaJson =
+        """{"type":"record","name":"Doc","fields":[
+          |{"name":"doc_id","type":"long"},
+          |{"name":"lang","type":"string"},
+          |{"name":"text","type":"string"}]}""".stripMargin
+      val tmp = graft.Tmp.cachedLayout("avro", d) { p =>
+        T.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+          .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+            if (rows.hasNext) {
+              import org.apache.avro.Schema
+              import org.apache.avro.file.{CodecFactory, DataFileWriter}
+              import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+              val schema = new Schema.Parser().parse(avroSchemaJson)
+              val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+              w.setCodec(CodecFactory.deflateCodec(6))
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              w.create(schema, new java.io.File(p, f"part-$pid%05d.avro"))
+              rows.foreach { r =>
+                val rec = new GenericData.Record(schema)
+                rec.put("doc_id", r.getLong(0))
+                rec.put("lang", r.getString(1))
+                rec.put("text", r.getString(2))
+                w.append(rec)
+              }
+              w.close()
+            }
+          }
+      }
+      s.read.format("binaryFile").load(tmp)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap { bytes =>
+          import org.apache.avro.file.DataFileStream
+          import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+          val in = new java.io.ByteArrayInputStream(bytes)
+          val rd = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+          while (rd.hasNext) {
+            val rec = rd.next()
+            out += ((rec.get("doc_id").asInstanceOf[Long],
+              rec.get("lang").toString, rec.get("text").toString))
+          }
+          rd.close()
+          out
+        }
+        .toDF("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     "scan_binaryfile" -> ((s, d) => {
       // the multimodal ingest source: opaque media FILES read through
       // Spark's binaryFile format — (path, modificationTime, length,
@@ -216,6 +282,8 @@ object ScanQueries extends QueryPack {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "scan_xml_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "scan_avro_roundtrip" ->
+      "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
     "scan_text_roundtrip" ->
       "SELECT text AS value FROM documents ORDER BY value",
     "scan_text_gzip" ->

@@ -1,6 +1,5 @@
 package graft.expr
 
-import org.apache.commons.codec.digest.DigestUtils
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -52,12 +51,18 @@ case class Md5PrefixLong(child: Expression, nibbles: Int)
 }
 
 object Md5PrefixLong {
+  // per-thread digest instance: DigestUtils.md5 would pay a JCA
+  // provider lookup + allocation PER ROW — the very cost this
+  // expression exists to remove. digest(byte[]) resets the instance.
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   /** Value of the first `nibbles` hex digits of md5(in), i.e. the top
     * 4·nibbles bits of the digest. Called from generated code via the
     * companion's static forwarder.
     */
   def md5Prefix(in: Array[Byte], nibbles: Int): Long = {
-    val d = DigestUtils.md5(in)
+    val d = md.get().digest(in)
     var v = 0L
     var i = 0
     while (i < nibbles) {

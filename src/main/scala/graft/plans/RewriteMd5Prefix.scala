@@ -27,9 +27,11 @@ import graft.expr.Md5PrefixLong
   *
   * Match discipline: substring must start at position 1 with a
   * literal length in [1, 15], conv must be literal base 16 → 10, and
-  * the enclosing cast must target BIGINT or INT. Anything else —
-  * other offsets, dynamic lengths, other bases — keeps the string
-  * semantics. Installed alongside RewriteHofDot by
+  * the enclosing cast must target BIGINT, or INT with n ≤ 7 (n ≥ 8
+  * can exceed Int range, where the legacy string→int cast returns
+  * NULL but a long→int cast would WRAP — that arm must keep the
+  * string semantics). Anything else — other offsets, dynamic
+  * lengths, other bases — keeps the string semantics. Installed alongside RewriteHofDot by
   * `GraftFunctions.register` and `GraftExtensions`;
   * `GRAFT_NO_NATIVE_MD5` disables installation for A/B measurement.
   */
@@ -50,7 +52,7 @@ object RewriteMd5Prefix extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case Cast(HashChain(bin, n), LongType, _, _) =>
         Md5PrefixLong(bin, n)
-      case c @ Cast(HashChain(bin, n), IntegerType, _, _) =>
+      case c @ Cast(HashChain(bin, n), IntegerType, _, _) if n <= 7 =>
         c.copy(child = Md5PrefixLong(bin, n))
     }
 }

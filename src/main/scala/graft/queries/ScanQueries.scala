@@ -170,18 +170,22 @@ object ScanQueries extends QueryPack {
           |{"name":"doc_id","type":"long"},
           |{"name":"lang","type":"string"},
           |{"name":"text","type":"string"}]}""".stripMargin
-      val tmp = graft.Tmp.cachedLayout("avro", d) { p =>
-        T.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
-          .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-            if (rows.hasNext) {
-              import org.apache.avro.Schema
-              import org.apache.avro.file.{CodecFactory, DataFileWriter}
-              import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
-              val schema = new Schema.Parser().parse(avroSchemaJson)
-              val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      // write per CALL, like every roundtrip sibling: the sink IS the
+      // declared semantics, so caching the layout would make repeat
+      // invocations (bench warm passes) read-only
+      val tmp = graft.Tmp.dir("avro").toString
+      T.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          if (rows.hasNext) {
+            import org.apache.avro.Schema
+            import org.apache.avro.file.{CodecFactory, DataFileWriter}
+            import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+            val schema = new Schema.Parser().parse(avroSchemaJson)
+            val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+            try {
               w.setCodec(CodecFactory.deflateCodec(6))
               val pid = org.apache.spark.TaskContext.getPartitionId()
-              w.create(schema, new java.io.File(p, f"part-$pid%05d.avro"))
+              w.create(schema, new java.io.File(tmp, f"part-$pid%05d.avro"))
               rows.foreach { r =>
                 val rec = new GenericData.Record(schema)
                 rec.put("doc_id", r.getLong(0))
@@ -189,10 +193,9 @@ object ScanQueries extends QueryPack {
                 rec.put("text", r.getString(2))
                 w.append(rec)
               }
-              w.close()
-            }
+            } finally w.close()
           }
-      }
+        }
       s.read.format("binaryFile").load(tmp)
         .select(col("content")).as[Array[Byte]]
         .flatMap { bytes =>
@@ -200,14 +203,15 @@ object ScanQueries extends QueryPack {
           import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
           val in = new java.io.ByteArrayInputStream(bytes)
           val rd = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
-          while (rd.hasNext) {
-            val rec = rd.next()
-            out += ((rec.get("doc_id").asInstanceOf[Long],
-              rec.get("lang").toString, rec.get("text").toString))
-          }
-          rd.close()
-          out
+          try {
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+            while (rd.hasNext) {
+              val rec = rd.next()
+              out += ((rec.get("doc_id").asInstanceOf[Long],
+                rec.get("lang").toString, rec.get("text").toString))
+            }
+            out
+          } finally rd.close()
         }
         .toDF("doc_id", "lang", "text")
         .orderBy("doc_id")

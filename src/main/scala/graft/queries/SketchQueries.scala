@@ -26,6 +26,22 @@ import graft.{QueryPack, Tables => T}
   */
 object SketchQueries extends QueryPack {
 
+  /** agg_bloom_det's filter geometry and probe-bit derivation, shared
+    * with SemanticsSpec so the FP/union pins can never drift from the
+    * filter the query actually builds: k = 3 Kirsch–Mitzenmacher
+    * positions b_i = (h1 + i·h2) mod m from ONE 60-bit md5
+    * (h1 = low 30 bits, h2 = 2·high30 + 1 — odd, so the three bits
+    * are pairwise distinct mod the power-of-two m).
+    */
+  private[graft] val bloomM = 4096L
+  private[graft] def bloomProbeBits(key: org.apache.spark.sql.Column) = {
+    import graft.ops.TextOps
+    val h = TextOps.md5Long(concat(lit("bf:"), key))
+    val h1 = pmod(h, lit(1073741824L))
+    val h2 = shiftright(h, 30) * lit(2L) + lit(1L)
+    array((0 until 3).map(i => pmod(h1 + lit(i.toLong) * h2, lit(bloomM))): _*)
+  }
+
   val queries: Map[String, QueryFn] = Map(
     // customers probed against a Bloom filter of order-holding keys;
     // output = flag counts (TEST asserts zero false negatives + low FPR)
@@ -185,13 +201,8 @@ object SketchQueries extends QueryPack {
     // probe-per-row aggregation.
     "agg_bloom_det" -> ((s, d) => {
       import graft.ops.TextOps
-      val m = 4096L
-      def bitsOf(key: org.apache.spark.sql.Column) = {
-        val h = TextOps.md5Long(concat(lit("bf:"), key))
-        val h1 = pmod(h, lit(1073741824L))
-        val h2 = shiftright(h, 30) * lit(2L) + lit(1L)
-        array((0 until 3).map(i => pmod(h1 + lit(i.toLong) * h2, lit(m))): _*)
-      }
+      val m = bloomM
+      def bitsOf(key: org.apache.spark.sql.Column) = bloomProbeBits(key)
       val build = T.part(s, d).filter(col("p_size") === 50)
         .select(col("p_partkey")).distinct()
       // pack set bits into 64 BIGINT words; densify over range(64) so

@@ -52,14 +52,10 @@ class SemanticsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(!rows.exists { case (maybe, actual, _) => !maybe && actual },
       "bloom produced a false negative")
-    import graft.ops.TextOps
-    def kmBits(key: org.apache.spark.sql.Column) = {
-      val h = TextOps.md5Long(concat(lit("bf:"), key))
-      val h1 = pmod(h, lit(1073741824L))
-      val h2 = shiftright(h, 30) * lit(2L) + lit(1L)
-      array((0 until 3).map(i =>
-        pmod(h1 + lit(i.toLong) * h2, lit(4096L))): _*)
-    }
+    // probe-bit derivation SHARED with the query (SketchQueries
+    // .bloomProbeBits) — the pins always test the filter as built
+    def kmBits(key: org.apache.spark.sql.Column) =
+      graft.queries.SketchQueries.bloomProbeBits(key)
     def bitsOf(filter: org.apache.spark.sql.Column): Set[Long] =
       T.part(spark, sf).filter(col("p_size") === 50).filter(filter)
         .select(explode(kmBits(col("p_partkey"))).as("b"))

@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dotDescriptor)
     ext.injectFunction(GraftFunctions.bloomAggDescriptor)
     ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
+    ext.injectFunction(GraftFunctions.md5PrefixDescriptor)
     // same kill-switch as register(): an A/B "OFF" run must stay off
     // through BOTH installation paths
     if (!sys.env.contains("GRAFT_NO_HOF_DOT"))
@@ -47,6 +48,24 @@ object GraftFunctions {
       args.head, args(1))
   }
 
+  /** the native 60-bit portable hash for SQL users: the DataFrame
+    * layer reaches it through [[graft.plans.RewriteMd5Prefix]], but a
+    * SQL caller should not have to spell the conv(substring(md5))
+    * chain to get the codegen'd digest fold. nibbles must be a
+    * literal int in [1, 15] (checked by the expression itself).
+    */
+  private def buildMd5Prefix(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "graft_md5_prefix(col, nibblesLiteral)")
+    val n = args(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_md5_prefix nibbles must be an int literal, got $other")
+    }
+    graft.expr.Md5PrefixLong(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        args.head, org.apache.spark.sql.types.BinaryType), n)
+  }
+
   val dotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
@@ -66,6 +85,12 @@ object GraftFunctions {
         "graft_might_contain"),
       buildBloomContains)
 
+  val md5PrefixDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_md5_prefix"),
+      new ExpressionInfo(classOf[graft.expr.Md5PrefixLong].getName,
+        "graft_md5_prefix"),
+      buildMd5Prefix)
+
   /** Idempotent per-session registration, for sessions created without
     * the extensions conf (e.g. the driver's own harness session).
     */
@@ -74,6 +99,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_dot", build, "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_agg", buildBloomAgg, "built-in")
     reg.createOrReplaceTempFunction("graft_might_contain", buildBloomContains, "built-in")
+    reg.createOrReplaceTempFunction("graft_md5_prefix", buildMd5Prefix, "built-in")
     // the HOF-dot rewrite rides along with function registration so
     // every harness session gets it (GRAFT_NO_HOF_DOT disables for A/B
     // measurement). check-then-append is raced under concurrent query

@@ -76,4 +76,14 @@ class Md5PrefixSpec extends SparkSpec {
     assert(!plansNative(off.selectExpr(
       "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS INT) AS h")))
   }
+
+  test("graft_md5_prefix SQL function equals the declarative chain") {
+    GraftFunctions.register(spark)
+    val rows = spark.range(16)
+      .selectExpr("concat('k', id) AS s")
+      .selectExpr("graft_md5_prefix(s, 15) AS fast",
+        "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS ref")
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
 }

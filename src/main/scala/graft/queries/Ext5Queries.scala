@@ -175,6 +175,49 @@ object Ext5Queries extends QueryPack {
         .orderBy("label", "same_label")
     }),
 
+    // Iterative proportional fitting (raking) of the corpus mixture —
+    // the domain-reweighting shape a multilingual training pipeline
+    // runs before sampling: fit per-(lang, source) cell weights so the
+    // LANG margins follow α=0.5 temperature-scaled shares (the
+    // sqrt-of-count upweighting of low-resource languages that
+    // mBERT/XLM popularized) while the SOURCE margins balance to
+    // uniform — two targets no single-pass scaling can hit at once,
+    // which is exactly what IPF's alternating margin fits solve. Four
+    // half-steps (lang, source, lang, source), declared. ALL-INTEGER:
+    // cell mass starts at n·1e6 ppm and each half-step is
+    // m ← (m · T_dim) DIV Σ_partition m — truncating integer division
+    // on BIGINTs, identical on both engines (the point is engine
+    // parity, not unit mass: IPF converges the same way under ppm
+    // truncation, and the one double is FLOOR(SQRT(n_l)) of an exact
+    // int, IEEE-identical). Windows run over the ≤|langs|·|sources|
+    // cell table, never the corpus; at 100 TB the only corpus-sized
+    // work is the first groupBy — everything after is dimension-sized.
+    // A cell whose mass truncates to 0 stays 0 (deterministic both
+    // engines); a WHOLE margin truncating to 0 would divide by zero,
+    // impossible while every lang's target ≥ its cell count in ppm.
+    "sample_mixture_ipf" -> ((s, d) => {
+      val cells = T.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val langT = cells.groupBy("lang").agg(sum("n").as("nl"))
+        .withColumn("sq", expr("CAST(FLOOR(SQRT(CAST(nl AS DOUBLE))) AS BIGINT)"))
+        .withColumn("t_lang", expr("(sq * 1000000) DIV (SUM(sq) OVER ())"))
+        .select("lang", "t_lang")
+      val srcT = cells.agg(
+        expr("CAST(1000000 DIV COUNT(DISTINCT source) AS BIGINT)").as("t_src"))
+      val base = cells.join(broadcast(langT), Seq("lang"))
+        .crossJoin(broadcast(srcT))
+        .withColumn("m", col("n") * lit(1000000L))
+      val fitted = Seq("lang" -> "t_lang", "source" -> "t_src",
+        "lang" -> "t_lang", "source" -> "t_src")
+        .foldLeft(base) { case (df, (dim, t)) =>
+          df.withColumn("m",
+            expr(s"(m * $t) DIV (SUM(m) OVER (PARTITION BY $dim))"))
+        }
+      fitted.select(col("lang"), col("source"), col("n").as("n_docs"),
+          col("m").as("weight_ppm"))
+        .orderBy("lang", "source")
+    }),
+
     "sample_neyman" -> ((s, d) => {
       // Neyman (variance-optimal) stratified-sampling allocation: with
       // a fixed label budget, stratum h gets n_h ∝ N_h·σ_h — high-
@@ -526,6 +569,33 @@ object Ext5Queries extends QueryPack {
         |       ROUND(CAST(SUM(m) AS DOUBLE) / (COUNT(*) * 1e6), 4) AS avg_cos
         |FROM m GROUP BY la, same_label
         |ORDER BY label, same_label""".stripMargin,
+
+    // replays the identical integer IPF: ppm cell masses, truncating
+    // BIGINT division against the partitioned margin sums (windowed
+    // SUM casts back to BIGINT each step — DuckDB SUM(BIGINT) is
+    // HUGEINT, the ts_changepoint float64-fetch class), same four
+    // half-steps, same sqrt-temperature lang targets
+    "sample_mixture_ipf" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |lt AS (
+        |  SELECT lang, CAST(FLOOR(SQRT(CAST(SUM(n) AS DOUBLE))) AS BIGINT) AS sq
+        |  FROM cells GROUP BY 1),
+        |lt2 AS (
+        |  SELECT lang, CAST((sq * 1000000) // (SELECT CAST(SUM(sq) AS BIGINT) FROM lt) AS BIGINT) AS t_lang
+        |  FROM lt),
+        |st0 AS (SELECT CAST(1000000 // COUNT(DISTINCT source) AS BIGINT) AS t_src FROM cells),
+        |m0 AS (
+        |  SELECT c.lang, c.source, c.n, c.n * 1000000 AS m, l.t_lang,
+        |         (SELECT t_src FROM st0) AS t_src
+        |  FROM cells c JOIN lt2 l USING (lang)),
+        |m1 AS (SELECT lang, source, n, CAST((m * t_lang) // (SUM(m) OVER (PARTITION BY lang)) AS BIGINT) AS m, t_lang, t_src FROM m0),
+        |m2 AS (SELECT lang, source, n, CAST((m * t_src) // (SUM(m) OVER (PARTITION BY source)) AS BIGINT) AS m, t_lang, t_src FROM m1),
+        |m3 AS (SELECT lang, source, n, CAST((m * t_lang) // (SUM(m) OVER (PARTITION BY lang)) AS BIGINT) AS m, t_lang, t_src FROM m2),
+        |m4 AS (SELECT lang, source, n, CAST((m * t_src) // (SUM(m) OVER (PARTITION BY source)) AS BIGINT) AS m, t_lang, t_src FROM m3)
+        |SELECT lang, source, n AS n_docs, m AS weight_ppm
+        |FROM m4 ORDER BY lang, source""".stripMargin,
 
     "sample_neyman" ->
       """WITH st AS (

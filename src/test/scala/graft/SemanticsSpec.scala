@@ -80,6 +80,35 @@ class SemanticsSpec extends SparkSpec {
       s"FP keys $fpKeys exceed 2x theory ${fpTheory * nonMemberKeys}")
   }
 
+  test("sample_mixture_ipf: fitted margins hit their targets within truncation") {
+    // IPF's whole claim: after the alternating fits, BOTH margins are
+    // near their targets. The LAST half-step fits source, so each
+    // source margin is exact up to per-cell truncation (each cell
+    // loses < 1 ppm unit); lang was fitted one step earlier, so its
+    // margin drifts by the source correction — assert a loose 25%.
+    val rows = SparkEntry.queries("sample_mixture_ipf")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.forall(_._4 >= 0))
+    val tSrc = 1000000L / rows.map(_._2).distinct.length
+    val bySrc = rows.groupBy(_._2).map { case (src, cs) =>
+      (src, cs.map(_._4).sum, cs.length)
+    }
+    for ((src, margin, nCells) <- bySrc) {
+      assert(margin <= tSrc && margin > tSrc - nCells,
+        s"source $src margin $margin outside ($tSrc - $nCells, $tSrc]")
+    }
+    // lang targets re-derived exactly as the query builds them
+    val langN = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val sqs = langN.view.mapValues(n => math.sqrt(n.toDouble).toLong).toMap
+    val sqTot = sqs.values.sum
+    for ((lang, cs) <- rows.groupBy(_._1)) {
+      val t = sqs(lang) * 1000000L / sqTot
+      val margin = cs.map(_._4).sum
+      assert(math.abs(margin - t) <= math.max(t / 4, 1000),
+        s"lang $lang margin $margin vs temperature target $t")
+    }
+  }
+
   test("agg_quantile_det: two-pass bin selection equals direct rank selection") {
     // the operator's whole claim: histogram + within-bin residual rank
     // picks exactly the value a global sort would put at rank

@@ -26,7 +26,57 @@ object TextQueries extends QueryPack {
     "fr" -> Seq("scan", "data", "query"),
     "zh" -> Seq("join", "small", "row"))
 
+  /** RAKE stoplist, declared: the corpus' function-ish words. RAKE
+    * always ships a stoplist; phrase boundaries are DEFINED by it.
+    */
+  private val rakeStops = Seq("a", "data", "value", "key", "row",
+    "table", "column", "order")
+
   val queries: Map[String, QueryFn] = Map(
+    // RAKE keyword extraction [Rose et al. 2010] — the unsupervised
+    // keyphrase miner a corpus-curation pipeline runs for topic
+    // profiling: candidate phrases are the maximal stopword-free token
+    // runs (gaps-islands segmentation: pos − row_number per doc over
+    // non-stop tokens), word scores are deg/freq where freq counts a
+    // word's occurrences in candidates and deg adds the LENGTH of each
+    // containing phrase (so words living in long collocations outrank
+    // bare frequent words), and a phrase scores the sum of its words.
+    // Scores quantize to ppm BEFORE summing — (deg·1e6) DIV freq per
+    // word, integer phrase sums — so both engines agree bit-for-bit
+    // with no float fold anywhere. 100 TB shape: one per-doc window
+    // pass for segmentation, then hash aggregates; the word-stats
+    // table is vocabulary-sized and broadcasts back onto occurrences;
+    // top-20 is TakeOrderedAndProject with a (score, phrase) total
+    // order. Identical phrases across docs collapse (same text ⇒ same
+    // tokens ⇒ same score; max = the value).
+    "text_rake_keywords" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val nonstop = toks.filter(!col("tok").isInCollection(rakeStops))
+        .withColumn("grp", col("pos") - row_number().over(
+          W.partitionBy("doc_id").orderBy("pos")))
+      val phrases = nonstop.groupBy("doc_id", "grp")
+        .agg(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x("tok"))).as("phrase"),
+          count(lit(1)).as("len"))
+      val words = nonstop.join(phrases.select("doc_id", "grp", "len"),
+        Seq("doc_id", "grp"))
+      val wstats = words.groupBy("tok")
+        .agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+        .withColumn("score_ppm", expr("(deg * 1000000) DIV freq"))
+      val scored = words.join(broadcast(wstats.select("tok", "score_ppm")), "tok")
+        .groupBy("doc_id", "grp")
+        .agg(sum("score_ppm").as("pscore"), count(lit(1)).as("n_words"))
+      phrases.join(scored, Seq("doc_id", "grp"))
+        .groupBy("phrase")
+        .agg(max("pscore").as("score_ppm"), max("n_words").as("n_words"),
+          count(lit(1)).cast("long").as("n_occurrences"))
+        .orderBy(col("score_ppm").desc, col("phrase"))
+        .limit(20)
+    }),
+
     "text_tfidf" -> ((s, d) => {
       // top-3 tf-idf terms per doc: tf and df aggregate map-side before
       // their (small, term-keyed) join; N arrives via a 1-row broadcast
@@ -212,6 +262,38 @@ object TextQueries extends QueryPack {
     "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
 
   val oracleSql: Map[String, String] = Map(
+    // identical segmentation (same stoplist, same gaps-islands key),
+    // identical ppm word scores, identical integer phrase sums; every
+    // aggregate cast back to BIGINT (DuckDB SUM -> HUGEINT class)
+    "text_rake_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+        |       unnest(range(1, len(t) + 1)) AS u(i)),
+        |ns AS (
+        |  SELECT doc_id, pos, tok,
+        |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM toks
+        |  WHERE tok NOT IN ('a', 'data', 'value', 'key', 'row', 'table', 'column', 'order')),
+        |ph AS (
+        |  SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |         CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM ns GROUP BY 1, 2),
+        |w AS (SELECT ns.doc_id, ns.grp, ns.tok, ph.len
+        |      FROM ns JOIN ph USING (doc_id, grp)),
+        |ws AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq, CAST(SUM(len) AS BIGINT) AS deg
+        |  FROM w GROUP BY 1),
+        |ws2 AS (SELECT tok, CAST((deg * 1000000) // freq AS BIGINT) AS score_ppm FROM ws),
+        |ps AS (
+        |  SELECT w.doc_id, w.grp, CAST(SUM(ws2.score_ppm) AS BIGINT) AS pscore,
+        |         CAST(COUNT(*) AS BIGINT) AS n_words
+        |  FROM w JOIN ws2 USING (tok) GROUP BY 1, 2)
+        |SELECT ph.phrase, MAX(ps.pscore) AS score_ppm, MAX(ps.n_words) AS n_words,
+        |       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM ph JOIN ps USING (doc_id, grp)
+        |GROUP BY 1 ORDER BY score_ppm DESC, phrase LIMIT 20""".stripMargin,
+
     "text_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

@@ -80,6 +80,35 @@ class SemanticsSpec extends SparkSpec {
       s"FP keys $fpKeys exceed 2x theory ${fpTheory * nonMemberKeys}")
   }
 
+  test("text_rake_keywords: matches a driver-side reference RAKE") {
+    val stops = Set("a", "data", "value", "key", "row", "table", "column", "order")
+    val docs = T.documents(spark, sf).select("text")
+      .collect().map(_.getString(0))
+    val allPhrases = docs.flatMap { text =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      var cur = List.empty[String]
+      for (t <- text.split(" ")) {
+        if (stops(t)) { if (cur.nonEmpty) { out += cur.reverse; cur = Nil } }
+        else cur = t :: cur
+      }
+      if (cur.nonEmpty) out += cur.reverse
+      out
+    }
+    val freq = allPhrases.flatten.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val deg = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for (p <- allPhrases; w <- p) deg(w) += p.length
+    val wScore = freq.keys.map(w => w -> deg(w) * 1000000L / freq(w)).toMap
+    val expected = allPhrases
+      .map(p => (p.mkString(" "), p.map(wScore).sum))
+      .groupBy(_._1).toSeq
+      .map { case (ph, xs) => (ph, xs.head._2, xs.length.toLong) }
+      .sortBy { case (ph, sc, _) => (-sc, ph) }.take(20)
+    val got = SparkEntry.queries("text_rake_keywords")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(got == expected, s"\ngot      $got\nexpected $expected")
+  }
+
   test("sample_mixture_ipf: fitted margins hit their targets within truncation") {
     // IPF's whole claim: after the alternating fits, BOTH margins are
     // near their targets. The LAST half-step fits source, so each

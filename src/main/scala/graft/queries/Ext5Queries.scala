@@ -184,17 +184,22 @@ object Ext5Queries extends QueryPack {
     // uniform — two targets no single-pass scaling can hit at once,
     // which is exactly what IPF's alternating margin fits solve. Four
     // half-steps (lang, source, lang, source), declared. ALL-INTEGER:
-    // cell mass starts at n·1e6 ppm and each half-step is
-    // m ← (m · T_dim) DIV Σ_partition m — truncating integer division
-    // on BIGINTs, identical on both engines (the point is engine
-    // parity, not unit mass: IPF converges the same way under ppm
-    // truncation, and the one double is FLOOR(SQRT(n_l)) of an exact
-    // int, IEEE-identical). Windows run over the ≤|langs|·|sources|
-    // cell table, never the corpus; at 100 TB the only corpus-sized
-    // work is the first groupBy — everything after is dimension-sized.
-    // A cell whose mass truncates to 0 stays 0 (deterministic both
-    // engines); a WHOLE margin truncating to 0 would divide by zero,
-    // impossible while every lang's target ≥ its cell count in ppm.
+    // cell mass starts as the cell's ppm SHARE of the corpus
+    // ((n·1e6) DIV total — so masses are bounded by 1e6 and the
+    // half-step product m·T ≤ 1e12 can never overflow BIGINT at ANY
+    // corpus size), and each half-step is
+    // m ← (m · T_dim) DIV GREATEST(Σ_partition m, 1) — truncating
+    // integer division on BIGINTs, identical on both engines (the
+    // point is engine parity, not unit mass: IPF converges the same
+    // way under ppm truncation, and the one double is FLOOR(SQRT(n_l))
+    // of an exact int, IEEE-identical). Windows run over the
+    // ≤|langs|·|sources| cell table, never the corpus; at 100 TB the
+    // only corpus-sized work is the first groupBy — everything after
+    // is dimension-sized. A cell whose mass truncates to 0 stays 0
+    // (deterministic both engines); the GREATEST(·, 1) floor makes a
+    // margin whose every cell truncated to 0 yield 0 weights instead
+    // of a division by zero (Spark NULL/ANSI-error vs DuckDB error —
+    // an engine-divergence class, not just a crash).
     "sample_mixture_ipf" -> ((s, d) => {
       val cells = T.documents(s, d)
         .groupBy("lang", "source").agg(count(lit(1)).as("n"))
@@ -206,12 +211,13 @@ object Ext5Queries extends QueryPack {
         expr("CAST(1000000 DIV COUNT(DISTINCT source) AS BIGINT)").as("t_src"))
       val base = cells.join(broadcast(langT), Seq("lang"))
         .crossJoin(broadcast(srcT))
-        .withColumn("m", col("n") * lit(1000000L))
+        .crossJoin(broadcast(cells.agg(sum("n").as("tot"))))
+        .withColumn("m", expr("(n * 1000000) DIV GREATEST(tot, 1)"))
       val fitted = Seq("lang" -> "t_lang", "source" -> "t_src",
         "lang" -> "t_lang", "source" -> "t_src")
         .foldLeft(base) { case (df, (dim, t)) =>
           df.withColumn("m",
-            expr(s"(m * $t) DIV (SUM(m) OVER (PARTITION BY $dim))"))
+            expr(s"(m * $t) DIV GREATEST(SUM(m) OVER (PARTITION BY $dim), 1)"))
         }
       fitted.select(col("lang"), col("source"), col("n").as("n_docs"),
           col("m").as("weight_ppm"))
@@ -587,13 +593,14 @@ object Ext5Queries extends QueryPack {
         |  FROM lt),
         |st0 AS (SELECT CAST(1000000 // COUNT(DISTINCT source) AS BIGINT) AS t_src FROM cells),
         |m0 AS (
-        |  SELECT c.lang, c.source, c.n, c.n * 1000000 AS m, l.t_lang,
-        |         (SELECT t_src FROM st0) AS t_src
+        |  SELECT c.lang, c.source, c.n,
+        |         CAST((c.n * 1000000) // GREATEST((SELECT CAST(SUM(n) AS BIGINT) FROM cells), 1) AS BIGINT) AS m,
+        |         l.t_lang, (SELECT t_src FROM st0) AS t_src
         |  FROM cells c JOIN lt2 l USING (lang)),
-        |m1 AS (SELECT lang, source, n, CAST((m * t_lang) // (SUM(m) OVER (PARTITION BY lang)) AS BIGINT) AS m, t_lang, t_src FROM m0),
-        |m2 AS (SELECT lang, source, n, CAST((m * t_src) // (SUM(m) OVER (PARTITION BY source)) AS BIGINT) AS m, t_lang, t_src FROM m1),
-        |m3 AS (SELECT lang, source, n, CAST((m * t_lang) // (SUM(m) OVER (PARTITION BY lang)) AS BIGINT) AS m, t_lang, t_src FROM m2),
-        |m4 AS (SELECT lang, source, n, CAST((m * t_src) // (SUM(m) OVER (PARTITION BY source)) AS BIGINT) AS m, t_lang, t_src FROM m3)
+        |m1 AS (SELECT lang, source, n, CAST((m * t_lang) // GREATEST(CAST(SUM(m) OVER (PARTITION BY lang) AS BIGINT), 1) AS BIGINT) AS m, t_lang, t_src FROM m0),
+        |m2 AS (SELECT lang, source, n, CAST((m * t_src) // GREATEST(CAST(SUM(m) OVER (PARTITION BY source) AS BIGINT), 1) AS BIGINT) AS m, t_lang, t_src FROM m1),
+        |m3 AS (SELECT lang, source, n, CAST((m * t_lang) // GREATEST(CAST(SUM(m) OVER (PARTITION BY lang) AS BIGINT), 1) AS BIGINT) AS m, t_lang, t_src FROM m2),
+        |m4 AS (SELECT lang, source, n, CAST((m * t_src) // GREATEST(CAST(SUM(m) OVER (PARTITION BY source) AS BIGINT), 1) AS BIGINT) AS m, t_lang, t_src FROM m3)
         |SELECT lang, source, n AS n_docs, m AS weight_ppm
         |FROM m4 ORDER BY lang, source""".stripMargin,
 

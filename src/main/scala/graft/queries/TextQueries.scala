@@ -68,10 +68,10 @@ object TextQueries extends QueryPack {
         .withColumn("score_ppm", expr("(deg * 1000000) DIV freq"))
       val scored = words.join(broadcast(wstats.select("tok", "score_ppm")), "tok")
         .groupBy("doc_id", "grp")
-        .agg(sum("score_ppm").as("pscore"), count(lit(1)).as("n_words"))
+        .agg(sum("score_ppm").as("pscore"))
       phrases.join(scored, Seq("doc_id", "grp"))
         .groupBy("phrase")
-        .agg(max("pscore").as("score_ppm"), max("n_words").as("n_words"),
+        .agg(max("pscore").as("score_ppm"), max("len").as("n_words"),
           count(lit(1)).cast("long").as("n_occurrences"))
         .orderBy(col("score_ppm").desc, col("phrase"))
         .limit(20)
@@ -286,10 +286,9 @@ object TextQueries extends QueryPack {
         |  FROM w GROUP BY 1),
         |ws2 AS (SELECT tok, CAST((deg * 1000000) // freq AS BIGINT) AS score_ppm FROM ws),
         |ps AS (
-        |  SELECT w.doc_id, w.grp, CAST(SUM(ws2.score_ppm) AS BIGINT) AS pscore,
-        |         CAST(COUNT(*) AS BIGINT) AS n_words
+        |  SELECT w.doc_id, w.grp, CAST(SUM(ws2.score_ppm) AS BIGINT) AS pscore
         |  FROM w JOIN ws2 USING (tok) GROUP BY 1, 2)
-        |SELECT ph.phrase, MAX(ps.pscore) AS score_ppm, MAX(ps.n_words) AS n_words,
+        |SELECT ph.phrase, MAX(ps.pscore) AS score_ppm, MAX(ph.len) AS n_words,
         |       CAST(COUNT(*) AS BIGINT) AS n_occurrences
         |FROM ph JOIN ps USING (doc_id, grp)
         |GROUP BY 1 ORDER BY score_ppm DESC, phrase LIMIT 20""".stripMargin,

@@ -87,7 +87,9 @@ class SemanticsSpec extends SparkSpec {
     val allPhrases = docs.flatMap { text =>
       val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
       var cur = List.empty[String]
-      for (t <- text.split(" ")) {
+      // split(_, -1): keep trailing empty tokens, matching Spark's
+      // split() and DuckDB's string_split on trailing-space texts
+      for (t <- text.split(" ", -1)) {
         if (stops(t)) { if (cur.nonEmpty) { out += cur.reverse; cur = Nil } }
         else cur = t :: cur
       }

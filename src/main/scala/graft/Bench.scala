@@ -21,13 +21,21 @@ object Bench {
   private val PrevPath = "/root/repo/bench_prev.json"
   private val LastPath = "/root/repo/bench_last.json"
 
-  /** load_after_gate of the committed baseline (fallback: load_start) —
-    * the calmness bar a new run must meet to become the next baseline.
+  /** The calmness bar a new run is annotated against: the post-gate load
+    * of the last run that ITSELF satisfied run_calm, carried forward in
+    * the floor record as `calm_gate_load`. (r13 ADVICE: bench_prev.json
+    * is rewritten on every run, calm or not, so comparing against the
+    * PREVIOUS run's load_after_gate let one noisy run drift the +0.5 bar
+    * upward until only the 3.0 admission gate capped it — the annotation
+    * stopped meaning "calm relative to a calm baseline".) Legacy
+    * fallbacks (load_after_gate / load_start) cover floors written before
+    * calm_gate_load existed.
     */
-  private def readPrevGateLoad(): Option[Double] =
+  private def readPrevCalmGateLoad(): Option[Double] =
     try {
       val txt = new String(Files.readAllBytes(Paths.get(PrevPath)), "UTF-8")
-      ("\"load_after_gate\":([0-9.eE+-]+)".r.findFirstMatchIn(txt)
+      ("\"calm_gate_load\":([0-9.eE+-]+)".r.findFirstMatchIn(txt)
+        orElse "\"load_after_gate\":([0-9.eE+-]+)".r.findFirstMatchIn(txt)
         orElse "\"load_start\":([0-9.eE+-]+)".r.findFirstMatchIn(txt))
         .map(_.group(1).toDouble)
     } catch { case _: Throwable => None }
@@ -297,8 +305,12 @@ object Bench {
     // whether this run met the calmness bars of the floor it fed. The
     // SF guard: a floor measured at one SF never merges with a run at
     // another — a changed SF resets the floor to this run.
-    val prevGateLoad = readPrevGateLoad()
+    val prevGateLoad = readPrevCalmGateLoad()
     val runCalm = shouldPromote(nPolluted, gatedLoad, maxLoad, prevGateLoad)
+    // carry the calm bar forward: this run's gate load if it was calm,
+    // else the inherited bar unchanged (a noisy run must not move it)
+    val calmGateLoad = if (runCalm) Some(gatedLoad) else prevGateLoad
+    val calmGateJson = calmGateLoad.map(v => s""","calm_gate_load":${f3(v)}""").getOrElse("")
     val sfMatches = prevSf.forall(_ == sfDir)
     val mergedSeq =
       if (prevLoaded && sfMatches) mergeFloor(results.map(r => (r._1, r._2, r._3)), prev)
@@ -309,8 +321,8 @@ object Bench {
         val qsFloor = mergedSeq.map { case (k, v, ok) =>
           "\"" + k + "\":" + (if (ok) f3(v) else "-1") }.mkString("{", ",", "}")
         record(mergedSeq.filter(_._3).map(_._2).sum, qsFloor,
-          s""","floor_merged_keys":$nKept,"run_calm":$runCalm""")
-      } else record(total, qs, s""","floor_merged_keys":0,"run_calm":$runCalm""")
+          s""","floor_merged_keys":$nKept,"run_calm":$runCalm$calmGateJson""")
+      } else record(total, qs, s""","floor_merged_keys":0,"run_calm":$runCalm$calmGateJson""")
     try {
       Files.write(Paths.get(LastPath), full.getBytes("UTF-8"))
       Files.write(Paths.get(PrevPath), floor.getBytes("UTF-8"))

@@ -48,8 +48,6 @@ object ScaleProbe {
     "pipeline_corpus"      // end-to-end corpus artifact
   )
 
-  private val IdOffset = 10000000L // doc/vec/user/FK id stride per replica
-
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.get("GRAFT_PROBE_FACTOR").flatMap(v =>
@@ -77,78 +75,11 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark) // native exprs + the HOF-dot rewrite rule
 
-    def replicate(dest: String, f: Int): Unit = {
-      import spark.implicits._
-      val reps = (0 until f).toDF("rep")
-      def write(df: DataFrame, name: String): Unit =
-        df.write.mode("overwrite").parquet(s"$dest/$name.parquet")
-
-      val docs = Tables.documents(spark, base).crossJoin(reps)
-        .select(
-          (col("doc_id") + col("rep") * IdOffset).as("doc_id"),
-          array_join(transform(split(col("text"), " "),
-            t => concat(t, lit("_"), col("rep"))), " ").as("text"),
-          col("lang"), col("source"))
-        .withColumn("n_chars", length(col("text")))
-      write(docs, "documents")
-
-      val dim = 64
-      val emb = Tables.embeddings(spark, base).crossJoin(reps)
-        .select(
-          (col("vec_id") + col("rep") * IdOffset).as("vec_id"),
-          concat(
-            slice(col("embedding"), (col("rep") % dim) + 1,
-              lit(dim) - (col("rep") % dim)),
-            slice(col("embedding"), lit(1), col("rep") % dim)).as("embedding"),
-          col("label"))
-      write(emb, "embeddings")
-
-      val evBase = Tables.events(spark, base)
-      val n = evBase.count()
-      val ev = evBase.crossJoin(reps)
-        .select(
-          (col("event_id") + col("rep") * n).as("event_id"),
-          (col("ts") + col("rep") * expr("INTERVAL 35 DAYS")).as("ts"),
-          (col("user_id") + col("rep") * IdOffset).as("user_id"),
-          col("event_type"), col("value"), col("props"))
-      write(ev, "events")
-
-      val ord = Tables.orders(spark, base).crossJoin(reps)
-        .select(
-          (col("o_orderkey") + col("rep") * IdOffset).as("o_orderkey"),
-          (col("o_custkey") + col("rep") * IdOffset).as("o_custkey"),
-          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
-          col("o_orderpriority"))
-      write(ord, "orders")
-
-      val li = Tables.lineitem(spark, base).crossJoin(reps)
-        .select(
-          (col("l_orderkey") + col("rep") * IdOffset).as("l_orderkey"),
-          (col("l_partkey") + col("rep") * IdOffset).as("l_partkey"),
-          (col("l_suppkey") + col("rep") * IdOffset).as("l_suppkey"),
-          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
-          col("l_discount"), col("l_tax"), col("l_returnflag"),
-          col("l_linestatus"), col("l_shipdate"))
-      write(li, "lineitem")
-
-      val cust = Tables.customer(spark, base).crossJoin(reps)
-        .select((col("c_custkey") + col("rep") * IdOffset).as("c_custkey"),
-          col("c_name"), col("c_nationkey"), col("c_acctbal"),
-          col("c_mktsegment"))
-      write(cust, "customer")
-      val part = Tables.part(spark, base).crossJoin(reps)
-        .select((col("p_partkey") + col("rep") * IdOffset).as("p_partkey"),
-          col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
-          col("p_retailprice"))
-      write(part, "part")
-      val supp = Tables.supplier(spark, base).crossJoin(reps)
-        .select((col("s_suppkey") + col("rep") * IdOffset).as("s_suppkey"),
-          col("s_name"), col("s_nationkey"), col("s_acctbal"))
-      write(supp, "supplier")
-      // constant dimensions pass through unchanged
-      write(Tables.region(spark, base), "region")
-      write(Tables.nation(spark, base), "nation")
-    }
+    // replication lives in graft.Replicate (shared with FixtureGen);
+    // the probe keeps identityRep0=false for continuity with the
+    // BASELINE.md probe numbers (its x1 corpus is the `_0` remap)
+    def replicate(dest: String, f: Int): Unit =
+      Replicate.corpus(spark, base, dest, f)
 
     // per-pass shuffle/spill telemetry (the beyond-RAM datapoint the
     // r12 verdict asked for: run with SPARK_DRIVER_MEM=4g and
@@ -211,14 +142,23 @@ object ScaleProbe {
     def ready(dir: String): Boolean = {
       val done = java.nio.file.Files.exists(
         java.nio.file.Paths.get(dir, "nation.parquet", "_SUCCESS"))
-      if (done && java.nio.file.Files.exists(markerPath(dir))) {
+      if (!done) false
+      else if (java.nio.file.Files.exists(markerPath(dir))) {
         val built = new String(
           java.nio.file.Files.readAllBytes(markerPath(dir)), "UTF-8").trim
         require(built == base,
           s"cached probe corpus at $dir was built from $built, not $base — " +
             "delete it or point GRAFT_PROBE_CORPUS_DIR elsewhere")
+        true
+      } else {
+        // nation _SUCCESS without the BASE marker = a build that died
+        // between the two writes; its provenance is unknowable, which is
+        // exactly the stale-corpus hazard the marker exists to catch —
+        // treat as incomplete and rebuild (overwrite mode makes it safe)
+        System.err.println(
+          s"[probe] $dir has nation _SUCCESS but no BASE marker — rebuilding")
+        false
       }
-      done
     }
     def build(dir: String, f: Int): Unit = {
       replicate(dir, f)

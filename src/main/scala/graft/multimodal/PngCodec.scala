@@ -150,8 +150,15 @@ object PngCodec {
     val stride = w * Bpp
     val filtered = new Array[Byte]((stride + 1) * h)
     var off = 0
-    while (!infl.finished() && off < filtered.length)
-      off += infl.inflate(filtered, off, filtered.length - off)
+    var stalled = false
+    while (!infl.finished() && off < filtered.length && !stalled) {
+      val n = infl.inflate(filtered, off, filtered.length - off)
+      // A truncated/corrupt IDAT exhausts input before the expected output
+      // length: inflate returns 0 with finished()==false forever. Bail so the
+      // require below reports the truncation instead of hanging.
+      if (n == 0 && (infl.needsInput() || infl.needsDictionary())) stalled = true
+      else off += n
+    }
     infl.end()
     require(off == filtered.length, s"inflated $off of ${filtered.length} bytes")
     // reconstruction (spec §9): invert the per-row filter

@@ -101,6 +101,35 @@ class PngCodecSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(got, px), "payload should be unaffected")
   }
 
+  test("a truncated IDAT fails loudly instead of hanging (r13 ADVICE)") {
+    // rebuild the stream with the IDAT deflate payload cut short: the
+    // inflater exhausts input with finished()==false, which previously
+    // spun the decode loop forever (inflate() returning 0 forever)
+    val one = PngCodec.encode(16, 11, plane(3, 16, 11), 2)
+    def int32(b: Array[Byte], p: Int): Int =
+      ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+        ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+    var pos = 8
+    var idatAt = -1
+    while (idatAt < 0) {
+      if (new String(one, pos + 4, 4, "US-ASCII") == "IDAT") idatAt = pos
+      else pos += 12 + int32(one, pos)
+    }
+    val len = int32(one, idatAt)
+    val cut = len / 2
+    val short = java.util.Arrays.copyOfRange(one, idatAt + 8, idatAt + 8 + cut)
+    val t = "IDAT".getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32
+    crc.update(t); crc.update(short)
+    def be32(v: Int): Array[Byte] = Array(((v >>> 24) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val rebuilt = java.util.Arrays.copyOfRange(one, 0, idatAt) ++
+      be32(cut) ++ t ++ short ++ be32(crc.getValue.toInt) ++
+      java.util.Arrays.copyOfRange(one, idatAt + 12 + len, one.length)
+    val ex = intercept[IllegalArgumentException](PngCodec.decode(rebuilt))
+    assert(ex.getMessage.contains("inflated"), s"wrong failure: ${ex.getMessage}")
+  }
+
   test("PNG and PPM decode the same synthesized plane to identical bytes") {
     // the two containers carry the same arithmetic plane — the codec
     // layer must be invisible to the profile the query keys aggregate

@@ -31,8 +31,16 @@ FLOAT_SENSITIVE = ["sample_temperature", "quality_drift", "sim_kmeans",
 
 def main():
     out_json = sys.argv[1] if len(sys.argv) > 1 else "SWEEP_r08.json"
+    # optional extra args: SF dirs to sweep (bare names resolve under
+    # /root/testdata; anything with a '/' is a path — e.g. the derived
+    # fixtures/sf1 from graft.FixtureGen). Default: the shipped three.
+    global SFS
+    dirs = [d if "/" in d else f"{TESTDATA}/{d}" for d in sys.argv[2:]] \
+        or [f"{TESTDATA}/{sf}" for sf in SFS]
+    SFS = [d.rstrip("/").rsplit("/", 1)[-1] for d in dirs]
+    sf_dir = dict(zip(SFS, dirs))
     tmp = tempfile.mkdtemp(prefix="sweep-")
-    sf_arg = ",".join(f"{TESTDATA}/{sf}" for sf in SFS)
+    sf_arg = ",".join(dirs)
     try:
         subprocess.run(["sbt", "-batch", f"runMain graft.Verify {sf_arg} {tmp}"],
                        check=True, capture_output=True, text=True)
@@ -45,7 +53,7 @@ def main():
     sweep, totals = {}, {}
     for sf in SFS:
         proc = subprocess.run(
-            ["python3", "tools/check.py", f"{TESTDATA}/{sf}", f"{tmp}/{sf}"],
+            ["python3", "tools/check.py", sf_dir[sf], f"{tmp}/{sf}"],
             capture_output=True, text=True)
         per = {}
         for line in proc.stdout.splitlines():

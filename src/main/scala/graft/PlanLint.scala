@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical
+import org.apache.spark.sql.execution.SparkPlan
+
+/** All-inventory plan lint (r13 verdict #3).
+  *
+  * PlanSpec pins plan shapes for the families that earned a pin; this
+  * lints EVERY SparkEntry key against the global scale invariants, so a
+  * regression in an un-pinned key's plan surfaces as a red flag instead
+  * of bench noise. Structural invariants (SF-independent — an O(n²)
+  * node or a lost partitioning is wrong at any size):
+  *
+  *  F1 `cartesian`: CartesianProductExec anywhere. The declared
+  *     exception is join_cross (the cross join IS its semantics, over a
+  *     broadcast-small side).
+  *  F2 `expand`: ExpandExec outside the grouping-set family
+  *     (rollup/cube/grouping_sets compile to Expand BY DESIGN; an
+  *     Expand anywhere else is the multi-countDistinct trap that
+  *     measured 25.6× at ×16 data before the quality_profile rewrite).
+  *  F3 `global_window`: a logical Window with empty partitionSpec whose
+  *     input is NOT bounded by construction — "bounded" = an Aggregate /
+  *     GlobalLimit under it (dimension-sized groupBys, top-k slices) or
+  *     a scan of a constant dimension table only (region/nation).
+  *     Unbounded global windows single-thread the corpus at any scale.
+  *  F4 `hinted_fact_broadcast`: an explicit broadcast() hint whose
+  *     subtree scans a table that GROWS with the corpus (anything but
+  *     region/nation) without an Aggregate or Limit in between — the
+  *     hint that OOMs the driver at 100 TB. (Auto-broadcasts are fine:
+  *     Catalyst re-estimates them at real sizes.)
+  *
+  * Per key it also RECORDS (informational, judged by diffing rounds,
+  * not asserted): shuffle-exchange count, broadcast-exchange count,
+  * BroadcastNestedLoopJoin count, InMemoryTableScan count (memoized
+  * minings hide their subtree behind one), and scan count.
+  *
+  * `runMain graft.PlanLint [outJson] [sfDir]` (defaults
+  * PLANS_r14.json, /root/testdata/sf0.01) writes the full report and
+  * exits nonzero on any flag. PlanLintSpec runs the same lint in the
+  * suite at sf0.001, so the invariants gate every `sbt test`.
+  *
+  * AQE is disabled while planning so the full static exchange tree is
+  * visible (PlanSpec's convention: AQE only removes exchanges at
+  * runtime, so the static plan is the conservative side). Streaming
+  * keys execute their micro-batch pipeline during DataFrame
+  * construction and return a batch result frame — the lint sees that
+  * final frame's plan, which is the right surface here (the streaming
+  * internals are pinned by their own specs).
+  */
+object PlanLint {
+
+  /** keys whose Expand IS the declared plan: the grouping-set family
+    * (rollup/cube/grouping_sets/unpivot — pipeline_content_hash's
+    * rollup total row included) and sliding windows (window(1h, 30min)
+    * assigns each event to duration/slide = 2 windows; the constant
+    * ×2 Expand is the sliding-window semantics, not the
+    * multi-countDistinct trap). */
+  private[graft] val ExpandOk: Set[String] =
+    Set("agg_rollup", "agg_cube", "agg_grouping_sets", "fn_unpivot",
+      "pipeline_content_hash", "stream_sliding")
+
+  /** cross join as declared semantics (bounded side asserted in spec) */
+  private[graft] val CartesianOk: Set[String] = Set("join_cross")
+
+  /** constant dimension tables — never grow with the corpus */
+  private val ConstantTables = Set("region", "nation")
+
+  /** persisted index artifacts sized by training constants (k coarse
+    * centroids, PqM×PqK codebook rows), not by the corpus — a scan of
+    * these is bounded at any deployment size. members/codes are
+    * deliberately absent: those ARE corpus-sized. */
+  private val BoundedArtifacts = Set("centroids", "codebooks")
+
+  /** dense unique-id columns (0..n-1 per FIXTURES.md): a literal
+    * range/equality filter on one bounds the subtree's ROW COUNT by
+    * the literal at any corpus scale — the repo's declared probe-cap
+    * idiom (`vec_id < 100`). Deliberately NOT extended to value
+    * columns (a `label < 100` filter bounds nothing). Note this makes
+    * boundedBelow an approximation in the safe direction for a
+    * broadcast-hint check only when the cap is on the broadcast side's
+    * driving scan — which is how every probe cap in the repo is
+    * written; a corpus-side join above the capped scan still yields
+    * O(cap × matches), reviewed per key when the pattern appears. */
+  private val UniqueIdCols = Set("vec_id", "doc_id", "event_id")
+
+  final case class Report(
+      key: String,
+      flags: Seq[String],
+      shuffles: Int,
+      broadcasts: Int,
+      bnlj: Int,
+      inMemoryScans: Int,
+      scans: Int)
+
+  /** table names whose parquet paths appear in `plan`'s scan subtree */
+  private def scannedTables(p: logical.LogicalPlan): Set[String] =
+    p.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.getName.stripSuffix(".parquet")).toSet
+          case _ => Set.empty[String]
+        }
+    }.flatten.toSet
+
+  /** does this comparison cap a dense unique-id column by a literal? */
+  private def idCap(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def capped(a: Expression, l: Expression): Boolean = (a, l) match {
+      case (ar: AttributeReference, _: Literal) => UniqueIdCols(ar.name)
+      case _ => false
+    }
+    e.exists {
+      case LessThan(a, l) => capped(a, l)
+      case LessThanOrEqual(a, l) => capped(a, l)
+      case EqualTo(a, l) => capped(a, l) || capped(l, a)
+      case GreaterThan(l, a) => capped(a, l)
+      case GreaterThanOrEqual(l, a) => capped(a, l)
+      case _ => false
+    }
+  }
+
+  private def boundedBelow(p: logical.LogicalPlan): Boolean = {
+    val hasBound = p.collectFirst {
+      case _: logical.Aggregate => ()
+      case _: logical.GlobalLimit => ()
+      case _: logical.Deduplicate => ()
+      case f: logical.Filter if idCap(f.condition) => ()
+    }.isDefined
+    hasBound || scannedTables(p).forall(t =>
+      ConstantTables(t) || BoundedArtifacts(t))
+  }
+
+  private[graft] def lintKey(spark: SparkSession, sf: String, key: String)(
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Report = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = fn(spark, sf).queryExecution
+      val opt = qe.optimizedPlan
+      val phys = qe.executedPlan
+      def collectPhys[A](pf: PartialFunction[SparkPlan, A]): Seq[A] = {
+        // include subquery plans — a cartesian inside a scalar subquery
+        // is as much a scale defect as one in the main tree
+        def all(p: SparkPlan): Seq[SparkPlan] =
+          (p +: p.children.flatMap(all)) ++
+            p.subqueries.flatMap(all)
+        all(phys).collect(pf)
+      }
+      val cartesian = collectPhys {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c }
+      val expands = collectPhys {
+        case e: org.apache.spark.sql.execution.ExpandExec => e }
+      val shuffles = collectPhys {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      val broadcasts = collectPhys {
+        case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e }
+      val bnlj = collectPhys {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }
+      val imts = collectPhys {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s }
+      val scans = collectPhys {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+
+      val globalWindows = opt.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty && !boundedBelow(w.child) => w
+      }
+      val hintedFactBroadcast = opt.collect {
+        case j: logical.Join =>
+          def offending(hint: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo],
+              side: logical.LogicalPlan): Boolean =
+            hint.flatMap(_.strategy).contains(
+              org.apache.spark.sql.catalyst.plans.logical.BROADCAST) &&
+              !boundedBelow(side) &&
+              !scannedTables(side).forall(ConstantTables.contains)
+          (if (offending(j.hint.leftHint, j.left)) 1 else 0) +
+            (if (offending(j.hint.rightHint, j.right)) 1 else 0)
+      }.sum
+
+      val flags = Seq.newBuilder[String]
+      if (cartesian.nonEmpty && !CartesianOk(key))
+        flags += s"cartesian:${cartesian.length}"
+      if (expands.nonEmpty && !ExpandOk(key))
+        flags += s"expand:${expands.length}"
+      if (globalWindows.nonEmpty)
+        flags += s"global_window:${globalWindows.length}"
+      if (hintedFactBroadcast > 0)
+        flags += s"hinted_fact_broadcast:$hintedFactBroadcast"
+      Report(key, flags.result(), shuffles.length, broadcasts.length,
+        bnlj.length, imts.length, scans.length)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  /** lint the whole inventory; returns reports in key order */
+  private[graft] def lintAll(spark: SparkSession, sf: String): Seq[Report] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (k, fn) =>
+      try lintKey(spark, sf, k)(fn)
+      catch { case e: Throwable =>
+        Report(k, Seq(s"lint_error:${e.getClass.getSimpleName}"), -1, -1, -1, -1, -1)
+      }
+    }
+
+  def main(args: Array[String]): Unit = {
+    val outJson = args.headOption.getOrElse("PLANS_r14.json")
+    val sf = args.drop(1).headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", Tmp.dir("wh").toString)
+      .config("spark.local.dir", Tmp.dir("local").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    val reports = lintAll(spark, sf)
+    val flagged = reports.filter(_.flags.nonEmpty)
+    val body = reports.map { r =>
+      s""""${r.key}":{"flags":[${r.flags.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""shuffles":${r.shuffles},"broadcasts":${r.broadcasts},""" +
+        s""""bnlj":${r.bnlj},"in_memory_scans":${r.inMemoryScans},"scans":${r.scans}}"""
+    }.mkString(",")
+    val json = s"""{"sf":"$sf","n_keys":${reports.length},""" +
+      s""""n_flagged":${flagged.length},""" +
+      s""""flagged":[${flagged.map("\"" + _.key + "\"").mkString(",")}],""" +
+      s""""keys":{$body}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      json.getBytes("UTF-8"))
+    println(s"[planlint] ${reports.length} keys, ${flagged.length} flagged -> $outJson")
+    flagged.foreach(r => println(s"[planlint] FLAG ${r.key}: ${r.flags.mkString(", ")}"))
+    spark.stop()
+    if (flagged.nonEmpty) sys.exit(1)
+  }
+}

@@ -183,15 +183,92 @@ object MetricBlocking {
       .filter(col("sim") >= threshold)
   }
 
+  /** Per-task candidate-dot budget for the fan-triggered auto-split
+    * (r13 verdict #5). [[subCells]] splits on MEMBER COUNT, which
+    * misreads the loose-geometry regime: the ×64 beyond-RAM probe had
+    * every cell under the 64 Ki member threshold yet ran at 2.5-core
+    * occupancy for 2 135 s, because with ~85° radii every cell pair is
+    * admissible and the real task cost is members × Σ admissible
+    * partners — ~3·10⁹ dots landing in ONE join task. The split
+    * trigger is therefore the PROJECTED FAN: after assignment, the
+    * k-row cell-stats table prices each cell's candidate dots
+    * (Σ_{(i,c) admissible} m_i · m_c — the work the join task keyed by
+    * that cell will receive); any cell over budget is re-keyed into
+    * ceil(fan/budget) md5 buckets. Crucially the re-key NEEDS NO
+    * SECOND ASSIGNMENT PASS: sub-cells keep the parent's anchor (any
+    * anchor set is complete — the scheme's core property), each
+    * member's anchor angle is already in `assigned`, so sub-cell radii
+    * are one groupBy(max(ang)) ≤ the parent's and pruning only
+    * tightens. That sidesteps the measured +43 % cost of FORCED finer
+    * anchors (r12 A/B): total dot count is unchanged, the fan is just
+    * cut across f× more tasks. 2²⁸ dots ≈ 20-40 s of zip_with folds
+    * per task — long enough to amortize scheduling, short enough that
+    * a 1000-executor cluster's stragglers stay bounded. */
+  val FanBudget: Long = sys.env.get("GRAFT_FAN_BUDGET").flatMap(v =>
+    scala.util.Try(v.toLong).toOption).getOrElse(1L << 28)
+
+  /** stride for sub-cell keys: (parentCell + 1) × stride + bucket.
+    * The +1 keeps parent-0 splits out of the unsplit key range, and
+    * every split key is ≥ stride while unsplit keys (label ×
+    * (MaxCellsPerLabel+1) + bucket) stay far below it for any sane
+    * label domain (< ~2¹⁷ labels) — so `cell ≥ stride` discriminates
+    * split from unsplit exactly. */
+  private val SplitStride = 1L << 30
+
+  /** fan-triggered re-key of an existing (assigned, cells) blocking:
+    * returns the pair unchanged when every cell's projected candidate
+    * fan fits [[FanBudget]], else re-keys the over-budget cells into
+    * md5 sub-buckets (parent anchors, recomputed radii). The fan
+    * estimate is a join over the k-row stats table — dimension-sized
+    * at any corpus scale; the one driver-side collect is k rows of
+    * (cell, factor), bounded by MaxCellsPerLabel × labels. */
+  private[graft] def fanSplit(s: SparkSession, assigned: DataFrame,
+      cells: DataFrame, tmaxV: Double, budget: Long = FanBudget): (DataFrame, DataFrame) = {
+    val mcounts = assigned.groupBy("cell").agg(count(lit(1)).as("m"))
+    val fans = admissiblePairs(s, cells, tmaxV)
+      .join(mcounts.select(col("cell").as("cell_a"), col("m").as("ma")), "cell_a")
+      .join(mcounts.select(col("cell").as("cell_b"), col("m").as("mb")), "cell_b")
+      .groupBy("cell_b").agg(sum(col("ma") * col("mb")).as("fan"))
+      .filter(col("fan") > budget)
+      .select(col("cell_b").cast("long").as("cell"),
+        least(ceil(col("fan") / budget.toDouble), lit(SplitStride - 1))
+          .cast("long").as("f"))
+    val factors = fans.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    if (factors.isEmpty) (assigned, cells)
+    else {
+      val fdf = s.createDataFrame(factors.toSeq.map(t => (t._1, t._2)))
+        .toDF("cell", "f")
+      val re = assigned.join(broadcast(fdf), Seq("cell"), "left")
+        .withColumn("cell",
+          when(col("f").isNull, col("cell"))
+            .otherwise((col("cell") + 1) * SplitStride +
+              pmod(graft.ops.TextOps.md5Long(concat(lit("fan:"), col("vec_id"))),
+                col("f"))))
+        .drop("f")
+        .localCheckpoint(true)
+      // parent anchor lookup: split keys recover the parent via DIV
+      val cu0 = cells.select(col("cell").as("pcell"), col("cu"))
+      val reCells = re.groupBy("cell").agg(max("ang").as("r"))
+        .withColumn("pcell",
+          when(col("cell") >= SplitStride,
+            (floor(col("cell") / SplitStride) - 1).cast("long"))
+            .otherwise(col("cell")))
+        .join(cu0, "pcell").drop("pcell")
+      (re, reCells)
+    }
+  }
+
   /** near-dup pairs (a < b, 4-dp cosine ≥ threshold) over an embeddings
     * table (vec_id, label, embedding) — exact result, blocked plan; the
     * self-table specialization of [[similarityJoin]] (one assignment
-    * pass, ordered-pair cells, a < b before any dot is priced).
+    * pass, ordered-pair cells, a < b before any dot is priced). The
+    * [[fanSplit]] pass re-keys over-budget cells before the pair join.
     */
   def nearDupPairs(s: SparkSession, emb: DataFrame, threshold: Double,
-      targetCellSize: Long = TargetCellSize): DataFrame = {
+      targetCellSize: Long = TargetCellSize, fanBudget: Long = FanBudget): DataFrame = {
     val p = prep(emb)
-    val (assigned, cells) = assignAndStats(s, subCells(p, p.count(), targetCellSize))
+    val (a0, c0) = assignAndStats(s, subCells(p, p.count(), targetCellSize))
+    val (assigned, cells) = fanSplit(s, a0, c0, tmax(threshold), fanBudget)
     blockedPairs(s, assigned, cells, assigned, cells, threshold, col("a") < col("b"))
   }
 

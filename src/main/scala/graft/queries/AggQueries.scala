@@ -51,12 +51,23 @@ object AggQueries extends QueryPack {
     }),
 
     "agg_distinct_exact" -> ((s, d) => {
-      T.events(s, d)
-        .groupBy("event_type")
-        .agg(
-          countDistinct(col("user_id")).as("cd_users"),
-          countDistinct(col("user_id"), col("ts").cast("date")).as("cd_user_days"),
-          count(lit(1)).as("n"))
+      // Two distinct groups in one agg — countDistinct(user) and
+      // countDistinct(user, day) — plan via RewriteDistinctAggregates
+      // as an Expand ×3 of the event stream before the shuffle (the
+      // quality_profile trap: 25.6× at ×16 data). Narrow subtrees
+      // instead: each distinct count is its own dedup-then-count pass
+      // (map-side partial agg collapses duplicates before the
+      // exchange), joined on the 5-row event_type dimension. Three
+      // passes over the scan beat one 3×-expanded shuffle at any SF.
+      val ev = T.events(s, d)
+      val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val users = ev.select(col("event_type"), col("user_id")).distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("cd_users"))
+      val userDays = ev.select(col("event_type"), col("user_id"),
+          col("ts").cast("date").as("day")).distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("cd_user_days"))
+      users.join(userDays, "event_type").join(n, "event_type")
+        .select("event_type", "cd_users", "cd_user_days", "n")
         .orderBy("event_type")
     }),
 

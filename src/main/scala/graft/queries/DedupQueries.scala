@@ -178,13 +178,22 @@ object DedupQueries extends QueryPack {
           .otherwise(lit("")))
       val canon = regexp_replace(regexp_replace(lower(raw),
         "\\?utm[^#]*", ""), "/$", "")
-      T.documents(s, d)
+      // two distinct groups (raw, canon) in one agg would Expand ×3
+      // the corpus pre-shuffle (the quality_profile trap); narrow
+      // subtrees — one dedup-then-count pass per distinct column,
+      // joined on the ~|sources| host dimension — keep every exchange
+      // partial-aggregated.
+      val urls = T.documents(s, d)
         .withColumn("raw", raw).withColumn("canon", canon)
         .withColumn("host", parse_url(col("canon"), lit("HOST")))
-        .groupBy("host")
-        .agg(countDistinct("raw").as("n_raw"),
-          countDistinct("canon").as("n_canonical"),
-          (count(lit(1)) - countDistinct("canon")).as("n_dups_recovered"))
+      val nTotal = urls.groupBy("host").agg(count(lit(1)).as("n_tot"))
+      val nRaw = urls.select("host", "raw").distinct()
+        .groupBy("host").agg(count(lit(1)).as("n_raw"))
+      val nCanon = urls.select("host", "canon").distinct()
+        .groupBy("host").agg(count(lit(1)).as("n_canonical"))
+      nRaw.join(nCanon, "host").join(nTotal, "host")
+        .select(col("host"), col("n_raw"), col("n_canonical"),
+          (col("n_tot") - col("n_canonical")).as("n_dups_recovered"))
         .orderBy("host")
     }),
 

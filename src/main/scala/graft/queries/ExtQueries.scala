@@ -313,18 +313,31 @@ object ExtQueries extends QueryPack {
       // days. One distinct-day activity table joined back on user_id —
       // both sides hash-partition on the same key — and conditional
       // countDistinct per cohort day; ratios on 4-dp rounds.
+      // No countDistinct needed (three distinct groups in one agg
+      // would Expand ×4 the activity join pre-shuffle — the
+      // quality_profile trap): `act` is already distinct per
+      // (user, day) and `cohort` carries exactly one row per user, so
+      // a user contributes at most ONE joined row per day — plain
+      // conditional counts ARE the distinct counts, map-side
+      // combinable. Cohort sizes come straight off the cohort table
+      // (no join needed); the retained counts left-join back so
+      // zero-retention cohort days keep their row.
       val ev = T.events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
       val cohort = ev.filter(col("event_type") === "signup")
         .groupBy("user_id").agg(min("day").as("d0"))
       val act = ev.select("user_id", "day").distinct()
-      cohort.join(act, Seq("user_id"))
+      val sizes = cohort.groupBy("d0").agg(count(lit(1)).as("cohort_users"))
+      val retained = cohort.join(act, Seq("user_id"))
         .groupBy("d0")
-        .agg(countDistinct("user_id").as("cohort_users"),
-          countDistinct(when(col("day") === date_add(col("d0"), 1),
-            col("user_id"))).as("d1_retained"),
-          countDistinct(when(col("day") === date_add(col("d0"), 7),
-            col("user_id"))).as("d7_retained"))
+        .agg(count(when(col("day") === date_add(col("d0"), 1), 1))
+            .as("d1_retained"),
+          count(when(col("day") === date_add(col("d0"), 7), 1))
+            .as("d7_retained"))
+      sizes.join(retained, Seq("d0"), "left")
+        .select(col("d0"), col("cohort_users"),
+          coalesce(col("d1_retained"), lit(0L)).as("d1_retained"),
+          coalesce(col("d7_retained"), lit(0L)).as("d7_retained"))
         .withColumn("d1_rate", round(col("d1_retained") / col("cohort_users"), 4))
         .withColumn("d7_rate", round(col("d7_retained") / col("cohort_users"), 4))
         .orderBy("d0")

@@ -569,8 +569,14 @@ object GraphMmQueries extends QueryPack {
   )
 
   /** twin-id offset for multimodal_phash's seeded re-ingest (the
-    * dedup_containment out-of-range-id precedent). */
-  private val PhashTwinOffset = 10000000L
+    * dedup_containment out-of-range-id precedent). 2⁴⁰, NOT a
+    * round 10⁷: the sf1 fixture replicates the corpus with ids
+    * strided by Replicate.IdOffset = 10⁷, and the original 10⁷
+    * offset made every replica doc (id ≥ 10⁷) parse as a synthetic
+    * twin of base doc id−10⁷ — 250 phantom "seeded" rows at sf1.
+    * Any corpus whose ids approach 2⁴⁰ (a trillion docs) needs a
+    * max(doc_id)+1 derivation like dedup_containment's instead. */
+  private val PhashTwinOffset = 1L << 40
 
   /** the dHash56 bit arithmetic as a generated SQL CASE chain — emitted
     * from the SAME (r, c, weight) constants the codec packs with, the

@@ -32,8 +32,14 @@ object JoinQueries extends QueryPack {
     }),
 
     "join_broadcast_inner" -> ((s, d) => {
+      // no explicit broadcast() hint: customer GROWS with the corpus,
+      // so a pinned hint is exactly the driver-OOM path at 100 TB.
+      // Catalyst's size estimate picks BroadcastHashJoin at every test
+      // SF (PlanSpec pins it) and falls back to a shuffled join when
+      // the dim outgrows the threshold — the correct posture is the
+      // optimizer's size-aware choice, not a hardcoded hint.
       T.orders(s, d)
-        .join(broadcast(T.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
         .orderBy("o_orderkey")
     }),
@@ -99,8 +105,12 @@ object JoinQueries extends QueryPack {
 
     "join_theta_range" -> ((s, d) => {
       // equi key + theta residual; aggregated so output stays bounded.
+      // No broadcast() hint — part grows with the corpus; Catalyst
+      // broadcasts it at test SFs on size stats and switches to a
+      // shuffled hash join with the same residual when it outgrows the
+      // threshold.
       T.lineitem(s, d)
-        .join(broadcast(T.part(s, d)),
+        .join(T.part(s, d),
           col("l_partkey") === col("p_partkey") && col("l_quantity") > col("p_size"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))

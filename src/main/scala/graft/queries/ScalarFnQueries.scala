@@ -134,9 +134,20 @@ object ScalarFnQueries extends QueryPack {
           parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"))
         .groupBy("host")
         .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("ref")).as("n_refs"),
-          sum(isnull(col("ref")).cast("long")).as("n_noquery"),
-          countDistinct(col("path")).as("n_paths"))
+          count_distinct(col("ref")).as("n_refs"),
+          sum(isnull(col("ref")).cast("long")).as("n_noquery"))
+        .join(
+          // second distinct column as its own narrow dedup-then-count
+          // subtree (two distinct groups in one agg would Expand ×3
+          // the scan pre-shuffle — the quality_profile trap); joined
+          // on the ~|sources| host dimension.
+          T.documents(s, d)
+            .withColumn("url", url)
+            .select(parse_url(col("url"), lit("HOST")).as("host"),
+              parse_url(col("url"), lit("PATH")).as("path"))
+            .distinct()
+            .groupBy("host").agg(count(lit(1)).as("n_paths")),
+          "host")
         .orderBy("host")
     })
   )

@@ -84,7 +84,14 @@ object ScaleQueries extends QueryPack {
       s.table("graft_buckets.lineitem_b")
         .join(s.table("graft_buckets.orders_b"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+        // DECIMAL cents, one final double conversion: a raw double SUM
+        // is shuffle-order-dependent and lost its last cent digit at
+        // sf1 (6.4e10 magnitude over 6 M addends — the first 2^53-class
+        // fluke the sf1 gate caught); the exact decimal sum is
+        // order-invariant in both engines (sink_zorder device).
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
         .orderBy("o_orderpriority")
     }),
 
@@ -143,7 +150,7 @@ object ScaleQueries extends QueryPack {
 
     "join_bucketed_colocated" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-        |       ROUND(SUM(l_extendedprice), 2) AS total
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 

@@ -371,7 +371,11 @@ object SimQueries extends QueryPack {
         .select(col("vec_id").as("a"), col("u").as("ua"))
       val all = assigned.select(col("vec_id").as("b"), col("u").as("ub"))
       val we = Window.partitionBy("a").orderBy(col("sim").desc, col("b"))
-      val ex3 = probes.join(all, col("a") =!= col("b"))
+      // broadcast the ≤100-row probe side: a bare ≠-join over two
+      // stat-less memoized frames plans a CartesianProductExec
+      // (left×right partition tasks); with the bounded side broadcast
+      // it streams the corpus once as BroadcastNestedLoopJoin.
+      val ex3 = broadcast(probes).join(all, col("a") =!= col("b"))
         .select(col("a"), col("b"),
           round(expr("graft_dot(ua, ub)"), 4).as("sim"))
         .withColumn("rk", row_number().over(we))
@@ -640,8 +644,114 @@ object SimQueries extends QueryPack {
         .groupBy("label")
         .agg(count(lit(1)).as("n"), round(avg("nrm"), 4).as("avg_norm"))
         .orderBy("label")
+    }),
+
+    "sim_ann_persisted" -> ((s, d) => {
+      // persist-and-serve (r13 verdict #4): the missing DEPLOYMENT
+      // shape. sim_ann_ivf_pq trains per session (memoized); a 100 TB
+      // deployment trains ONCE, writes the index as tables — coarse
+      // centroids, cell memberships, PQ codes, PQ codebooks — and every
+      // serving session LOADS those tables and answers probes against
+      // them, never retraining. This key IS that split: a build stage
+      // that writes the four index tables to a stable parquet root
+      // (skipped when the provenance stamp already matches — across
+      // SESSIONS, not just within one), then a serve stage whose plan
+      // reads ONLY the loaded tables plus the query-time probe vectors.
+      // Serving output is the per-probe top-3 (a, rank, b, adist) —
+      // the ANN answer surface, not a recall audit. Deterministic end
+      // to end (hash-matched Lloyd + fixed-order ADC sums), so the
+      // DuckDB oracle replays the same training arithmetic from the
+      // embeddings table and must land on identical rows — proving the
+      // roundtrip through parquet changed nothing. Bench billing: the
+      // first run on a fresh machine pays the build; later runs (and
+      // later SESSIONS — the point) serve warm off the stamp check.
+      graft.GraftFunctions.register(s)
+      val root = annIndexRoot(d)
+      buildAnnIndexIfAbsent(s, d, root)
+      val centRow = s.read.parquet(s"$root/centroids.parquet")
+        .agg(collect_list(struct(col("c_label"), col("c"), col("cc"))).as("cents"))
+      val members = s.read.parquet(s"$root/members.parquet")
+      val codes = s.read.parquet(s"$root/codes.parquet")
+      val cbs = s.read.parquet(s"$root/codebooks.parquet")
+      val NProbe = 4
+      val probes = embDouble(s, d).filter(col("vec_id") < 100)
+      val pcells = probes.crossJoin(broadcast(centRow))
+        .withColumn("vv", expr("graft_dot(v, v)"))
+        .withColumn("top", slice(array_sort(transform(col("cents"), ct =>
+          struct(
+            round(col("vv") - lit(2.0)
+                * graft.GraftFunctions.dotCol(s, col("v"), ct.getField("c"))
+              + ct.getField("cc"), 6).as("d2"),
+            ct.getField("c_label").as("c_label")))), 1, NProbe))
+        .select(col("vec_id").as("qid"),
+          explode(transform(col("top"), _.getField("c_label"))).as("cell"))
+      val cand = pcells
+        .join(members.select(col("vec_id").as("b"), col("cell")), Seq("cell"))
+        .filter(col("b") =!= col("qid"))
+        .select("qid", "b")
+      val lut = probes
+        .select(col("vec_id").as("qid"),
+          posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+            s"m -> slice(v, m * $PqSub + 1, $PqSub))")).as(Seq("m", "qm")))
+        .join(broadcast(cbs), Seq("m"))
+        .select(col("qid"), col("m"), col("cell"),
+          (col("cc") - lit(2.0) * graft.GraftFunctions.dotCol(s, col("qm"), col("c")))
+            .as("term"))
+      val luts = (0 until PqM).map(m => lut.filter(col("m") === m)
+        .select(col("qid").as(s"qid$m"), col("cell").as(s"lc$m"),
+          col("term").as(s"t$m")))
+      val adc = (0 until PqM).foldLeft(cand.join(
+          codes.select(col("vec_id").as("b"), col("c0"), col("c1"),
+            col("c2"), col("c3")), Seq("b"))) {
+          (acc, m) => acc.join(broadcast(luts(m)),
+            col("qid") === col(s"qid$m") && col(s"c$m") === col(s"lc$m"))
+        }
+        .select(col("qid"), col("b"),
+          round(col("t0") + col("t1") + col("t2") + col("t3"), 6).as("adist"))
+      val wa = Window.partitionBy("qid").orderBy(col("adist"), col("b"))
+      adc.withColumn("rank", row_number().over(wa))
+        .filter(col("rank") <= 3)
+        .select(col("qid").as("a"), col("rank"), col("b"), col("adist"))
+        .orderBy("a", "rank")
     })
   )
+
+  /** stable per-SF index root — survives the JVM (deliberately NOT
+    * graft.Tmp scratch: cross-session reuse is the semantics under
+    * test). Overridable for test isolation. */
+  private def annIndexRoot(d: String): String = {
+    val base = sys.env.getOrElse("GRAFT_ANN_INDEX_ROOT", "/tmp/graft_ann_index")
+    s"$base/${java.nio.file.Paths.get(d).getFileName}"
+  }
+
+  /** provenance stamp: base dir, corpus size, a content fingerprint
+    * (micro-unit sum of first components — catches a regenerated
+    * corpus with the same count), and the training constants. A marker
+    * mismatch rebuilds; a match means the persisted index IS this
+    * corpus's trained index and serving may skip training entirely. */
+  private def buildAnnIndexIfAbsent(s: org.apache.spark.sql.SparkSession,
+      d: String, root: String): Unit = {
+    val fp = T.embeddings(s, d)
+      .agg(count(lit(1)).as("n"),
+        sum(round(element_at(col("embedding"), 1).cast("double") * 1e6))
+          .cast("long").as("chk"))
+      .head()
+    val stamp = s"$d n=${fp.getLong(0)} chk=${fp.getLong(1)} " +
+      s"km=$KmK/$KmIters pq=$PqM/$PqK"
+    val marker = java.nio.file.Paths.get(root, "_INDEX")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == stamp
+    if (!fresh) {
+      kmTrained(s, d)._2.write.mode("overwrite").parquet(s"$root/centroids.parquet")
+      kmAssigned(s, d).select("vec_id", "cell")
+        .write.mode("overwrite").parquet(s"$root/members.parquet")
+      val (pqCodes, pqCbs) = pqTrained(s, d)
+      pqCodes.select("vec_id", "c0", "c1", "c2", "c3")
+        .write.mode("overwrite").parquet(s"$root/codes.parquet")
+      pqCbs.write.mode("overwrite").parquet(s"$root/codebooks.parquet")
+      java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
+    }
+  }
 
   /** DuckDB: embedding widened to DOUBLE[] (shared fragment). */
   private val vd = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -1075,6 +1185,38 @@ object SimQueries extends QueryPack {
       s"""SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
          |       ROUND(AVG(sqrt(list_dot_product(v, v))), 4) AS avg_norm
          |FROM (SELECT label, $vd AS v FROM embeddings)
-         |GROUP BY label ORDER BY label""".stripMargin
+         |GROUP BY label ORDER BY label""".stripMargin,
+
+    // persist-and-serve replay: retrain the same deterministic chains
+    // (trained-cell coarse index + PQ/ADC) directly from embeddings and
+    // emit the served top-3 — identical rows proves the Spark side's
+    // parquet-persisted index roundtripped losslessly
+    "sim_ann_persisted" ->
+      s"""WITH ${kmeansCte(KmK, KmIters)},
+         |$adcCteSql,
+         |pc AS (
+         |  SELECT p.vec_id AS qid, c.c_label AS cell,
+         |         ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |           ROUND(list_dot_product(p.v, p.v)
+         |                 - 2.0 * list_dot_product(p.v, c.c)
+         |                 + list_dot_product(c.c, c.c), 6), c.c_label) AS crk
+         |  FROM e p CROSS JOIN cent$KmIters c
+         |  WHERE p.vec_id < 100),
+         |cand AS (
+         |  SELECT pc.qid, a.vec_id AS b
+         |  FROM pc JOIN a$KmIters a ON a.cell = pc.cell
+         |  WHERE pc.crk <= 4 AND a.vec_id != pc.qid),
+         |adc AS (
+         |  SELECT cand.qid, cand.b,
+         |         ROUND(l0.term + l1.term + l2.term + l3.term, 6) AS adist
+         |  FROM cand
+         |  JOIN codes ON codes.b = cand.b
+         |  ${(0 until PqM).map(m =>
+             s"JOIN lut l$m ON l$m.m = $m AND l$m.qid = cand.qid AND codes.c$m = l$m.cell")
+             .mkString("\n  ")})
+         |SELECT qid AS a, CAST(rk AS INT) AS rank, b, adist FROM (
+         |  SELECT qid, b, adist,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, b) AS rk
+         |  FROM adc) WHERE rk <= 3 ORDER BY a, rank""".stripMargin
   )
 }

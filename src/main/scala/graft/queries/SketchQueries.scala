@@ -377,6 +377,31 @@ object SketchQueries extends QueryPack {
           floor((col("cm_est") - col("n_exact")) * lit(10000.0)
             / col("n_exact")).cast("long"))
         .orderBy(col("n_exact").desc, col("w"))
+    }),
+
+    // deterministic reservoir sample (r13 verdict #7b — the sampling
+    // family's sketch row): a FIXED-SIZE per-group sample whose
+    // membership is a pure function of the data, not of arrival order
+    // or RNG state. The device: rank every doc within its group by the
+    // portable md5 of its id and keep rank ≤ K — equivalent to a
+    // reservoir of size K under the md5-induced random order, but
+    // mergeable (any partition's top-K by hash union-merges to the
+    // global top-K — the KMV property) and replayable in any engine.
+    // The literal K compiles to WindowGroupLimit: each map task keeps
+    // ≤ K rows per group BEFORE the shuffle, so the exchange moves
+    // O(groups × K), never the corpus — the sketch-shaped plan
+    // (PlanSpec pins the limit node for the rank≤K family).
+    "agg_reservoir_det" -> ((s, d) => {
+      import graft.ops.TextOps
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang").orderBy(
+        TextOps.md5Long(concat(lit("res:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      T.documents(s, d)
+        .select(col("lang"), col("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 32)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy("lang", "rk")
     })
   )
 
@@ -571,6 +596,15 @@ object SketchQueries extends QueryPack {
         |  GROUP BY p.w, p.n_exact)
         |SELECT w, n_exact, CAST(cm_est AS BIGINT) AS cm_est,
         |       CAST(floor((cm_est - n_exact) * 10000.0 / n_exact) AS BIGINT) AS over_bp
-        |FROM est ORDER BY n_exact DESC, w""".stripMargin
+        |FROM est ORDER BY n_exact DESC, w""".stripMargin,
+
+    "agg_reservoir_det" -> {
+      val h = graft.ops.TextOps.md5LongSql("'res:' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY $h, doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 32 ORDER BY lang, rk""".stripMargin
+    }
   )
 }

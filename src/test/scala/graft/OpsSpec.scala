@@ -183,6 +183,22 @@ class OpsSpec extends SparkSpec {
         s"extra=${split -- unsplit}")
   }
 
+  test("MetricBlocking fan-split preserves the exact pair set") {
+    // the round-14 scale path (r13 verdict #5): a tiny fan budget forces
+    // the projected-fan re-key (parent anchors, md5 sub-buckets) on the
+    // fixture; the pair set must be identical to the unsplit result.
+    val emb = Tables.embeddings(spark, sf)
+    def pairs(budget: Long) =
+      graft.ops.MetricBlocking.nearDupPairs(spark, emb, 0.35,
+        fanBudget = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val split = pairs(1000L) // fixture fan ≫ 1000 → every cell re-keys
+    val unsplit = pairs(Long.MaxValue)
+    assert(split == unsplit && split.nonEmpty,
+      s"fan-split changed the pair set: missing=${unsplit -- split} " +
+        s"extra=${split -- unsplit}")
+  }
+
   test("MetricBlocking prunes on a clustered corpus (and still finds every pair)") {
     import spark.implicits._
     // 4 tight clusters around orthogonal axes: radii ~11°, inter-cell

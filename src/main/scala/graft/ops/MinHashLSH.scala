@@ -41,16 +41,26 @@ object MinHashLSH {
       array_min(transform(shingleHashes, x => pmod(pmod(x, lit(P)) * a + b, lit(P))))
     }: _*)
 
-  /** candidate pairs (a < b) from banding a signature column. */
-  def candidates(docs: DataFrame, idCol: String, sigCol: String,
-      numPerm: Int, rowsPerBand: Int): DataFrame = {
+  /** per-row band rows (id, band, key) from a signature column — the
+    * LSH index surface itself: persisted as a table, it is the thing
+    * an ingest-time dedup joins new documents against (the
+    * stream_ingest_dedup shape); self-joined, it yields [[candidates]].
+    */
+  def bandKeys(docs: DataFrame, idCol: String, sigCol: String,
+      numPerm: Int, rowsPerBand: Int, carry: Seq[String] = Nil): DataFrame = {
     val bands = numPerm / rowsPerBand
-    val banded = docs.select(col(idCol), posexplode(
+    docs.select(col(idCol) +: carry.map(col) :+ posexplode(
       array((0 until bands).map(bnd =>
         struct(lit(bnd).as("band"),
           concat_ws("_", (0 until rowsPerBand).map(r =>
-            element_at(col(sigCol), bnd * rowsPerBand + r + 1)): _*).as("key"))): _*)))
-      .select(col(idCol), col("col.band"), col("col.key"))
+            element_at(col(sigCol), bnd * rowsPerBand + r + 1)): _*).as("key"))): _*)): _*)
+      .select(col(idCol) +: carry.map(col) :+ col("col.band") :+ col("col.key"): _*)
+  }
+
+  /** candidate pairs (a < b) from banding a signature column. */
+  def candidates(docs: DataFrame, idCol: String, sigCol: String,
+      numPerm: Int, rowsPerBand: Int): DataFrame = {
+    val banded = bandKeys(docs, idCol, sigCol, numPerm, rowsPerBand)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col(s"x.$idCol") < col(s"y.$idCol"))

@@ -440,47 +440,61 @@ object DedupQueries extends QueryPack {
          |FROM sh GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash""".stripMargin
     },
 
-    // the SAME deterministic minhash pipeline replayed in SQL: 60-bit
-    // md5 shingle hashes reduced mod the Mersenne prime, the 16 fixed
-    // (a·x + b) mod P permutations emitted from MinHashLSH.coef itself
-    // (one source of truth), 8 two-row bands, candidate self-join,
-    // exact Jaccard verify at 4 dp. Distinct shingle lists make
-    // |union| = |A| + |B| − |A∩B| exact integers on both engines.
-    "dedup_minhash_lsh" -> {
-      val P = graft.ops.MinHashLSH.P
-      val sigExprs = (0 until 16).map { i =>
-        val (a, b) = graft.ops.MinHashLSH.coef(i)
-        s"list_min(list_transform(hx, h -> (h * $a + $b) % $P))"
-      }.mkString(",\n         ")
-      s"""WITH s0 AS (
-         |  SELECT doc_id, list_distinct($shingle3) AS sh
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
-         |s AS (SELECT doc_id, sh FROM s0 WHERE len(sh) > 0),
-         |hs AS (
-         |  SELECT doc_id, sh,
-         |         list_transform(sh, x -> ${TextOps.md5LongSql("x")} % $P) AS hx
-         |  FROM s),
-         |sig AS (
-         |  SELECT doc_id,
-         |        [$sigExprs] AS sig
-         |  FROM hs),
-         |bd AS (
-         |  SELECT doc_id, band,
-         |         CAST(sig[2 * band + 1] AS VARCHAR) || '_' ||
-         |         CAST(sig[2 * band + 2] AS VARCHAR) AS key
-         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band)),
+    // [[minhashBandCtes]] + candidate self-join + exact Jaccard verify
+    "dedup_minhash_lsh" ->
+      s"""WITH $minhashBandCtes,
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bd x JOIN bd y
          |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-         |vj AS (
-         |  SELECT a, b,
-         |         ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-         |               / (len(sa.sh) + len(sb.sh)
-         |                  - len(list_intersect(sa.sh, sb.sh))), 4) AS j
-         |  FROM cand JOIN s sa ON cand.a = sa.doc_id
-         |            JOIN s sb ON cand.b = sb.doc_id)
+         |$minhashVerifyCte
          |SELECT a, b, j FROM vj WHERE j >= 0.5 ORDER BY a, b""".stripMargin
-    }
   )
+
+  /** the SAME deterministic minhash pipeline replayed in SQL: 60-bit
+    * md5 shingle hashes reduced mod the Mersenne prime, the 16 fixed
+    * (a·x + b) mod P permutations emitted from MinHashLSH.coef itself
+    * (one source of truth), 8 two-row bands. Distinct shingle lists
+    * make |union| = |A| + |B| − |A∩B| exact integers on both engines.
+    * CTEs `s(doc_id, sh)` … `bd(doc_id, band, key)`; a caller appends
+    * its candidate join + [[minhashVerifyCte]] (shared with the
+    * stream_ingest_dedup oracle, whose candidates are corpus×incoming
+    * instead of the self-join).
+    */
+  private[queries] lazy val minhashBandCtes: String = {
+    val P = graft.ops.MinHashLSH.P
+    val sigExprs = (0 until 16).map { i =>
+      val (a, b) = graft.ops.MinHashLSH.coef(i)
+      s"list_min(list_transform(hx, h -> (h * $a + $b) % $P))"
+    }.mkString(",\n         ")
+    s"""s0 AS (
+       |  SELECT doc_id, list_distinct($shingle3) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+       |s AS (SELECT doc_id, sh FROM s0 WHERE len(sh) > 0),
+       |hs AS (
+       |  SELECT doc_id, sh,
+       |         list_transform(sh, x -> ${TextOps.md5LongSql("x")} % $P) AS hx
+       |  FROM s),
+       |sig AS (
+       |  SELECT doc_id,
+       |        [$sigExprs] AS sig
+       |  FROM hs),
+       |bd AS (
+       |  SELECT doc_id, band,
+       |         CAST(sig[2 * band + 1] AS VARCHAR) || '_' ||
+       |         CAST(sig[2 * band + 2] AS VARCHAR) AS key
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band))""".stripMargin
+  }
+
+  /** exact Jaccard verify at 4 dp over a `cand(a, b)` CTE. lazy: the
+    * oracleSql val above interpolates this before the object's plain
+    * vals initialize (a "null" in the SQL otherwise). */
+  private[queries] lazy val minhashVerifyCte: String =
+    """vj AS (
+      |  SELECT a, b,
+      |         ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |               / (len(sa.sh) + len(sb.sh)
+      |                  - len(list_intersect(sa.sh, sb.sh))), 4) AS j
+      |  FROM cand JOIN s sa ON cand.a = sa.doc_id
+      |            JOIN s sb ON cand.b = sb.doc_id)""".stripMargin
 }

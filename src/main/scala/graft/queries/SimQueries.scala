@@ -772,11 +772,16 @@ object SimQueries extends QueryPack {
   /** Lloyd rounds as CTE text over an arbitrary (vec_id, v) source CTE,
     * all names `$p`-prefixed so several independent trainings (the PQ
     * subspaces) coexist in one WITH clause. */
+  // `MATERIALIZED` on every reused CTE: DuckDB inlines CTEs by default,
+  // so each downstream reference re-executes the whole Lloyd chain —
+  // at sf1 (20k vectors) the composed IVF×PQ oracle's 4 `lut` joins ×
+  // 4 subspace chains ballooned past 100 GB before OOM. Materialized,
+  // each chain runs once and every table is ≤20k rows (≈10 MB).
   private def kmeansRounds(p: String, src: String, k: Int, iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""${p}ex$i AS (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos
          |          FROM ${p}a${i - 1}),
-         |${p}cent$i AS (
+         |${p}cent$i AS MATERIALIZED (
          |  SELECT cell AS c_label, list(av ORDER BY pos) AS c
          |  FROM (SELECT cell, pos, AVG(x) AS av FROM ${p}ex$i GROUP BY cell, pos)
          |  GROUP BY cell),
@@ -785,17 +790,17 @@ object SimQueries extends QueryPack {
          |         ROUND(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.c)
          |               + list_dot_product(c.c, c.c), 6) AS d2
          |  FROM $src e CROSS JOIN ${p}cent$i c),
-         |${p}a$i AS (
+         |${p}a$i AS MATERIALIZED (
          |  SELECT vec_id, v, c_label AS cell, d2 FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
          |    FROM ${p}d$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""${p}a0 AS (SELECT vec_id, v, vec_id % $k AS cell FROM $src),
+    s"""${p}a0 AS MATERIALIZED (SELECT vec_id, v, vec_id % $k AS cell FROM $src),
        |$rounds""".stripMargin
   }
 
   private def kmeansCte(k: Int, iters: Int): String =
-    s"""e AS (SELECT vec_id, $vd AS v FROM embeddings),
+    s"""e AS MATERIALIZED (SELECT vec_id, $vd AS v FROM embeddings),
        |${kmeansRounds("", "e", k, iters)}""".stripMargin
 
   private def kmeansSql(k: Int, iters: Int): String =
@@ -808,7 +813,7 @@ object SimQueries extends QueryPack {
       val coefs = VectorOps.lshCoefs(j, DIM).map(c => s"$c.0").mkString("[", ", ", "]")
       s"CASE WHEN list_dot_product(v, $coefs) > 0 THEN ${1 << j} ELSE 0 END"
     }.mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings),
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, $vd AS v FROM embeddings),
        |eb AS (SELECT vec_id, v, CAST($buckets AS INT) AS bucket FROM e),
        |pairs AS (
        |  SELECT p.vec_id AS a, c.vec_id AS b,
@@ -835,7 +840,7 @@ object SimQueries extends QueryPack {
         .mkString("[", ", ", "]")
       s"CASE WHEN list_dot_product($v, $coefs) > 0 THEN ${1 << j} ELSE 0 END"
     }.mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings),
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, $vd AS v FROM embeddings),
        |en AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS n FROM e),
        |mx AS (SELECT MAX(n) AS m FROM en),
        |aug AS (
@@ -868,7 +873,7 @@ object SimQueries extends QueryPack {
     * sim_ann_pq_adc and sim_ann_ivf_pq oracles. */
   private def adcCteSql: String = {
     val subs = (0 until PqM).map { m =>
-      s"""s$m AS (SELECT vec_id, v[${m * PqSub + 1}:${(m + 1) * PqSub}] AS v FROM e),
+      s"""s$m AS MATERIALIZED (SELECT vec_id, v[${m * PqSub + 1}:${(m + 1) * PqSub}] AS v FROM e),
          |${kmeansRounds(s"p${m}_", s"s$m", PqK, KmIters)}""".stripMargin
     }.mkString(",\n")
     val cb = (0 until PqM).map(m =>
@@ -877,17 +882,17 @@ object SimQueries extends QueryPack {
     val codeJoins = (0 until PqM).map(m =>
       s"JOIN p${m}_a$KmIters q$m ON e.vec_id = q$m.vec_id").mkString(" ")
     s"""$subs,
-       |codes AS (
+       |codes AS MATERIALIZED (
        |  SELECT e.vec_id AS b, ${(0 until PqM).map(m => s"q$m.cell AS c$m").mkString(", ")}
        |  FROM e $codeJoins),
-       |cb AS (
+       |cb AS MATERIALIZED (
        |  $cb),
        |qs AS (
        |  SELECT vec_id AS qid, m,
        |         list_slice(v, m * $PqSub + 1, (m + 1) * $PqSub) AS qm
        |  FROM e, (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m)
        |  WHERE vec_id < 100),
-       |lut AS (
+       |lut AS MATERIALIZED (
        |  SELECT qid, qs.m, cell, cc - 2.0 * list_dot_product(qm, c) AS term
        |  FROM qs JOIN cb ON qs.m = cb.m)""".stripMargin
   }
@@ -901,14 +906,14 @@ object SimQueries extends QueryPack {
        |               - 2.0 * list_dot_product(p.v, x.v), 6) AS dist
        |  FROM e p JOIN e x ON p.vec_id != x.vec_id
        |  WHERE p.vec_id < 100),
-       |ex3 AS (
+       |ex3 AS MATERIALIZED (
        |  SELECT a, b FROM (
        |    SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY dist, b) AS rk
        |    FROM ex) WHERE rk <= 3)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "sim_cosine_knn" ->
-      s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings)
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, $vd AS v FROM embeddings)
          |SELECT a.vec_id AS a, b.vec_id AS b,
          |       ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -956,7 +961,7 @@ object SimQueries extends QueryPack {
       val lutJoins = (1 until PqM).map(m =>
         s"JOIN lut l$m ON l$m.m = $m AND l$m.qid = l0.qid AND codes.c$m = l$m.cell")
         .mkString("\n  ")
-      s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings),
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, $vd AS v FROM embeddings),
          |$adcCteSql,
          |adc AS (
          |  SELECT l0.qid, codes.b,
@@ -983,7 +988,7 @@ object SimQueries extends QueryPack {
     "sim_ann_ivf_pq" ->
       s"""WITH ${kmeansCte(KmK, KmIters)},
          |$adcCteSql,
-         |pc AS (
+         |pc AS MATERIALIZED (
          |  SELECT p.vec_id AS qid, c.c_label AS cell,
          |         ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
          |           ROUND(list_dot_product(p.v, p.v)
@@ -991,7 +996,7 @@ object SimQueries extends QueryPack {
          |                 + list_dot_product(c.c, c.c), 6), c.c_label) AS crk
          |  FROM e p CROSS JOIN cent$KmIters c
          |  WHERE p.vec_id < 100),
-         |cand AS (
+         |cand AS MATERIALIZED (
          |  SELECT pc.qid, a.vec_id AS b
          |  FROM pc JOIN a$KmIters a ON a.cell = pc.cell
          |  WHERE pc.crk <= 4 AND a.vec_id != pc.qid),
@@ -1019,12 +1024,12 @@ object SimQueries extends QueryPack {
     // then the code/error join — reconstruction error IS Σ subspace d2
     "sim_quantize_pq" -> {
       val subs = (0 until PqM).map { m =>
-        s"""s$m AS (SELECT vec_id, v[${m * PqSub + 1}:${(m + 1) * PqSub}] AS v FROM e),
+        s"""s$m AS MATERIALIZED (SELECT vec_id, v[${m * PqSub + 1}:${(m + 1) * PqSub}] AS v FROM e),
            |${kmeansRounds(s"p${m}_", s"s$m", PqK, KmIters)}""".stripMargin
       }.mkString(",\n")
       val joins = (0 until PqM).map(m =>
         s"JOIN p${m}_a$KmIters q$m ON e.vec_id = q$m.vec_id").mkString(" ")
-      s"""WITH e AS (SELECT vec_id, label, $vd AS v FROM embeddings),
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, label, $vd AS v FROM embeddings),
          |$subs,
          |j AS (
          |  SELECT e.label,
@@ -1038,7 +1043,7 @@ object SimQueries extends QueryPack {
     },
 
     "sim_quantize_int8" ->
-      s"""WITH e AS (SELECT vec_id, label, $vd AS v FROM embeddings),
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, label, $vd AS v FROM embeddings),
          |ex AS (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
          |bd AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY pos),
          |b AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx FROM bd),
@@ -1062,7 +1067,7 @@ object SimQueries extends QueryPack {
          |FROM err GROUP BY label ORDER BY label""".stripMargin,
 
     "sim_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings),
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, $vd AS v FROM embeddings),
          |k AS (SELECT GREATEST(32, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM e),
          |ex AS (SELECT vec_id % (SELECT k FROM k) AS bucket,
          |              unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
@@ -1095,7 +1100,7 @@ object SimQueries extends QueryPack {
     // ranking (arn ≤ 4), the nprobe ∈ {1,2,4} candidate pools, and the
     // brute-force exact top-3 the recall grades against.
     "sim_ann_recall_sweep" ->
-      s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings),
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, $vd AS v FROM embeddings),
          |k AS (SELECT GREATEST(32, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM e),
          |ex AS (SELECT vec_id % (SELECT k FROM k) AS bucket,
          |              unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
@@ -1125,7 +1130,7 @@ object SimQueries extends QueryPack {
          |    SELECT nprobe, a, b,
          |           ROW_NUMBER() OVER (PARTITION BY nprobe, a ORDER BY sim DESC, b) AS rk
          |    FROM expanded) WHERE rk <= 3),
-         |ex3 AS (
+         |ex3 AS MATERIALIZED (
          |  SELECT a, b FROM (
          |    SELECT p.vec_id AS a, c.vec_id AS b,
          |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
@@ -1147,7 +1152,7 @@ object SimQueries extends QueryPack {
          |ORDER BY nprobe""".stripMargin,
 
     "sim_similarity_join" ->
-      s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings)
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, $vd AS v FROM embeddings)
          |SELECT a.vec_id AS a, b.vec_id AS b,
          |       ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
          |FROM e a JOIN e b ON b.vec_id >= 300
@@ -1156,7 +1161,7 @@ object SimQueries extends QueryPack {
          |ORDER BY a, b""".stripMargin,
 
     "dedup_embedding" ->
-      s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings)
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, $vd AS v FROM embeddings)
          |SELECT a.vec_id AS a, b.vec_id AS b,
          |       ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -1167,7 +1172,7 @@ object SimQueries extends QueryPack {
     // the same 5-band curve as the Jaccard sweep's oracle — thresholds
     // compare the 4-dp ROUNDED sim on both engines
     "dedup_embedding_sweep" ->
-      s"""WITH e AS (SELECT vec_id, $vd AS v FROM embeddings),
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, $vd AS v FROM embeddings),
          |j AS (SELECT a.vec_id AS a, b.vec_id AS b,
          |             ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
          |      FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -1194,7 +1199,7 @@ object SimQueries extends QueryPack {
     "sim_ann_persisted" ->
       s"""WITH ${kmeansCte(KmK, KmIters)},
          |$adcCteSql,
-         |pc AS (
+         |pc AS MATERIALIZED (
          |  SELECT p.vec_id AS qid, c.c_label AS cell,
          |         ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
          |           ROUND(list_dot_product(p.v, p.v)
@@ -1202,7 +1207,7 @@ object SimQueries extends QueryPack {
          |                 + list_dot_product(c.c, c.c), 6), c.c_label) AS crk
          |  FROM e p CROSS JOIN cent$KmIters c
          |  WHERE p.vec_id < 100),
-         |cand AS (
+         |cand AS MATERIALIZED (
          |  SELECT pc.qid, a.vec_id AS b
          |  FROM pc JOIN a$KmIters a ON a.cell = pc.cell
          |  WHERE pc.crk <= 4 AND a.vec_id != pc.qid),

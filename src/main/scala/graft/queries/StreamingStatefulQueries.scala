@@ -27,7 +27,8 @@ object StreamingStatefulQueries extends QueryPack {
     "stream_foreachbatch_sink" -> ((s, d) => StreamingJobs.foreachBatchSink(s, d)),
     "stream_available_now" -> ((s, d) => StreamingJobs.availableNowDrain(s, d)),
     "stream_restart_recovery" -> ((s, d) => StreamingJobs.restartRecovery(s, d)),
-    "stream_static_join" -> ((s, d) => StreamingJobs.streamStaticJoin(s, d))
+    "stream_static_join" -> ((s, d) => StreamingJobs.streamStaticJoin(s, d)),
+    "stream_ingest_dedup" -> ((s, d) => StreamingJobs.ingestDedup(s, d))
   )
 
   /** The inner stream–stream join is oracled the same way: inner joins
@@ -183,6 +184,23 @@ object StreamingStatefulQueries extends QueryPack {
     "stream_restart_recovery" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type,
         |       CAST(COUNT(*) AS BIGINT) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    // ingest-time dedup replayed batch-wise: the SAME deterministic
+    // minhash band CTEs as dedup_minhash_lsh (one source of truth —
+    // DedupQueries.minhashBandCtes), with candidates restricted to
+    // corpus (doc_id % 5 < 3, the persisted index side) × incoming
+    // (% 5 ≥ 3, the streamed side). The stream replay changes nothing:
+    // candidate generation is stateless per micro-batch and each
+    // incoming doc arrives exactly once, so the union over batches IS
+    // this batch join.
+    "stream_ingest_dedup" ->
+      s"""WITH ${DedupQueries.minhashBandCtes},
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bd x JOIN bd y ON x.band = y.band AND x.key = y.key
+         |  WHERE x.doc_id % 5 < 3 AND y.doc_id % 5 >= 3),
+         |${DedupQueries.minhashVerifyCte}
+         |SELECT a, b, j FROM vj WHERE j >= 0.5 ORDER BY a, b""".stripMargin
   )
 }

@@ -1003,6 +1003,122 @@ object StreamingJobs {
     * ingest job actually relies on: crash anywhere, restart with the
     * same checkpoint dir, converge to the same answer.
     */
+  /** ingest-time near-dup screening against a PERSISTED MinHash index
+    * (r13 verdict #7a — the incremental-corpus shape). The already-
+    * ingested corpus (doc_id % 5 < 3, ~60 %) has its LSH band table and
+    * shingle sets written once to a stable parquet root (provenance-
+    * stamped, reused across sessions exactly like the ANN index); new
+    * documents (doc_id % 5 ∈ {3,4}) then arrive through the production
+    * file source in two micro-batches. The STREAMING plan computes each
+    * batch's minhash signatures and band keys and joins them
+    * stream-static against the loaded band table — candidate
+    * generation never rescans the corpus text, only the index. The
+    * exact-Jaccard verify (against the persisted shingle sets) and the
+    * batch's pair output run inside foreachBatch on the executors;
+    * per-batch results land in batchId-keyed scratch parquet
+    * (idempotent under retries), and the read-back is the audit: every
+    * incoming doc's corpus near-dups at J ≥ 0.5.
+    *
+    * Scale: the index join is shuffled on (band, key) — at 100 TB the
+    * band table is corpus-sized and must NOT broadcast (size-based
+    * auto-broadcast decides locally); incoming-batch state is one
+    * micro-batch of documents, and no state store is involved
+    * (stateless plan). Deterministic end to end: same md5 shingle
+    * hashes, same fixed permutations as dedup_minhash_lsh, so the
+    * DuckDB oracle replays corpus-side and stream-side banding exactly.
+    */
+  def ingestDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.{MinHashLSH, TextOps}
+    val root = minhashIndexRoot(sfDir)
+    buildMinhashIndexIfAbsent(spark, sfDir, root)
+    val idxBands = spark.read.parquet(s"$root/bands.parquet")
+      .select(col("doc_id").as("a"), col("band"), col("key"))
+    val sets = spark.read.parquet(s"$root/shingles.parquet")
+      .select(col("doc_id").as("a"), col("sh").as("sha"))
+    val outDir = Tmp.dir("ingest_dedup_out").toString
+    try {
+      val incoming = T.documents(spark, sfDir)
+        .filter(col("doc_id") % 5 >= 3)
+        .select(col("doc_id"), col("text"),
+          (col("doc_id") % 5 - 3).cast("long").as("chunk"))
+      replayFileSource(spark, "ingest_dedup", incoming, 1L, (stream, ckpt) => {
+        val sig = stream
+          .select(col("doc_id").as("b"), array_distinct(
+            TextOps.shingles(TextOps.tokens(col("text")), 3)).as("shb"))
+          .filter(size(col("shb")) > 0)
+          .withColumn("hashes", transform(col("shb"), TextOps.md5Long(_)))
+          .withColumn("sig", MinHashLSH.signature(col("hashes"), 16))
+        val probeBands =
+          MinHashLSH.bandKeys(sig, "b", "sig", 16, 2, carry = Seq("shb"))
+        probeBands.join(idxBands, Seq("band", "key"))
+          .select("a", "b", "shb")
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            // band-key multiplicity collapsed per batch (each incoming
+            // doc arrives in exactly ONE chunk, so cross-batch pairs
+            // cannot repeat); exact Jaccard against the persisted
+            // shingle sets removes banding false positives
+            batch.dropDuplicates("a", "b")
+              .join(sets, "a")
+              .withColumn("j", round(
+                size(array_intersect(col("sha"), col("shb"))).cast("double") /
+                  size(array_union(col("sha"), col("shb"))), 4))
+              .filter(col("j") >= 0.5)
+              .select("a", "b", "j")
+              .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          }
+          .start()
+      })
+      spark.read.parquet(outDir)
+        .drop("batch") // sink-layout partition col — never a payload
+        .select("a", "b", "j")
+        .orderBy("a", "b")
+        .localCheckpoint(true)
+    } finally quietDelete(java.nio.file.Paths.get(outDir))
+  }
+
+  /** stable per-SF MinHash index root — cross-session reuse is the
+    * semantics under test (see the ANN index root in SimQueries). */
+  private def minhashIndexRoot(d: String): String = {
+    val base = sys.env.getOrElse("GRAFT_MINHASH_INDEX_ROOT",
+      "/tmp/graft_minhash_index")
+    s"$base/${java.nio.file.Paths.get(d).getFileName}"
+  }
+
+  /** build the corpus-slice band table + shingle sets once; the marker
+    * is written AFTER the data files, so a crash mid-build leaves no
+    * marker and the next session rebuilds (never trusts a torn index).
+    */
+  private def buildMinhashIndexIfAbsent(spark: SparkSession, sfDir: String,
+      root: String): Unit = {
+    import graft.ops.{MinHashLSH, TextOps}
+    val corpus = T.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 < 3)
+      .select(col("doc_id"), array_distinct(
+        TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val fp = corpus.agg(count(lit(1)).as("n"),
+      sum(size(col("sh"))).cast("long").as("chk")).head()
+    val stamp = s"$sfDir n=${fp.getLong(0)} chk=${fp.getLong(1)} " +
+      "perm=16 rpb=2 shingle=3 thr=0.5"
+    val marker = java.nio.file.Paths.get(root, "_INDEX")
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8").trim == stamp
+    if (!fresh) {
+      val sig = corpus
+        .withColumn("hashes", transform(col("sh"), TextOps.md5Long(_)))
+        .withColumn("sig", MinHashLSH.signature(col("hashes"), 16))
+      MinHashLSH.bandKeys(sig, "doc_id", "sig", 16, 2)
+        .write.mode("overwrite").parquet(s"$root/bands.parquet")
+      corpus.select("doc_id", "sh")
+        .write.mode("overwrite").parquet(s"$root/shingles.parquet")
+      Files.createDirectories(marker.getParent)
+      Files.write(marker, stamp.getBytes("UTF-8"))
+    }
+  }
+
   def restartRecovery(spark: SparkSession, sfDir: String): DataFrame = {
     val outDir = Tmp.dir("rr_sink").toString
     try {

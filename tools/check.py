@@ -43,6 +43,12 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Bounded + spillable: the sweep runs this next to a fat Spark JVM;
+    # DuckDB's default limit (80% of RAM) ignores that neighbor, and a
+    # heavy oracle (the sf1 IVF-PQ replay hit >100 GB when its CTEs
+    # were still inlined) must degrade to disk, not take the box down.
+    con.execute("SET memory_limit='32GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.isdir(p):

@@ -89,6 +89,7 @@ object ScaleProbe {
       val disk = new java.util.concurrent.atomic.AtomicLong
       val mem = new java.util.concurrent.atomic.AtomicLong
       val shufW = new java.util.concurrent.atomic.AtomicLong
+      val cpuNs = new java.util.concurrent.atomic.AtomicLong
       override def onTaskEnd(
           e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
@@ -96,27 +97,28 @@ object ScaleProbe {
           disk.addAndGet(m.diskBytesSpilled)
           mem.addAndGet(m.memoryBytesSpilled)
           shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          cpuNs.addAndGet(m.executorCpuTime)
         }
       }
-      def snap(): (Long, Long, Long) = (disk.get, mem.get, shufW.get)
+      def snap(): (Long, Long, Long, Long) = (disk.get, mem.get, shufW.get, cpuNs.get)
     }
     spark.sparkContext.addSparkListener(spill)
 
-    def time(dir: String, key: String): (Double, Long, (Long, Long, Long)) = {
+    def time(dir: String, key: String): (Double, Long, (Long, Long, Long), Double) = {
       // fresh cache state per (dir, key) set so the memoized family
       // minings are paid inside the measured pass, same as a cold run
       // listener delivery is async and the bus drain API is
       // private[spark]; a short settle sleep after the blocking count()
       // bounds attribution error to the final few task-end events
-      def settled(): (Long, Long, Long) = { Thread.sleep(400); spill.snap() }
-      val (d0, m0, w0) = settled()
+      def settled(): (Long, Long, Long, Long) = { Thread.sleep(400); spill.snap() }
+      val (d0, m0, w0, c0) = settled()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(key)(spark, dir)
       val nRows = df.count()
       require(nRows > 0, s"$key returned 0 rows on $dir")
       val sec = (System.nanoTime() - t0) / 1e9
-      val (d1, m1, w1) = settled()
-      (sec, nRows, (d1 - d0, m1 - m0, w1 - w0))
+      val (d1, m1, w1, c1) = settled()
+      (sec, nRows, (d1 - d0, m1 - m0, w1 - w0), (c1 - c0) / 1e9)
     }
 
     val out = new StringBuilder
@@ -173,16 +175,20 @@ object ScaleProbe {
     val entries = keys.map { key =>
       spark.catalog.clearCache()
       SessionMemo.clear(spark)
-      val (warm, _, _) = time(dirs(1), key) // warm JIT/codegen on the small corpus
+      val (warm, _, _, _) = time(dirs(1), key) // warm JIT/codegen on the small corpus
       spark.catalog.clearCache()
       SessionMemo.clear(spark)
-      val (t1, r1, _) = time(dirs(1), key)
+      val (t1, r1, _, _) = time(dirs(1), key)
       spark.catalog.clearCache()
       SessionMemo.clear(spark)
-      val (tF, rF, (dSp, mSp, shW)) = time(dirs(factor), key)
+      val (tF, rF, (dSp, mSp, shW), cpuS) = time(dirs(factor), key)
       val ratio = tF / t1
-      System.err.println(f"[probe] $key%-24s x1 $t1%7.2f s/$r1%d rows  x$factor $tF%7.2f s/$rF%d rows  ratio ${ratio}%5.2f (warm $warm%5.2f, xF spill disk ${dSp / 1048576}%d MiB / mem ${mSp / 1048576}%d MiB, shuffle write ${shW / 1048576}%d MiB)")
-      f""""$key":{"x1_sec":$t1%.3f,"x${factor}_sec":$tF%.3f,"ratio":$ratio%.2f,"x1_rows":$r1%d,"x${factor}_rows":$rF%d,"xf_disk_spill_bytes":$dSp%d,"xf_mem_spill_bytes":$mSp%d,"xf_shuffle_write_bytes":$shW%d}"""
+      // mean core occupancy of the xF pass: executor CPU seconds / wall
+      // (the 2.5-core symptom the fan-split exists to fix is only
+      // visible as a number here)
+      val occ = cpuS / tF
+      System.err.println(f"[probe] $key%-24s x1 $t1%7.2f s/$r1%d rows  x$factor $tF%7.2f s/$rF%d rows  ratio ${ratio}%5.2f (warm $warm%5.2f, xF spill disk ${dSp / 1048576}%d MiB / mem ${mSp / 1048576}%d MiB, shuffle write ${shW / 1048576}%d MiB, occ $occ%4.1f cores)")
+      f""""$key":{"x1_sec":$t1%.3f,"x${factor}_sec":$tF%.3f,"ratio":$ratio%.2f,"x1_rows":$r1%d,"x${factor}_rows":$rF%d,"xf_disk_spill_bytes":$dSp%d,"xf_mem_spill_bytes":$mSp%d,"xf_shuffle_write_bytes":$shW%d,"xf_cpu_sec":$cpuS%.1f,"xf_occupancy_cores":$occ%.2f}"""
     }
     out.append(entries.mkString(","))
     out.append("}}")

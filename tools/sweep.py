@@ -15,7 +15,7 @@ per key, the TEST-only keys, and the float-bearing keys called out —
 the keys whose outputs route doubles into rounds and so carry the
 residual cross-engine boundary risk the sweep exists to catch.
 """
-import json, re, subprocess, sys, tempfile
+import json, os, re, subprocess, sys, tempfile
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
 TESTDATA = "/root/testdata"
@@ -41,9 +41,14 @@ def main():
     sf_dir = dict(zip(SFS, dirs))
     tmp = tempfile.mkdtemp(prefix="sweep-")
     sf_arg = ",".join(dirs)
+    # SWEEP_RUNNER=run.sh uses the direct-java launcher (tools/run.sh)
+    # against the already-compiled classes — no compile step, and no
+    # clash with a warm sbt shell holding the project lock
+    cmd = (["tools/run.sh", "graft.Verify", sf_arg, tmp]
+           if os.environ.get("SWEEP_RUNNER") == "run.sh"
+           else ["sbt", "-batch", f"runMain graft.Verify {sf_arg} {tmp}"])
     try:
-        subprocess.run(["sbt", "-batch", f"runMain graft.Verify {sf_arg} {tmp}"],
-                       check=True, capture_output=True, text=True)
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
     except subprocess.CalledProcessError as e:
         # CalledProcessError doesn't print captured output — a CI sweep
         # failing in the build/run step must not be opaque (r8 ADVICE)

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables => T}
@@ -174,50 +175,73 @@ object JoinQueries extends QueryPack {
     }),
 
     "join_spatial_grid" -> ((s, d) => {
-      // nearest-neighbor-within-R spatial join via grid bucketing —
-      // the spatial twin of join_interval_bucketed: points bucket into
-      // R-sized cells, the left side explodes into its 3×3 cell
-      // neighborhood, the right side keys by its OWN cell, so every
-      // ordered pair within R meets in EXACTLY one (jx, jy) bucket
-      // (cell size = radius ⇒ a qualifying pair differs by ≤1 cell per
-      // axis) — a keyed equi-join whose buckets stay small however
-      // many points there are, never an all-pairs distance pass. Each
-      // point then keeps only its NEAREST in-radius neighbor (rank-1
-      // over exact d², compiling to WindowGroupLimit), so the output
-      // is LINEAR in points — a raw radius-pair list would be
-      // density-quadratic (measured: 310 k pairs at sf0.1). The corpus
-      // has no coordinates, so points are md5-seeded integers in
-      // [0, 10⁶)² (replayed verbatim in the oracle) and the distance
-      // test is EXACT integer arithmetic: dx²+dy² ≤ R² — no sqrt, no
-      // trig, no cross-libm exposure.
+      // nearest-neighbor-within-R spatial join via DENSITY-ADAPTIVE
+      // grid bucketing — the spatial twin of join_interval_bucketed.
+      // A single R-sized grid is NOT scale-safe: cell population grows
+      // linearly with n over a fixed domain, so the 3×3 bucket join's
+      // candidate count grows QUADRATICALLY (the r14 sf1 bench caught
+      // it — 58× wall at 10× points, ~176 M candidate pairs). Since
+      // each point keeps only its NEAREST in-radius neighbor, the
+      // candidate radius can shrink with density: a FINE grid with
+      // cell F ≈ √2× the mean point spacing resolves the true NN for
+      // any point whose fine-ring rank-1 lands at d ≤ F (every
+      // potential closer point is within d ≤ F, hence inside the 3×3
+      // fine neighborhood — provable acceptance, not a heuristic);
+      // under Poisson density that accepts 1−e^(−2π) ≈ 99.8 % of
+      // points with ~2-point cells, and only the sparse remainder
+      // falls back to the coarse R grid (still keyed, now with a tiny
+      // left side). Both passes are keyed equi-joins + rank-1 over
+      // exact integer d² (WindowGroupLimit) — never an all-pairs
+      // distance pass, and the union is byte-identical to the
+      // single-grid result (same (d2, b) tie order), so the oracle
+      // replays the straightforward coarse definition. Points are
+      // md5-seeded integers in [0, 10⁶)² (no corpus coordinates);
+      // dx²+dy² ≤ R² exact integer — no sqrt, no libm exposure.
       import graft.ops.TextOps
       val R = 30000L
+      val D = 1000000L
       val pts = T.customer(s, d).select(col("c_custkey").as("id"))
         .withColumn("x",
-          pmod(TextOps.md5Long(concat(lit("px:"), col("id"))), lit(1000000L)))
+          pmod(TextOps.md5Long(concat(lit("px:"), col("id"))), lit(D)))
         .withColumn("y",
-          pmod(TextOps.md5Long(concat(lit("py:"), col("id"))), lit(1000000L)))
-        .withColumn("cx", floor(col("x") / lit(R.toDouble)).cast("long"))
-        .withColumn("cy", floor(col("y") / lit(R.toDouble)).cast("long"))
-      val nbrs = for (dx <- -1 to 1; dy <- -1 to 1)
-        yield struct((col("cx") + dx).as("jx"), (col("cy") + dy).as("jy"))
-      val a = pts.select(col("id").as("a"), col("x").as("ax"),
-          col("y").as("ay"), explode(array(nbrs: _*)).as("c"))
-        .select(col("a"), col("ax"), col("ay"),
-          col("c.jx").as("jx"), col("c.jy").as("jy"))
-      val b = pts.select(col("id").as("b"), col("x").as("bx"),
-        col("y").as("yb"), col("cx").as("jx"), col("cy").as("jy"))
-      val dd = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
-        (col("ay") - col("yb")) * (col("ay") - col("yb"))
-      val wnn = Window.partitionBy("a").orderBy(col("d2"), col("b"))
-      a.join(b, Seq("jx", "jy"))
-        .filter(col("a") =!= col("b"))
-        .withColumn("d2", dd)
-        .filter(col("d2") <= lit(R * R))
-        .withColumn("rk", row_number().over(wnn))
-        .filter(col("rk") === 1)
-        .select(col("a"), col("b").as("nn"), col("d2"))
-        .orderBy("a")
+          pmod(TextOps.md5Long(concat(lit("py:"), col("id"))), lit(D)))
+      // rank-1 within-R neighbors of `aSide` against `all`, both
+      // bucketed at `cell` (aSide exploded into its 3×3 neighborhood)
+      def nnPass(cell: Long, aSide: DataFrame, all: DataFrame): DataFrame = {
+        def bucketed(df: DataFrame) = df
+          .withColumn("cx", floor(col("x") / lit(cell.toDouble)).cast("long"))
+          .withColumn("cy", floor(col("y") / lit(cell.toDouble)).cast("long"))
+        val nbrs = for (dx <- -1 to 1; dy <- -1 to 1)
+          yield struct((col("cx") + dx).as("jx"), (col("cy") + dy).as("jy"))
+        val a = bucketed(aSide).select(col("id").as("a"), col("x").as("ax"),
+            col("y").as("ay"), explode(array(nbrs: _*)).as("c"))
+          .select(col("a"), col("ax"), col("ay"),
+            col("c.jx").as("jx"), col("c.jy").as("jy"))
+        val b = bucketed(all).select(col("id").as("b"), col("x").as("bx"),
+          col("y").as("yb"), col("cx").as("jx"), col("cy").as("jy"))
+        val dd = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("yb")) * (col("ay") - col("yb"))
+        val wnn = Window.partitionBy("a").orderBy(col("d2"), col("b"))
+        a.join(b, Seq("jx", "jy"))
+          .filter(col("a") =!= col("b"))
+          .withColumn("d2", dd)
+          .filter(col("d2") <= lit(R * R))
+          .withColumn("rk", row_number().over(wnn))
+          .filter(col("rk") === 1)
+          .select(col("a"), col("b").as("nn"), col("d2"))
+      }
+      // one scalar to the driver (the ZOrder-bounds precedent): the
+      // fine cell size from measured density — F s.t. E[pts/cell] ≈ 2
+      val n = math.max(1L, pts.count())
+      val f = math.min(R, math.max(1L, (D * math.sqrt(2.0 / n)).toLong))
+      if (f >= R) // sparse regime: the coarse grid already has ~2-pt cells
+        nnPass(R, pts, pts).orderBy("a")
+      else {
+        val fine = nnPass(f, pts, pts)
+        val accepted = fine.filter(col("d2") <= lit(f * f))
+        val rest = pts.join(accepted.select(col("a").as("id")), Seq("id"), "left_anti")
+        accepted.unionByName(nnPass(R, rest, pts)).orderBy("a")
+      }
     }),
 
     "join_ip_lpm" -> ((s, d) => {

@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.bloomAggDescriptor)
     ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
     ext.injectFunction(GraftFunctions.md5PrefixDescriptor)
+    ext.injectFunction(GraftFunctions.minHashSigDescriptor)
     // same kill-switch as register(): an A/B "OFF" run must stay off
     // through BOTH installation paths
     if (!sys.env.contains("GRAFT_NO_HOF_DOT"))
@@ -91,6 +92,25 @@ object GraftFunctions {
         "graft_md5_prefix"),
       buildMd5Prefix)
 
+  /** the one-pass MinHash signature (all permutations per element, no
+    * per-permutation intermediate arrays); numPerm must be a literal.
+    */
+  private def buildMinHashSig(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "graft_minhash_sig(hashes, numPermLiteral)")
+    val n = args(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash_sig numPerm must be an int literal, got $other")
+    }
+    graft.expr.MinHashSig(args.head, n)
+  }
+
+  val minHashSigDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[graft.expr.MinHashSig].getName,
+        "graft_minhash_sig"),
+      buildMinHashSig)
+
   /** Idempotent per-session registration, for sessions created without
     * the extensions conf (e.g. the driver's own harness session).
     */
@@ -100,6 +120,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_bloom_agg", buildBloomAgg, "built-in")
     reg.createOrReplaceTempFunction("graft_might_contain", buildBloomContains, "built-in")
     reg.createOrReplaceTempFunction("graft_md5_prefix", buildMd5Prefix, "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig", buildMinHashSig, "built-in")
     // the HOF-dot rewrite rides along with function registration so
     // every harness session gets it (GRAFT_NO_HOF_DOT disables for A/B
     // measurement). check-then-append is raced under concurrent query

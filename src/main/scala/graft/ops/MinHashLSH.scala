@@ -34,12 +34,22 @@ object MinHashLSH {
   private[graft] def coef(i: Int): (Long, Long) =
     (2L * i + 1L, 982451653L * (i + 1) % P)
 
-  /** per-row minhash signature column over a distinct-shingle array. */
+  /** per-row minhash signature column over a distinct-shingle array.
+    * Routed through the native one-pass [[graft.expr.MinHashSig]] (all
+    * permutations per element — the declarative form below runs
+    * numPerm interpreted higher-order passes and allocates numPerm
+    * intermediate arrays per row, which dominated dedup_minhash_lsh at
+    * sf1); GRAFT_NO_NATIVE_MINHASH falls back for A/B, bit-identical
+    * by MinHashSigSpec. Resolution uses call_function, so the session
+    * must have GraftFunctions.register'd (every harness session does).
+    */
   def signature(shingleHashes: Column, numPerm: Int): Column =
-    array((0 until numPerm).map { i =>
-      val (a, b) = coef(i)
-      array_min(transform(shingleHashes, x => pmod(pmod(x, lit(P)) * a + b, lit(P))))
-    }: _*)
+    if (sys.env.contains("GRAFT_NO_NATIVE_MINHASH"))
+      array((0 until numPerm).map { i =>
+        val (a, b) = coef(i)
+        array_min(transform(shingleHashes, x => pmod(pmod(x, lit(P)) * a + b, lit(P))))
+      }: _*)
+    else call_function("graft_minhash_sig", shingleHashes, lit(numPerm))
 
   /** per-row band rows (id, band, key) from a signature column — the
     * LSH index surface itself: persisted as a table, it is the thing
@@ -57,10 +67,19 @@ object MinHashLSH {
       .select(col(idCol) +: carry.map(col) :+ col("col.band") :+ col("col.key"): _*)
   }
 
-  /** candidate pairs (a < b) from banding a signature column. */
+  /** candidate pairs (a < b) from banding a signature column. The band
+    * table is MATERIALIZED (eager localCheckpoint to executor blocks)
+    * before the self-join: both join branches would otherwise
+    * recompute the full shingle→md5→signature pipeline — measured at
+    * sf1 as ~2× the entire upstream cost against a few-thousand-row
+    * join output. Same shape at 100 TB: stage the band table once
+    * (there it's a persisted index — stream_ingest_dedup's build),
+    * self-join the materialization, never the pipeline.
+    */
   def candidates(docs: DataFrame, idCol: String, sigCol: String,
       numPerm: Int, rowsPerBand: Int): DataFrame = {
     val banded = bandKeys(docs, idCol, sigCol, numPerm, rowsPerBand)
+      .localCheckpoint(true)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col(s"x.$idCol") < col(s"y.$idCol"))

@@ -383,12 +383,23 @@ object PipelineQueries extends QueryPack {
       // Jaccard miner keeps its window-over-hash(g) trick — its cap's
       // whole job is to KILL hot shingles early; here hot grams ARE the
       // signal and must survive to the aggregate.)
+      // r14: grams reduce to their 60-bit md5 the moment they exist —
+      // the gram string is only ever a group/join KEY, so every
+      // shuffle moves 8-byte longs instead of ~70-char strings (5×
+      // lighter), and the DuckDB oracle hashes identically, so a
+      // (≈n²/2⁶¹-improbable) collision would merge the same group on
+      // both engines. The hashed explode is then MATERIALIZED once
+      // (eager executor-block checkpoint): the df aggregate and the
+      // join-back branch otherwise each recompute the full
+      // tokenize+shingle pipeline (the minhash lesson, same round).
       val sh = T.documents(s, d)
         .select(col("doc_id"), explode(array_distinct(
           TextOps.shingles(TextOps.tokens(col("text")), 10))).as("g"))
-      val dupGrams = sh.groupBy("g").agg(count(lit(1)).as("nd"))
+        .select(col("doc_id"), TextOps.md5Long(col("g")).as("gh"))
+        .localCheckpoint(true)
+      val dupGrams = sh.groupBy("gh").agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2)
-      sh.join(dupGrams, "g")
+      sh.join(dupGrams, "gh")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_dup_grams"), max("nd").as("max_share"))
         .orderBy("doc_id")
@@ -962,10 +973,14 @@ object PipelineQueries extends QueryPack {
          |WHERE top_bigram_frac >= 0.08 OR dup_trigram_frac >= 0.05
          |ORDER BY doc_id""".stripMargin,
 
+    // grams hashed to the same 60-bit md5 as the Spark side (the
+    // portable-hash device): identical keys, identical (vanishingly
+    // unlikely) collisions, and the count is over hashes on BOTH sides
     "text_dup_spans" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |sh AS (SELECT doc_id, unnest(list_distinct(${gramSql(10)})) AS g FROM t),
-         |nd AS (SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS nd FROM sh)
+         |sh AS (SELECT doc_id, ${TextOps.md5LongSql("g")} AS gh
+         |       FROM (SELECT doc_id, unnest(list_distinct(${gramSql(10)})) AS g FROM t)),
+         |nd AS (SELECT doc_id, gh, COUNT(*) OVER (PARTITION BY gh) AS nd FROM sh)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
          |       CAST(MAX(nd) AS BIGINT) AS max_share
          |FROM nd WHERE nd >= 2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,

@@ -57,9 +57,17 @@ object DedupQueries extends QueryPack {
   /** same mining over an arbitrary (doc_id, text) corpus —
     * dedup_containment feeds it the excerpt-seeded corpus. */
   private[graft] def minePairBaseOn(corpus: org.apache.spark.sql.DataFrame) = {
+    // shingles reduce to their portable 60-bit md5 at birth (r14, the
+    // text_dup_spans lesson): downstream they are only GROUP/JOIN keys
+    // and per-doc COUNTS, so every shuffle of this — the slowest batch
+    // family — moves 8-byte longs instead of ~25-char strings. The
+    // distinct runs over the HASHES on both engines (the oracle CTEs
+    // hash identically), so the vanishing collision class merges the
+    // same sets on both sides and sz/inter stay consistent.
     val docs = corpus
-      .select(col("doc_id"), array_distinct(
-        TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      .select(col("doc_id"), array_distinct(transform(
+        TextOps.shingles(TextOps.tokens(col("text")), 3),
+        TextOps.md5Long(_))).as("sh"))
     val inv0 = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     // DF cap via count-window over the SAME hash(s) exchange that the
     // per-shingle grouping below consumes — the shingle explode runs
@@ -312,9 +320,13 @@ object DedupQueries extends QueryPack {
     * pair oracle and the cluster (connected-components) oracle. */
   private lazy val jaccardCtes = jaccardCtesOn("documents")
 
+  // shingles hashed to the same portable 60-bit md5 as the Spark-side
+  // mining (distinct over the HASHES, so both engines merge identical
+  // collision classes); `sh`/`sg` are BIGINT keys from here on
   private def jaccardCtesOn(tbl: String) =
     s"""s AS (
-       |  SELECT doc_id, list_distinct($shingle3) AS sh
+       |  SELECT doc_id, list_distinct(list_transform($shingle3,
+       |           x -> ${TextOps.md5LongSql("x")})) AS sh
        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $tbl)),
        |inv0 AS (SELECT doc_id, unnest(sh) AS sg FROM s),
        |keep AS (SELECT sg FROM inv0 GROUP BY sg HAVING COUNT(*) <= $HotShingleDfCap),

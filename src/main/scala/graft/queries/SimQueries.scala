@@ -738,18 +738,17 @@ object SimQueries extends QueryPack {
       .head()
     val stamp = s"$d n=${fp.getLong(0)} chk=${fp.getLong(1)} " +
       s"km=$KmK/$KmIters pq=$PqM/$PqK"
-    val marker = java.nio.file.Paths.get(root, "_INDEX")
-    val fresh = java.nio.file.Files.exists(marker) &&
-      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == stamp
-    if (!fresh) {
-      kmTrained(s, d)._2.write.mode("overwrite").parquet(s"$root/centroids.parquet")
+    // IndexStore: build-into-temp + atomic rename, so a concurrent
+    // session racing the same stale stamp can never interleave writes
+    // under a root that later sessions trust (r14 ADVICE)
+    graft.ops.IndexStore.publishIfAbsent(root, stamp) { tmp =>
+      kmTrained(s, d)._2.write.mode("overwrite").parquet(s"$tmp/centroids.parquet")
       kmAssigned(s, d).select("vec_id", "cell")
-        .write.mode("overwrite").parquet(s"$root/members.parquet")
+        .write.mode("overwrite").parquet(s"$tmp/members.parquet")
       val (pqCodes, pqCbs) = pqTrained(s, d)
       pqCodes.select("vec_id", "c0", "c1", "c2", "c3")
-        .write.mode("overwrite").parquet(s"$root/codes.parquet")
-      pqCbs.write.mode("overwrite").parquet(s"$root/codebooks.parquet")
-      java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
+        .write.mode("overwrite").parquet(s"$tmp/codes.parquet")
+      pqCbs.write.mode("overwrite").parquet(s"$tmp/codebooks.parquet")
     }
   }
 

@@ -1087,13 +1087,16 @@ object StreamingJobs {
     s"$base/${java.nio.file.Paths.get(d).getFileName}"
   }
 
-  /** build the corpus-slice band table + shingle sets once; the marker
-    * is written AFTER the data files, so a crash mid-build leaves no
-    * marker and the next session rebuilds (never trusts a torn index).
+  /** build the corpus-slice band table + shingle sets once, published
+    * via IndexStore's build-into-temp + atomic-rename protocol (r14
+    * ADVICE: the stamp fingerprints the input corpus, so two sessions
+    * racing the same stale stamp must each publish a COMPLETE build —
+    * marker-after-data inside the temp keeps the crash property, the
+    * rename swap adds the single-writer one).
     */
   private def buildMinhashIndexIfAbsent(spark: SparkSession, sfDir: String,
       root: String): Unit = {
-    import graft.ops.{MinHashLSH, TextOps}
+    import graft.ops.{IndexStore, MinHashLSH, TextOps}
     val corpus = T.documents(spark, sfDir)
       .filter(col("doc_id") % 5 < 3)
       .select(col("doc_id"), array_distinct(
@@ -1103,19 +1106,14 @@ object StreamingJobs {
       sum(size(col("sh"))).cast("long").as("chk")).head()
     val stamp = s"$sfDir n=${fp.getLong(0)} chk=${fp.getLong(1)} " +
       "perm=16 rpb=2 shingle=3 thr=0.5"
-    val marker = java.nio.file.Paths.get(root, "_INDEX")
-    val fresh = Files.exists(marker) &&
-      new String(Files.readAllBytes(marker), "UTF-8").trim == stamp
-    if (!fresh) {
+    IndexStore.publishIfAbsent(root, stamp) { tmp =>
       val sig = corpus
         .withColumn("hashes", transform(col("sh"), TextOps.md5Long(_)))
         .withColumn("sig", MinHashLSH.signature(col("hashes"), 16))
       MinHashLSH.bandKeys(sig, "doc_id", "sig", 16, 2)
-        .write.mode("overwrite").parquet(s"$root/bands.parquet")
+        .write.mode("overwrite").parquet(s"$tmp/bands.parquet")
       corpus.select("doc_id", "sh")
-        .write.mode("overwrite").parquet(s"$root/shingles.parquet")
-      Files.createDirectories(marker.getParent)
-      Files.write(marker, stamp.getBytes("UTF-8"))
+        .write.mode("overwrite").parquet(s"$tmp/shingles.parquet")
     }
   }
 

@@ -32,6 +32,31 @@ object GraftFunctions {
     DotProduct(args.head, args(1))
   }
 
+  /** constant-int argument extraction for the graft_* descriptors
+    * (r14 ADVICE): accept any FOLDABLE int/long expression — a SQL
+    * caller writing `graft_minhash_sig(h, 16L)` or an un-folded
+    * `8 * 2` deserves the same treatment as the literal 16 — and
+    * surface violations as a standard AnalysisException
+    * (NON_FOLDABLE_ARGUMENT, the class Spark's own constant-argument
+    * functions raise) instead of a raw IllegalArgumentException.
+    */
+  private def foldableInt(funcName: String, paramName: String,
+      e: Expression): Int = {
+    def fail() = throw new org.apache.spark.sql.AnalysisException(
+      "NON_FOLDABLE_ARGUMENT", Map(
+        "funcName" -> s"`$funcName`",
+        "paramName" -> s"`$paramName`",
+        "paramType" -> "\"INT\""))
+    if (!e.foldable) fail()
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case _ => fail()
+    }
+  }
+
   /** Spark's Bloom-filter aggregate/probe pair exists in catalyst (it
     * powers runtime row-group filtering) but is NOT in the public
     * FunctionRegistry — surface it for the join-pruning pattern a
@@ -57,11 +82,7 @@ object GraftFunctions {
     */
   private def buildMd5Prefix(args: Seq[Expression]): Expression = {
     require(args.length == 2, "graft_md5_prefix(col, nibblesLiteral)")
-    val n = args(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(
-        s"graft_md5_prefix nibbles must be an int literal, got $other")
-    }
+    val n = foldableInt("graft_md5_prefix", "nibbles", args(1))
     graft.expr.Md5PrefixLong(
       org.apache.spark.sql.catalyst.expressions.Cast(
         args.head, org.apache.spark.sql.types.BinaryType), n)
@@ -97,12 +118,8 @@ object GraftFunctions {
     */
   private def buildMinHashSig(args: Seq[Expression]): Expression = {
     require(args.length == 2, "graft_minhash_sig(hashes, numPermLiteral)")
-    val n = args(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(
-        s"graft_minhash_sig numPerm must be an int literal, got $other")
-    }
-    graft.expr.MinHashSig(args.head, n)
+    graft.expr.MinHashSig(args.head,
+      foldableInt("graft_minhash_sig", "numPerm", args(1)))
   }
 
   val minHashSigDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =

@@ -35,18 +35,24 @@ import org.apache.spark.sql.execution.SparkPlan
   * BroadcastNestedLoopJoin count, InMemoryTableScan count (memoized
   * minings hide their subtree behind one), and scan count.
   *
-  * `runMain graft.PlanLint [outJson] [sfDir]` (defaults
-  * PLANS_r14.json, /root/testdata/sf0.01) writes the full report and
-  * exits nonzero on any flag. PlanLintSpec runs the same lint in the
-  * suite at sf0.001, so the invariants gate every `sbt test`.
+  * `runMain graft.PlanLint [outJson] [sfDir] [aqeSfDir]` (defaults
+  * PLANS_r15.json, /root/testdata/sf0.01, no AQE pass) writes the
+  * full report and exits nonzero on any flag. PlanLintSpec runs the
+  * same lint in the suite at sf0.001, so the invariants gate every
+  * `sbt test`.
   *
   * AQE is disabled while planning so the full static exchange tree is
   * visible (PlanSpec's convention: AQE only removes exchanges at
-  * runtime, so the static plan is the conservative side). Streaming
-  * keys execute their micro-batch pipeline during DataFrame
-  * construction and return a batch result frame — the lint sees that
-  * final frame's plan, which is the right surface here (the streaming
-  * internals are pinned by their own specs).
+  * runtime, so the static plan is the conservative side). When
+  * aqeSfDir is given, a second OBSERVATION pass (r14 verdict #5)
+  * executes every key there with AQE ON and records what the adaptive
+  * layer actually chose — final join strategies, skew splits, read
+  * coalescing — as the "aqe" section: recorded evidence for the
+  * "AQE handles it at real sizes" notes, diffable across rounds,
+  * never asserted. Streaming keys execute their micro-batch pipeline
+  * during DataFrame construction and return a batch result frame —
+  * the lint sees that final frame's plan, which is the right surface
+  * here (the streaming internals are pinned by their own specs).
   */
 object PlanLint {
 
@@ -201,9 +207,83 @@ object PlanLint {
       }
     }
 
+  // ---- AQE-on observation pass (r14 verdict #5) ----------------------
+  // The static lint above deliberately plans with AQE OFF (the full
+  // exchange tree is the conservative side); every "AQE will handle it
+  // at real sizes" note in the repo was therefore an assumption with
+  // no recorded evidence. This pass EXECUTES each key with AQE ON and
+  // records — never asserts — what the adaptive layer actually chose:
+  // final join strategies, skew-join activations, and shuffle-read
+  // coalescing. Judged by diffing rounds, like the exchange counts.
+
+  final case class AqeReport(
+      key: String,
+      bhj: Int,           // BroadcastHashJoin in the FINAL plan
+      smj: Int,           // SortMergeJoin in the final plan
+      shj: Int,           // ShuffledHashJoin in the final plan
+      skewJoins: Int,     // joins AQE split for skew (isSkewJoin)
+      aqeReads: Int,      // AQEShuffleReadExec nodes
+      coalescedReads: Int, // ...of which coalesced partitions
+      coalescedPartitions: Int, // partitions after coalescing, summed
+      error: Option[String])
+
+  /** every node of the FINAL adaptive plan, unwrapping the two
+    * containers that hide subtrees from a naive children walk:
+    * AdaptiveSparkPlanExec (the executed plan replaces the input
+    * tree) and QueryStageExec (a leaf wrapping its materialized
+    * stage), plus subquery plans. */
+  private def allFinal(p: SparkPlan): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => allFinal(a.executedPlan)
+      case q: QueryStageExec => q +: allFinal(q.plan)
+      case other =>
+        (other +: other.children.flatMap(allFinal)) ++
+          other.subqueries.flatMap(allFinal)
+    }
+  }
+
+  private[graft] def aqeKey(spark: SparkSession, sf: String, key: String)(
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): AqeReport = {
+    import org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
+    import org.apache.spark.sql.execution.joins._
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val df = fn(spark, sf)
+      df.count() // materialize so the adaptive plan is FINAL
+      val nodes = allFinal(df.queryExecution.executedPlan)
+      val smjs = nodes.collect { case j: SortMergeJoinExec => j }
+      val shjs = nodes.collect { case j: ShuffledHashJoinExec => j }
+      val reads = nodes.collect { case r: AQEShuffleReadExec => r }
+      val coalesced = reads.filter(_.isCoalescedRead)
+      AqeReport(key,
+        bhj = nodes.count(_.isInstanceOf[BroadcastHashJoinExec]),
+        smj = smjs.length,
+        shj = shjs.length,
+        skewJoins = smjs.count(_.isSkewJoin) + shjs.count(_.isSkewJoin),
+        aqeReads = reads.length,
+        coalescedReads = coalesced.length,
+        coalescedPartitions = coalesced.map(_.partitionSpecs.length).sum,
+        error = None)
+    } catch { case e: Throwable =>
+      AqeReport(key, -1, -1, -1, -1, -1, -1, -1,
+        Some(e.getClass.getSimpleName))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private[graft] def aqeAll(spark: SparkSession, sf: String): Seq[AqeReport] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (k, fn) =>
+      aqeKey(spark, sf, k)(fn)
+    }
+
   def main(args: Array[String]): Unit = {
-    val outJson = args.headOption.getOrElse("PLANS_r14.json")
+    val outJson = args.headOption.getOrElse("PLANS_r15.json")
     val sf = args.drop(1).headOption.getOrElse("/root/testdata/sf0.01")
+    // optional third arg: run the AQE-on observation pass against this
+    // SF dir (the judge's r14 ask names sf0.1 — big enough that the
+    // adaptive layer has real sizes to act on) and embed the results
+    val aqeSf = args.drop(2).headOption
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -222,10 +302,21 @@ object PlanLint {
         s""""shuffles":${r.shuffles},"broadcasts":${r.broadcasts},""" +
         s""""bnlj":${r.bnlj},"in_memory_scans":${r.inMemoryScans},"scans":${r.scans}}"""
     }.mkString(",")
+    val aqeJson = aqeSf.map { asf =>
+      println(s"[planlint] AQE observation pass at $asf (executes every key)...")
+      val rows = aqeAll(spark, asf).map { a =>
+        s""""${a.key}":{"bhj":${a.bhj},"smj":${a.smj},"shj":${a.shj},""" +
+          s""""skew_joins":${a.skewJoins},"aqe_reads":${a.aqeReads},""" +
+          s""""coalesced_reads":${a.coalescedReads},""" +
+          s""""coalesced_partitions":${a.coalescedPartitions}""" +
+          a.error.map(e => s""","error":"$e"""").getOrElse("") + "}"
+      }.mkString(",")
+      s""","aqe_sf":"$asf","aqe":{$rows}"""
+    }.getOrElse("")
     val json = s"""{"sf":"$sf","n_keys":${reports.length},""" +
       s""""n_flagged":${flagged.length},""" +
       s""""flagged":[${flagged.map("\"" + _.key + "\"").mkString(",")}],""" +
-      s""""keys":{$body}}"""
+      s""""keys":{$body}$aqeJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       json.getBytes("UTF-8"))
     println(s"[planlint] ${reports.length} keys, ${flagged.length} flagged -> $outJson")

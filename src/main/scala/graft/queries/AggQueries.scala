@@ -59,11 +59,21 @@ object AggQueries extends QueryPack {
       // (map-side partial agg collapses duplicates before the
       // exchange), joined on the 5-row event_type dimension. Three
       // passes over the scan beat one 3×-expanded shuffle at any SF.
+      // NULL semantics (r14 ADVICE): distinct().count() would COUNT a
+      // NULL user as one value where COUNT(DISTINCT user_id) ignores
+      // it — the explicit isNotNull filters keep the rewrite exactly
+      // COUNT DISTINCT under any future data. The GROUP KEY
+      // (event_type) is a different story: an inner join on it drops
+      // a NULL-key group the single-groupBy oracle would keep — that
+      // invariant (no NULL group keys in the fixtures) is pinned by
+      // NullSemanticsSpec rather than papered over with <=> joins.
       val ev = T.events(s, d)
       val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-      val users = ev.select(col("event_type"), col("user_id")).distinct()
+      val users = ev.filter(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id")).distinct()
         .groupBy("event_type").agg(count(lit(1)).as("cd_users"))
-      val userDays = ev.select(col("event_type"), col("user_id"),
+      val userDays = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"), col("user_id"),
           col("ts").cast("date").as("day")).distinct()
         .groupBy("event_type").agg(count(lit(1)).as("cd_user_days"))
       users.join(userDays, "event_type").join(n, "event_type")

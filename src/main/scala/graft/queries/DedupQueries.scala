@@ -190,7 +190,10 @@ object DedupQueries extends QueryPack {
       // the corpus pre-shuffle (the quality_profile trap); narrow
       // subtrees — one dedup-then-count pass per distinct column,
       // joined on the ~|sources| host dimension — keep every exchange
-      // partial-aggregated.
+      // partial-aggregated. NULL-safety: raw/canon/host derive from
+      // concat/regexp/parse_url over non-null columns, so neither the
+      // distinct-counted columns nor the host join key can be NULL
+      // (NullSemanticsSpec pins the rewrite's null contract).
       val urls = T.documents(s, d)
         .withColumn("raw", raw).withColumn("canon", canon)
         .withColumn("host", parse_url(col("canon"), lit("HOST")))

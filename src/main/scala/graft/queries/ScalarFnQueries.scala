@@ -140,7 +140,11 @@ object ScalarFnQueries extends QueryPack {
           // second distinct column as its own narrow dedup-then-count
           // subtree (two distinct groups in one agg would Expand ×3
           // the scan pre-shuffle — the quality_profile trap); joined
-          // on the ~|sources| host dimension.
+          // on the ~|sources| host dimension. NULL-safety: host and
+          // path are parse_url over a URL concat'd from non-null
+          // columns, so neither the distinct-counted column nor the
+          // join key can be NULL here (NullSemanticsSpec pins the
+          // countDistinct-rewrite null contract).
           T.documents(s, d)
             .withColumn("url", url)
             .select(parse_url(col("url"), lit("HOST")).as("host"),

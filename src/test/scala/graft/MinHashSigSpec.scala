@@ -61,4 +61,35 @@ class MinHashSigSpec extends SparkSpec {
       }
     }
   }
+
+  test("numPerm accepts any foldable int/long; non-constants raise AnalysisException") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, Seq(7L, 9L))).toDF("id", "hashes")
+    df.createOrReplaceTempView("mh_args")
+    // a long literal and an un-folded constant expression both work
+    // (r14 ADVICE: `graft_minhash_sig(h, 16L)` used to throw a raw
+    // IllegalArgumentException at function-build time)
+    val viaLong = spark.sql(
+      "SELECT graft_minhash_sig(hashes, 4L) AS s FROM mh_args").collect()
+    val viaExpr = spark.sql(
+      "SELECT graft_minhash_sig(hashes, 2 + 2) AS s FROM mh_args").collect()
+    assert(viaLong.head.getSeq[Long](0) == viaExpr.head.getSeq[Long](0))
+    assert(viaLong.head.getSeq[Long](0).length == 4)
+    // a non-foldable argument surfaces as the standard analysis error,
+    // not a raw exception
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_minhash_sig(hashes, CAST(id AS INT)) FROM mh_args")
+        .collect()
+    }
+    assert(e.getCondition == "NON_FOLDABLE_ARGUMENT", e.getMessage)
+    // same contract on the md5-prefix surface
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_md5_prefix(hashes, CAST(id AS INT)) FROM mh_args")
+        .collect()
+    }
+    assert(e2.getCondition == "NON_FOLDABLE_ARGUMENT", e2.getMessage)
+    assert(spark.sql("SELECT graft_md5_prefix('x', 8L) AS h").head().getLong(0) ==
+      spark.sql("SELECT graft_md5_prefix('x', 8) AS h").head().getLong(0))
+  }
 }

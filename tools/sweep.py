@@ -38,6 +38,12 @@ def main():
     dirs = [d if "/" in d else f"{TESTDATA}/{d}" for d in sys.argv[2:]] \
         or [f"{TESTDATA}/{sf}" for sf in SFS]
     SFS = [d.rstrip("/").rsplit("/", 1)[-1] for d in dirs]
+    # results are keyed by basename: two dirs sharing a final segment
+    # (e.g. /root/testdata/sf1 and fixtures/sf1) would silently collapse
+    # in the dict and mislabel every per-SF total (r14 ADVICE)
+    if len(set(SFS)) != len(SFS):
+        sys.exit(f"sweep: duplicate SF dir basenames {SFS} — "
+                 "per-SF results would collapse; pass distinct basenames")
     sf_dir = dict(zip(SFS, dirs))
     tmp = tempfile.mkdtemp(prefix="sweep-")
     sf_arg = ",".join(dirs)

@@ -273,10 +273,25 @@ object Bench {
       }
     val loadStart = loadAvg()
     val stealStart = stealMs()
+    // GRAFT_BENCH_ONLY (r15): comma-separated key subset for CHUNKED
+    // envelope runs. The sf10 envelope taught why: one 249-key pass at
+    // 60 M rows accumulates shuffle scratch for the whole run in one
+    // JVM's local.dir — on the RAM-backed default that sum (55 GB) plus
+    // the heap OOM-killed the process at the box limit. Chunked runs
+    // bound scratch to a chunk and reclaim it at each JVM exit. A
+    // partial run writes bench_last.json ONLY — never the floor or the
+    // committed full record, whose min-merge drops keys absent from
+    // the run.
+    val only: Set[String] = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val partial = only.nonEmpty
     case class KeyResult(name: String, wall: Double, ok: Boolean,
         rerun: Boolean, gc: Long, load0: Double, storage: Long,
         steal: Long, shufBytes: Long, spillBytes: Long)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (k, _) => !partial || only(k) }
+      .map { case (name, fn) =>
       gateKey()
       val load0 = loadAvg()
       val gc0 = gcMs()
@@ -400,8 +415,10 @@ object Bench {
       s""","floor_merged_keys":$nKept,"run_calm":$runCalm$calmGateJson""")
     try {
       Files.write(Paths.get(LastPath), full.getBytes("UTF-8"))
-      Files.write(Paths.get(FullPath), full.getBytes("UTF-8"))
-      Files.write(Paths.get(PrevPath), floor.getBytes("UTF-8"))
+      if (!partial) {
+        Files.write(Paths.get(FullPath), full.getBytes("UTF-8"))
+        Files.write(Paths.get(PrevPath), floor.getBytes("UTF-8"))
+      }
     } catch { case _: Throwable => () }
     val slow10 = results.filter(_.ok).sortBy(-_.wall).take(10).map(r => r.name -> r.wall)
     val move10 = deltas.sortBy { case (_, d) => -math.abs(d) }.take(10)

@@ -38,6 +38,43 @@ object Triangles {
     *        OpsSpec. */
   def perNode(edges: DataFrame, bloomPrune: Boolean = false): DataFrame = {
     val (und, _, wedges) = stages(edges)
+    close(und, wedges, bloomPrune)
+  }
+
+  /** Wedge volume above which [[perNodeAuto]] flips the Bloom prune ON
+    * (r15): the r8 A/B that mothballed the prune was measured in the
+    * RAM-backed-shuffle regime (41 M wedges ≈ 1 GB — shipping dead
+    * wedges through memory beats building the filter). The sf10
+    * envelope found the other regime: 4.1 B wedges ≈ 66 GB of closing
+    * sort spill FILLED THE DISK (SPILL_OUT_OF_MEMORY: no space left on
+    * device) — at that volume the 95% dead wedges aren't a RAM tax,
+    * they're the storage budget. 2^29 ≈ 537 M sits between the two
+    * measured points: sf1's 410 M (ran fine in RAM, stays plain) and
+    * sf10's 4.1 B (needs the prune). On a real cluster the same
+    * budget-per-executor logic applies — the threshold is overridable
+    * (GRAFT_WEDGE_BUDGET) because the right value is a function of
+    * aggregate spill capacity, not of the algorithm. */
+  val WedgeBudget: Long = sys.env.get("GRAFT_WEDGE_BUDGET").flatMap(v =>
+    scala.util.Try(v.toLong).toOption).getOrElse(1L << 29)
+
+  /** [[perNode]] with the Bloom prune decided by the data: the exact
+    * wedge volume Σ C(outdeg, 2) is one cheap aggregate over the
+    * (checkpointed) oriented DAG's out-degrees, priced BEFORE any
+    * wedge is generated. Below [[WedgeBudget]] the plan is
+    * byte-identical to the plain form; above it the closing shuffle
+    * shrinks by the measured 3.7–20.8× for one edge-count-sized
+    * broadcast. Result-identical either way (OpsSpec pins both paths
+    * against brute force). */
+  def perNodeAuto(edges: DataFrame, budget: Long = WedgeBudget): DataFrame = {
+    val (und, dag, wedges) = stages(edges)
+    val w = dag.groupBy("x").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0.0)))
+      .head.getDouble(0)
+    close(und, wedges, bloomPrune = w > budget)
+  }
+
+  private def close(und: DataFrame, wedges: DataFrame,
+      bloomPrune: Boolean): DataFrame = {
     val probe = if (bloomPrune) prune(und, wedges) else wedges
     val tris = probe
       .join(und, col("y") === col("a") && col("z") === col("b"))
@@ -55,19 +92,49 @@ object Triangles {
     * closing exchange. The hash is Spark-internal — no cross-engine
     * contract to honor — false positives die in the closing equi-join
     * (measured fpp 0.22% on the raw graph), and false negatives are
-    * impossible, so the RESULT is unchanged. Sizing: 16 M bits / 2 M
-    * est. items; at larger edge counts the filter degrades gracefully
-    * toward no-op pruning, never toward wrong answers. */
+    * impossible, so the RESULT is unchanged. Sizing (r15): scaled to
+    * the MEASURED edge count — the original fixed 2 M-item/16 M-bit
+    * filter would saturate on a 12 M-edge graph and degrade to a
+    * no-op exactly where the prune matters. 8 bits/item (fpp ≈ 2%),
+    * capped at 2^30 bits = 134 MB: the first sf10 validation ran with
+    * a 2^28 cap and the 120 M-edge raw graph got 2.2 bits/item →
+    * fpp ≈ 65% → the "pruned" closing sort STILL filled the disk; the
+    * filter must stay ≥ ~6 bits/item to do its job, and a ~120 MB
+    * payload is safe because the task binary ships via ONE broadcast
+    * per stage, never per task. Degradation beyond the cap is still
+    * graceful: toward no-op pruning, never wrong answers. */
   private[graft] def prune(und: DataFrame, wedges: DataFrame): DataFrame = {
     graft.GraftFunctions.register(und.sparkSession)
+    // und is localCheckpoint'ed in stages(): the count is a block scan
+    val edgeCount = math.max(2000000L, und.count())
+    val bits = math.min(8L * edgeCount, 1L << 30)
+    // BloomFilterAggregate SILENTLY clamps both sizing args to the
+    // runtime-filter confs (maxNumItems 4 M / maxNumBits 2^26 ≈ 8 MB
+    // by default) — sized-for-120 M-edges arguments came back as a
+    // 0.56-bit/item filter with fpp ≈ 1.0 and the sf10 validation
+    // still filled the disk while every literal LOOKED right. Raise
+    // the ceilings to this build's actual size before the aggregate
+    // runs (the clamp is applied lazily at execution).
+    val sess = und.sparkSession
+    sess.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      math.max(4000000L, edgeCount))
+    sess.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      math.max(67108864L, bits))
     // might_contain demands a CONSTANT (or scalar subquery) filter, so
     // the bloom rides as a literal: the aggregation itself is
-    // distributed (partial blooms OR-merged), only the finished 2 MB
-    // filter crosses the driver — a bounded scalar sized by the
-    // literals, not the data (the snapshot-diff base exception) — and
-    // ships to executors once per stage in the broadcast task binary.
-    val bf = und.agg(expr(
-      "graft_bloom_agg(xxhash64(a, b), CAST(2000000 AS LONG), CAST(16000000 AS LONG))").as("bf"))
+    // distributed (partial blooms OR-merged), only the finished filter
+    // crosses the driver — a bounded scalar sized by edge count with a
+    // hard 32 MB cap, not by wedge volume (the snapshot-diff base
+    // exception) — and ships to executors once per stage in the
+    // broadcast task binary.
+    // coalesce(8): each partial-aggregate task allocates a full
+    // bits/8-byte filter — at the 2^30 cap that is a ~134 MB humongous
+    // G1 allocation PER TASK, and 32 concurrent builders GCLocker-
+    // thrashed a 48 GB heap to death on the sf10 validation. Eight
+    // builders bound the transient filter memory at ~1 GB while the
+    // 120 M-row scan stays far from the bottleneck.
+    val bf = und.coalesce(8).agg(expr(
+      s"graft_bloom_agg(xxhash64(a, b), CAST($edgeCount AS LONG), CAST($bits AS LONG))").as("bf"))
       .head.getAs[Array[Byte]](0)
     wedges
       .filter(call_function("graft_might_contain", lit(bf),

@@ -83,7 +83,7 @@ object GraphMmQueries extends QueryPack {
         .union(und.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
         .agg(sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
-      val tri3 = graft.ops.Triangles.perNode(edges)
+      val tri3 = graft.ops.Triangles.perNodeAuto(edges)
         // Σ participation = 3 · T; coalesce: a triangle-free graph
         // aggregates an EMPTY per-node table to NULL here, while the
         // oracle's COUNT(*) CTE yields 0 (r12 ADVICE latent mismatch)
@@ -124,7 +124,7 @@ object GraphMmQueries extends QueryPack {
       val edges = T.orders(s, d).select(
         pmod(col("o_custkey"), lit(1000L)).as("src"),
         pmod(col("o_orderkey"), lit(1000L)).as("dst"))
-      graft.ops.Triangles.perNode(edges)
+      graft.ops.Triangles.perNodeAuto(edges)
         .orderBy(col("n_tri").desc, col("node"))
         .limit(20)
     }),
@@ -306,7 +306,7 @@ object GraphMmQueries extends QueryPack {
         .join(op.withColumnRenamed("p", "p2"), "ok")
         .filter(col("p") < col("p2"))
         .select(col("p").as("src"), col("p2").as("dst"))
-      graft.ops.Triangles.perNode(edges)
+      graft.ops.Triangles.perNodeAuto(edges)
         .orderBy(col("n_tri").desc, col("node"))
         .limit(20)
     }),

@@ -296,6 +296,16 @@ class OpsSpec extends SparkSpec {
         .perNode(raw.toDF("src", "dst"), bloomPrune = true)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(gotBloom == expected, s"trial $trial bloom path diverged")
+      // the size-adaptive entry (r15): budget 0 forces the prune ON,
+      // the default budget leaves this tiny graph plain — both must
+      // equal brute force (the switch may only ever change bytes)
+      val gotAuto0 = graft.ops.Triangles
+        .perNodeAuto(raw.toDF("src", "dst"), budget = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotAuto0 == expected, s"trial $trial auto(0) path diverged")
+      val gotAuto = graft.ops.Triangles.perNodeAuto(raw.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotAuto == expected, s"trial $trial auto path diverged")
     }
   }
 

@@ -251,8 +251,15 @@ object PlanLint {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     try {
       val df = fn(spark, sf)
-      df.count() // materialize so the adaptive plan is FINAL
-      val nodes = allFinal(df.queryExecution.executedPlan)
+      // Execute THIS df's physical plan: df.count() would plan and run
+      // a SEPARATE count-aggregate query, leaving this plan's
+      // AdaptiveSparkPlanExec at its INITIAL state (the first cut of
+      // this pass recorded zero AQEShuffleReads for exactly that
+      // reason). toRdd.count() drives doExecute on the df's own tree,
+      // which is what finalizes the adaptive plan.
+      val qe = df.queryExecution
+      qe.toRdd.count()
+      val nodes = allFinal(qe.executedPlan)
       val smjs = nodes.collect { case j: SortMergeJoinExec => j }
       val shjs = nodes.collect { case j: ShuffledHashJoinExec => j }
       val reads = nodes.collect { case r: AQEShuffleReadExec => r }

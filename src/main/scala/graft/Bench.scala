@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
   * and the r02 per-query map (125 keys) outgrew the driver's tail
   * buffer, so BENCH_r02.parsed came back null. So (a) the COMPLETE
   * result — every per-query time and every vs_prev delta — is written
-  * to /root/repo/bench_prev.json, which the next run reads for
+  * to the SF-stamped floor file (/root/repo/bench_prev_<sf>.json),
+  * which the next run at the same SF reads for
   * regression diffing, and (b) the printed line is a SHORT summary that
   * always fits the capture: total, key/failed counts, the 10 slowest
   * queries, the 10 largest |vs_prev| movers, and the path to the full
@@ -24,16 +25,40 @@ import org.apache.spark.sql.SparkSession
   * box cannot).
   */
 object Bench {
-  private val PrevPath = "/root/repo/bench_prev.json"
+  /** Legacy un-stamped floor path (rounds 6–15). Read-only fallback for
+    * migration; never written again — see [[prevPathFor]]. */
+  private val LegacyPrevPath = "/root/repo/bench_prev.json"
   private val LastPath = "/root/repo/bench_last.json"
+  /** SF-STAMPED floor path (r15 verdict #1): the r14 min-merge floor
+    * (164.2 s of per-key wall+byte history) was destroyed when envelope
+    * runs at fixtures/sf1 and the end-of-round snapshot churned the one
+    * shared bench_prev.json. One floor file PER SF-dir basename means a
+    * run at fixtures/sf10 can never touch the official sf0.1 floor —
+    * no backup/restore discipline required, because there is nothing
+    * to collide. The recorded "sf" field inside the file remains the
+    * authority: [[readPrev]] refuses a floor whose full sf dir differs
+    * from this run's (a basename collision across roots), and the
+    * write side refuses to overwrite on the same mismatch.
+    */
+  private[graft] def sfName(sfDir: String): String =
+    Paths.get(sfDir).getFileName.toString
+  private[graft] def prevPathFor(sfDir: String): String =
+    s"/root/repo/bench_prev_${sfName(sfDir)}.json"
   /** Committed copy of the COMPLETE run record (r14 verdict: the
     * driver's stdout capture holds ~2000 chars, so the official
     * BENCH_r{N}.json can only ever carry the printed summary — the
     * full 249-key map + byte telemetry lives here, written every run,
     * committed with the round so the judge reads a parseable artifact
     * instead of a log tail cut mid-line). Identical content to
-    * bench_last.json; this one is tracked by git. */
-  private val FullPath = "/root/repo/BENCH_FULL.json"
+    * bench_last.json; tracked by git. SF-stamped since r16 (the r15
+    * snapshot committed an sf1 record under the official name); the
+    * un-stamped BENCH_FULL.json survives as an alias written ONLY for
+    * the official sf0.1 run, so it can never again hold another SF's
+    * record. */
+  private def fullPathFor(sfDir: String): String =
+    s"/root/repo/BENCH_FULL_${sfName(sfDir)}.json"
+  private val OfficialSfName = "sf0.1"
+  private val AliasFullPath = "/root/repo/BENCH_FULL.json"
 
   /** The calmness bar a new run is annotated against: the post-gate load
     * of the last run that ITSELF satisfied run_calm, carried forward in
@@ -45,9 +70,9 @@ object Bench {
     * fallbacks (load_after_gate / load_start) cover floors written before
     * calm_gate_load existed.
     */
-  private def readPrevCalmGateLoad(): Option[Double] =
+  private def readPrevCalmGateLoad(path: String): Option[Double] =
     try {
-      val txt = new String(Files.readAllBytes(Paths.get(PrevPath)), "UTF-8")
+      val txt = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
       ("\"calm_gate_load\":([0-9.eE+-]+)".r.findFirstMatchIn(txt)
         orElse "\"load_after_gate\":([0-9.eE+-]+)".r.findFirstMatchIn(txt)
         orElse "\"load_start\":([0-9.eE+-]+)".r.findFirstMatchIn(txt))
@@ -130,13 +155,34 @@ object Bench {
   private final case class PrevFloor(walls: Map[String, Double],
       shuffleBytes: Map[String, Double], loaded: Boolean, sf: Option[String])
 
-  private def readPrev(): PrevFloor =
+  private def readPrevAt(path: String): PrevFloor =
     try {
-      val txt = new String(Files.readAllBytes(Paths.get(PrevPath)), "UTF-8")
+      val txt = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
       val walls = readMap(txt, "queries")
       val sf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
       PrevFloor(walls, readMap(txt, "shuffle_bytes"), walls.nonEmpty, sf)
     } catch { case _: Throwable => PrevFloor(Map.empty, Map.empty, false, None) }
+
+  /** Load the floor for `sfDir`: the SF-stamped file first, the legacy
+    * un-stamped bench_prev.json as a migration fallback — and in BOTH
+    * cases a floor whose recorded sf differs from this run's is
+    * REFUSED outright (loaded=false), not merely excluded from the
+    * merge: vs_prev deltas and ≥2×-mover re-runs against another SF's
+    * walls are meaningless, which is how the r10-era cross-SF noise
+    * got in. Returns the floor plus the path it came from (the calm
+    * bar is read from the same file).
+    */
+  private def readPrev(sfDir: String): (PrevFloor, String) = {
+    val stamped = prevPathFor(sfDir)
+    val (raw, path) =
+      if (Files.exists(Paths.get(stamped))) (readPrevAt(stamped), stamped)
+      else (readPrevAt(LegacyPrevPath), LegacyPrevPath)
+    if (raw.loaded && !raw.sf.forall(_ == sfDir)) {
+      System.err.println(s"bench: floor at $path is for sf=${raw.sf.getOrElse("?")}, " +
+        s"this run is $sfDir — refusing it (starting floorless)")
+      (PrevFloor(Map.empty, Map.empty, false, None), path)
+    } else (raw, path)
+  }
 
   private def f3(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
@@ -223,7 +269,7 @@ object Bench {
     // numbers reflect steady state rather than first-job init cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val prevFloor = readPrev()
+    val (prevFloor, floorReadPath) = readPrev(sfDir)
     val prev = prevFloor.walls
     val prevLoaded = prevFloor.loaded
     // per-key byte telemetry (r14 verdict #2): listener registered
@@ -384,15 +430,16 @@ object Bench {
     // whether this run met the calmness bars of the floor it fed. The
     // SF guard: a floor measured at one SF never merges with a run at
     // another — a changed SF resets the floor to this run.
-    val prevGateLoad = readPrevCalmGateLoad()
+    val prevGateLoad = if (prevLoaded) readPrevCalmGateLoad(floorReadPath) else None
     val runCalm = shouldPromote(nPolluted, gatedLoad, maxLoad, prevGateLoad)
     // carry the calm bar forward: this run's gate load if it was calm,
     // else the inherited bar unchanged (a noisy run must not move it)
     val calmGateLoad = if (runCalm) Some(gatedLoad) else prevGateLoad
     val calmGateJson = calmGateLoad.map(v => s""","calm_gate_load":${f3(v)}""").getOrElse("")
-    val sfMatches = prevFloor.sf.forall(_ == sfDir)
+    // readPrev() already refused a cross-SF floor, so prevLoaded implies
+    // the floor and this run share an SF — merge unconditionally
     val mergedSeq =
-      if (prevLoaded && sfMatches) mergeFloor(results.map(r => (r.name, r.wall, r.ok)), prev)
+      if (prevLoaded) mergeFloor(results.map(r => (r.name, r.wall, r.ok)), prev)
       else results.map(r => (r.name, r.wall, r.ok))
     // byte floor: same min-merge ratchet (a plan can only ever MOVE at
     // least its floor bytes; a lower observation is a real plan win, a
@@ -400,7 +447,7 @@ object Bench {
     // same SF guard — reuses mergeFloor through a double round-trip
     // (exact for byte counts < 2^53)
     val mergedBytes =
-      if (prevLoaded && sfMatches)
+      if (prevLoaded)
         mergeFloor(results.map(r => (r.name, r.shufBytes.toDouble, r.ok)),
           prevFloor.shuffleBytes)
       else results.map(r => (r.name, r.shufBytes.toDouble, r.ok))
@@ -413,11 +460,26 @@ object Bench {
     val floor = record(mergedSeq.filter(_._3).map(_._2).sum, qsFloor,
       mergedBytesJson, bytesJson(_.spillBytes),
       s""","floor_merged_keys":$nKept,"run_calm":$runCalm$calmGateJson""")
+    val fullPath = fullPathFor(sfDir)
+    val prevPath = prevPathFor(sfDir)
     try {
       Files.write(Paths.get(LastPath), full.getBytes("UTF-8"))
       if (!partial) {
-        Files.write(Paths.get(FullPath), full.getBytes("UTF-8"))
-        Files.write(Paths.get(PrevPath), floor.getBytes("UTF-8"))
+        // refuse-on-mismatch (r15 verdict #1): if a file already sits at
+        // the stamped path but records a DIFFERENT full sf dir (basename
+        // collision across roots, e.g. fixtures/sf1 vs testdata/sf1),
+        // leave it alone — losing one run's floor update is cheap,
+        // losing another SF's accumulated floor history is the r15
+        // incident this path scheme exists to prevent.
+        val resident = readPrevAt(prevPath)
+        if (resident.loaded && !resident.sf.forall(_ == sfDir))
+          System.err.println(s"bench: $prevPath holds a floor for " +
+            s"sf=${resident.sf.getOrElse("?")} — refusing to overwrite with $sfDir")
+        else Files.write(Paths.get(prevPath), floor.getBytes("UTF-8"))
+        Files.write(Paths.get(fullPath), full.getBytes("UTF-8"))
+        // the un-stamped official artifact: only ever the sf0.1 record
+        if (sfName(sfDir) == OfficialSfName)
+          Files.write(Paths.get(AliasFullPath), full.getBytes("UTF-8"))
       }
     } catch { case _: Throwable => () }
     val slow10 = results.filter(_.ok).sortBy(-_.wall).take(10).map(r => r.name -> r.wall)
@@ -428,7 +490,10 @@ object Bench {
       .map { case (k, d) => "\"" + k + "\":" + d }.mkString("{", ",", "}")
     val shufTotal = results.filter(_.ok).map(_.shufBytes).sum
     val spillTotal = results.filter(_.ok).map(_.spillBytes).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_keys":${results.length},"n_failed":${results.count(!_.ok)},"failed":$failed,"reran":$reran,"prev_loaded":$prevLoaded,"gc_total_ms":$gcTotal,"load_start":${f3(loadStart)},"load_end":${f3(loadEnd)},"load_waits":$loadWaits,"inrun_wait_ms":$inRunWaitMsUsed,"n_load_polluted":$nPolluted,"steal_total_ms":$stealTotal,"run_calm":$runCalm,"floor_merged_keys":$nKept,"storage_bytes_max":$storageMax,"shuffle_bytes_total":$shufTotal,"spill_bytes_total":$spillTotal,"n_byte_flagged":${byteFlagged.length},"byte_movers":$byteMove5,"queries":${jmap(slow10)},"vs_prev":${jmap(move10)},"full":"$FullPath"}"""
+    // a partial run never rewrote the full record — point "full" at the
+    // file it DID write (bench_last.json) and say so (r15 ADVICE)
+    val fullPointer = if (partial) LastPath else fullPath
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_keys":${results.length},"n_failed":${results.count(!_.ok)},"failed":$failed,"reran":$reran,"prev_loaded":$prevLoaded,"partial":$partial,"gc_total_ms":$gcTotal,"load_start":${f3(loadStart)},"load_end":${f3(loadEnd)},"load_waits":$loadWaits,"inrun_wait_ms":$inRunWaitMsUsed,"n_load_polluted":$nPolluted,"steal_total_ms":$stealTotal,"run_calm":$runCalm,"floor_merged_keys":$nKept,"storage_bytes_max":$storageMax,"shuffle_bytes_total":$shufTotal,"spill_bytes_total":$spillTotal,"n_byte_flagged":${byteFlagged.length},"byte_movers":$byteMove5,"queries":${jmap(slow10)},"vs_prev":${jmap(move10)},"full":"$fullPointer"}"""
     spark.stop()
     // printed last so log noise can't interleave into the capture
     println(line)

@@ -36,24 +36,40 @@ object GraftFunctions {
     * (r14 ADVICE): accept any FOLDABLE int/long expression — a SQL
     * caller writing `graft_minhash_sig(h, 16L)` or an un-folded
     * `8 * 2` deserves the same treatment as the literal 16 — and
-    * surface violations as a standard AnalysisException
-    * (NON_FOLDABLE_ARGUMENT, the class Spark's own constant-argument
-    * functions raise) instead of a raw IllegalArgumentException.
+    * surface violations as standard AnalysisExceptions: a genuinely
+    * non-constant argument raises NON_FOLDABLE_ARGUMENT (the class
+    * Spark's own constant-argument functions raise), while a foldable
+    * argument that folds to NULL or to a non-integral value raises the
+    * matching DATATYPE_MISMATCH condition instead (r15 ADVICE —
+    * calling a NULL literal "non-foldable" pointed users at the wrong
+    * fix).
     */
   private def foldableInt(funcName: String, paramName: String,
       e: Expression): Int = {
-    def fail() = throw new org.apache.spark.sql.AnalysisException(
-      "NON_FOLDABLE_ARGUMENT", Map(
-        "funcName" -> s"`$funcName`",
-        "paramName" -> s"`$paramName`",
-        "paramType" -> "\"INT\""))
-    if (!e.foldable) fail()
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        "NON_FOLDABLE_ARGUMENT", Map(
+          "funcName" -> s"`$funcName`",
+          "paramName" -> s"`$paramName`",
+          "paramType" -> "\"INT\""))
     e.eval() match {
       case i: Int => i
       case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
       case s: Short => s.toInt
       case b: Byte => b.toInt
-      case _ => fail()
+      case null =>
+        throw new org.apache.spark.sql.AnalysisException(
+          "DATATYPE_MISMATCH.UNEXPECTED_NULL", Map(
+            "sqlExpr" -> s"\"$funcName\"",
+            "exprName" -> s"`$paramName`"))
+      case other =>
+        throw new org.apache.spark.sql.AnalysisException(
+          "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE", Map(
+            "sqlExpr" -> s"\"$funcName\"",
+            "paramIndex" -> s"`$paramName`",
+            "requiredType" -> "\"INT\"",
+            "inputSql" -> s"\"${e.sql}\"",
+            "inputType" -> s"\"${e.dataType.sql}\""))
     }
   }
 

@@ -15,9 +15,13 @@ import java.util.UUID
   * the r14 build already had: no marker => never trusted), then swap
   * the temp into place with an atomic directory rename. Writers never
   * touch a live root in place, so a concurrent reader — or a second
-  * builder — sees either the complete old index or the complete new
-  * one, never a mix; a reader mid-scan across the swap keeps its POSIX
-  * file handles on the old inode. When two builders race, each
+  * builder — never sees a MIX of two builds; a reader mid-scan across
+  * the swap keeps its POSIX file handles on the old inode. Replacing a
+  * stale root is rename-aside-then-move-in, so there IS a brief window
+  * where the root path doesn't exist at all — a reader opening exactly
+  * then sees "absent" (and [[fresh]] returns false), which the serving
+  * paths already treat as rebuild-or-retry; what can never be observed
+  * is a valid marker over incomplete data. When two builders race, each
   * publishes a COMPLETE build and the last rename wins whole; a
   * builder that crashes mid-build leaves only an orphan `.build-*`
   * sibling (swept best-effort by the next builder, trusted by nobody).
@@ -29,11 +33,16 @@ import java.util.UUID
   */
 object IndexStore {
 
-  /** Is `root` already a published index for `stamp`? */
+  /** Is `root` already a published index for `stamp`? Exists-then-read
+    * is inherently TOCTOU against a cross-JVM racer swapping the root
+    * between the two calls — a vanished marker means "not fresh right
+    * now", not an error (r15 ADVICE).
+    */
   def fresh(root: String, stamp: String): Boolean = {
     val marker = Paths.get(root, "_INDEX")
-    Files.exists(marker) &&
+    try Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8").trim == stamp
+    catch { case _: java.nio.file.NoSuchFileException => false }
   }
 
   /** Ensure `root` holds a complete index for `stamp`, running

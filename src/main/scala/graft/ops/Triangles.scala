@@ -116,10 +116,18 @@ object Triangles {
     // the ceilings to this build's actual size before the aggregate
     // runs (the clamp is applied lazily at execution).
     val sess = und.sparkSession
-    sess.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
-      math.max(4000000L, edgeCount))
-    sess.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
-      math.max(67108864L, bits))
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    // the raise is scoped to THIS aggregate: restore the session's
+    // prior ceilings afterwards, or every later query in the shared
+    // bench/serving session could build Spark-injected runtime blooms
+    // up to a 2^30-bit ceiling a triangle key happened to leave behind
+    // (r15 ADVICE) — plans and byte telemetry of unrelated keys must
+    // not depend on whether a big-graph prune ran first.
+    val prevItems = sess.conf.getOption(itemsKey)
+    val prevBits = sess.conf.getOption(bitsKey)
+    sess.conf.set(itemsKey, math.max(4000000L, edgeCount))
+    sess.conf.set(bitsKey, math.max(67108864L, bits))
     // might_contain demands a CONSTANT (or scalar subquery) filter, so
     // the bloom rides as a literal: the aggregation itself is
     // distributed (partial blooms OR-merged), only the finished filter
@@ -133,9 +141,14 @@ object Triangles {
     // thrashed a 48 GB heap to death on the sf10 validation. Eight
     // builders bound the transient filter memory at ~1 GB while the
     // 120 M-row scan stays far from the bottleneck.
-    val bf = und.coalesce(8).agg(expr(
-      s"graft_bloom_agg(xxhash64(a, b), CAST($edgeCount AS LONG), CAST($bits AS LONG))").as("bf"))
-      .head.getAs[Array[Byte]](0)
+    val bf =
+      try und.coalesce(8).agg(expr(
+        s"graft_bloom_agg(xxhash64(a, b), CAST($edgeCount AS LONG), CAST($bits AS LONG))").as("bf"))
+        .head.getAs[Array[Byte]](0)
+      finally {
+        prevItems.fold(sess.conf.unset(itemsKey))(sess.conf.set(itemsKey, _))
+        prevBits.fold(sess.conf.unset(bitsKey))(sess.conf.set(bitsKey, _))
+      }
     wedges
       .filter(call_function("graft_might_contain", lit(bf),
         xxhash64(col("y"), col("z"))))

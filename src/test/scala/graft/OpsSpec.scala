@@ -199,6 +199,32 @@ class OpsSpec extends SparkSpec {
         s"extra=${split -- unsplit}")
   }
 
+  test("MetricBlocking dot budget: sub-budget equality, over-budget fail-fast with the price") {
+    // r15 verdict #4: the recall-1.0 contract prices ~n²/2 dots on a
+    // loose-geometry corpus — a caller must opt into that, not fall in.
+    // (a) an exact budget (just at the fixture's priced volume) leaves
+    // the output identical to the default; (b) a sub-volume budget
+    // refuses BEFORE the pair join runs, and the refusal names the
+    // measured price and the bounded alternatives.
+    val emb = Tables.embeddings(spark, sf)
+    def pairs(budget: Long) =
+      graft.ops.MetricBlocking.nearDupPairs(spark, emb, 0.35, dotBudget = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val default = pairs(graft.ops.MetricBlocking.DotBudget)
+    assert(pairs(Long.MaxValue) == default && default.nonEmpty)
+    val ex = intercept[IllegalStateException] { pairs(10L) }
+    assert(ex.getMessage.contains("exceeds the dot budget 10"), ex.getMessage)
+    assert(ex.getMessage.contains("GRAFT_DOT_BUDGET"), ex.getMessage)
+    assert(ex.getMessage.contains("sim_ann"), ex.getMessage)
+    // the two-table shape carries the same guard
+    val probe = emb.filter(col("vec_id") < 50)
+    val ex2 = intercept[IllegalStateException] {
+      graft.ops.MetricBlocking.similarityJoin(spark, probe, emb, 0.3, dotBudget = 10L)
+        .count()
+    }
+    assert(ex2.getMessage.contains("similarityJoin"), ex2.getMessage)
+  }
+
   test("MetricBlocking prunes on a clustered corpus (and still finds every pair)") {
     import spark.implicits._
     // 4 tight clusters around orthogonal axes: radii ~11°, inter-cell

@@ -25,7 +25,10 @@ def main():
         if v0 is None or v0 <= 0 or v <= 0:
             continue
         byr = None
-        if bs.get(k, 0) > (1 << 20) and bb.get(k, 0) > 0:
+        # a big-run byte count of exactly 0 against a >1 MiB small run
+        # is the plan-change signal this tool exists to surface — keep
+        # it as ratio 0.0, not missing data (r15 ADVICE)
+        if bs.get(k, 0) > (1 << 20) and bb.get(k, 0) >= 0 and k in bb:
             byr = bb[k] / bs[k]
         rows.append((v / v0, k, v0, v, byr))
     rows.sort(reverse=True)
@@ -34,7 +37,7 @@ def main():
     for r, k, v0, v, byr in rows:
         mark = " <= SUPER-LINEAR" if r > factor else ""
         print(f"{r:7.2f} {k:<28} {v0:8.3f} {v:8.3f} "
-              f"{('%10.2f' % byr) if byr else '         -'}{mark}")
+              f"{('%10.2f' % byr) if byr is not None else '         -'}{mark}")
     print(f"\ntotal small={sum(v for v in qs.values() if v > 0):.1f}s "
           f"big={sum(v for v in qb.values() if v > 0):.1f}s "
           f"ratio={sum(v for v in qb.values() if v > 0) / max(1e-9, sum(v for v in qs.values() if v > 0)):.2f} "

@@ -91,6 +91,52 @@ def main():
                   for sf, per in sweep.items()},
         "keys": {k: {sf: sweep[sf].get(k) for sf in SFS} for k in keys},
     }
+    # ---- optional EXTRA column: a key SUBSET at one more (big) SF ------
+    # r15 verdict #2: the sf10 oracle evidence must be a committed
+    # machine-readable row, and at 60 M-row scale a full-inventory
+    # Verify+DuckDB pass is neither affordable nor meaningful for every
+    # key (some oracles are Θ(candidate-volume) replays). Env contract:
+    #   SWEEP_EXTRA_DIR      = fixture dir (e.g. fixtures/sf10)
+    #   SWEEP_EXTRA_KEYS     = comma keys to Verify+oracle there
+    #   SWEEP_EXTRA_EXCLUDED = comma key=reason pairs recorded verbatim
+    #                          in the artifact (the envelope-only keys,
+    #                          named explicitly instead of in prose)
+    extra_dir = os.environ.get("SWEEP_EXTRA_DIR")
+    if extra_dir:
+        extra_sf = extra_dir.rstrip("/").rsplit("/", 1)[-1]
+        extra_keys = [k for k in
+                      os.environ.get("SWEEP_EXTRA_KEYS", "").split(",") if k]
+        excluded = dict(kv.split("=", 1) for kv in
+                        os.environ.get("SWEEP_EXTRA_EXCLUDED", "").split(",")
+                        if "=" in kv)
+        etmp = tempfile.mkdtemp(prefix="sweep-extra-")
+        ecmd = (["tools/run.sh", "graft.Verify", extra_dir, etmp] + extra_keys
+                if os.environ.get("SWEEP_RUNNER") == "run.sh"
+                else ["sbt", "-batch", "runMain graft.Verify " + extra_dir +
+                      " " + etmp + " " + " ".join(extra_keys)])
+        subprocess.run(ecmd, check=True, capture_output=True, text=True)
+        proc = subprocess.run(
+            ["python3", "tools/check.py", extra_dir, f"{etmp}/{extra_sf}"],
+            capture_output=True, text=True)
+        per = {}
+        for line in proc.stdout.splitlines():
+            m = re.match(r"(PASS|FAIL|NOTE) ([^\s:]+)", line)
+            if m:
+                per[m.group(2)] = {"PASS": "pass", "FAIL": "fail",
+                                   "NOTE": "test_only"}[m.group(1)]
+        result["extra"] = {
+            "sf": extra_sf, "dir": extra_dir,
+            "keys": per,
+            "excluded": excluded,
+            "totals": {
+                "pass": sum(1 for v in per.values() if v == "pass"),
+                "fail": sum(1 for v in per.values() if v == "fail"),
+                "test_only": sum(1 for v in per.values() if v == "test_only"),
+            },
+        }
+        totals[extra_sf] = result["extra"]["totals"]
+        result["fails"][extra_sf] = sorted(
+            k for k, v in per.items() if v == "fail")
     with open(out_json, "w") as f:
         json.dump(result, f, indent=1, sort_keys=False)
     print(json.dumps({"totals": totals, "fails": result["fails"]}))

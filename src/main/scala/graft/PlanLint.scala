@@ -291,8 +291,12 @@ object PlanLint {
         bcastBytesMax = if (bcastSizes.nonEmpty) bcastSizes.max else 0L,
         error = None)
     } catch { case e: Throwable =>
-      AqeReport(key, -1, -1, -1, -1, -1, -1, -1, -1L,
-        Some(e.getClass.getSimpleName))
+      // class name + first line of the message: a bare "SparkException"
+      // is unactionable in the artifact (r16: four sf1 text keys)
+      val msg = (e.getClass.getSimpleName +: Option(e.getMessage).toSeq)
+        .mkString(": ").linesIterator.take(1).mkString.take(200)
+        .replaceAll("[\"\\\\]", "'")
+      AqeReport(key, -1, -1, -1, -1, -1, -1, -1, -1L, Some(msg))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 

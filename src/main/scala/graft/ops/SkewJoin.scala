@@ -32,7 +32,17 @@ object SkewJoin {
       pmod(hash(spreadCols: _*), lit(salts)))
     val replicated = build.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
-    salted.join(replicated,
+    // PIN the shuffle regime (r16 — caught by PLANS' bcast_bytes_max
+    // column): Catalyst's size estimate of the pruned build scan can
+    // sit under the broadcast threshold even after the explode, and a
+    // salted BROADCAST join is a contradiction twice over — a broadcast
+    // join has no shuffle skew to salt, and what actually shipped was
+    // the ×salts-REPLICATED side (1.5 GB deserialized at sf1, ~15 GB
+    // at sf10 — per-executor memory a real cluster does not have).
+    // The device exists for the shuffle regime, so the hint makes that
+    // regime the plan at every size; callers in the broadcast regime
+    // should join plain and skip salting entirely.
+    salted.join(replicated.hint("merge"),
         salted("__salt") === replicated("__salt") &&
           col(probeKey) === col(buildKey))
       .drop("__salt")

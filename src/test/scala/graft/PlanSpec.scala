@@ -69,6 +69,19 @@ class PlanSpec extends SparkSpec {
       "status filter must prune hive partitions, not scan+filter")
   }
 
+  test("join_skew_salted: the salted join is a sort-merge join, never a broadcast") {
+    // r16: Catalyst's pruned-scan size estimate auto-broadcast the
+    // ×8-replicated build side (1.5 GB deserialized at sf1, ~15 GB at
+    // sf10) — a broadcast join has no shuffle skew to salt, so the
+    // operator pins its declared regime with a merge hint
+    val p = planOf("join_skew_salted")
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    assert(p.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+      "salted join must plan as sort-merge")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      "the replicated build side must never broadcast")
+  }
+
   test("pair-join family plans contain no CartesianProduct") {
     // every similarity / dedup / range-pair query must block, broadcast,
     // or bucket — a cartesian node means an O(n²) plan came back

@@ -48,7 +48,12 @@ def main():
     # heavy oracle (the sf1 IVF-PQ replay hit >100 GB when its CTEs
     # were still inlined) must degrade to disk, not take the box down.
     con.execute("SET memory_limit='32GB'")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # UNIQUE temp dir per invocation: DuckDB names its spill files
+    # sequentially (duckdb_temp_storage-N.tmp), so two concurrent
+    # check.py runs sharing one temp_directory delete each other's
+    # files and die with an IOException mid-oracle (r16 incident)
+    import tempfile
+    con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duckdb_spill_')}'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.isdir(p):

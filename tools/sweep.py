@@ -115,8 +115,13 @@ def main():
                 else ["sbt", "-batch", "runMain graft.Verify " + extra_dir +
                       " " + etmp + " " + " ".join(extra_keys)])
         subprocess.run(ecmd, check=True, capture_output=True, text=True)
+        # single-SF Verify writes directly into the out dir (no basename
+        # subdir — the driver's t2 layout); pass the key subset through
+        # to check.py too — oracle_sql.json carries ALL keys, and
+        # un-subsetted the comparator records every non-dumped key as a
+        # missing-dump FAIL
         proc = subprocess.run(
-            ["python3", "tools/check.py", extra_dir, f"{etmp}/{extra_sf}"],
+            ["python3", "tools/check.py", extra_dir, etmp] + extra_keys,
             capture_output=True, text=True)
         per = {}
         for line in proc.stdout.splitlines():

@@ -63,4 +63,21 @@ class BenchPromotionSpec extends AnyFunSuite {
     assert(Bench.mergeFloor(Seq(("x", 2.0, true)), Map("x" -> -1.0)) ===
       Seq(("x", 2.0, true)))
   }
+
+  test("SF-stamped floor paths: one file per SF-dir basename (r15 verdict #1)") {
+    // the r15 incident: envelope runs at fixtures/sf1 and the official
+    // sf0.1 floor shared ONE bench_prev.json — the stamped scheme keys
+    // the file by SF basename so runs at different SFs cannot collide
+    assert(Bench.sfName("/root/testdata/sf0.1") == "sf0.1")
+    assert(Bench.sfName("/root/repo/fixtures/sf10") == "sf10")
+    assert(Bench.prevPathFor("/root/testdata/sf0.1")
+      == "/root/repo/bench_prev_sf0.1.json")
+    assert(Bench.prevPathFor("/root/repo/fixtures/sf1")
+      == "/root/repo/bench_prev_sf1.json")
+    // basename collision across roots maps to the SAME path — which is
+    // exactly why readPrev/the write side also verify the recorded full
+    // sf dir and refuse on mismatch
+    assert(Bench.prevPathFor("/root/testdata/sf1")
+      == Bench.prevPathFor("/root/repo/fixtures/sf1"))
+  }
 }

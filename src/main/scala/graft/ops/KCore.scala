@@ -36,14 +36,26 @@ object KCore {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(true)
     def degrees(e: DataFrame) = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     var e = und
     for (_ <- 1 to rounds) {
       val keep = degrees(e).filter(col("deg") >= k).select("node")
+      // materialize each round's surviving edge set (r16): Catalyst
+      // plans TREES, so without the cut round N's degree aggregate and
+      // semi-joins re-derive the whole prior peel chain per reference
+      // (ReuseExchange rescues only identical exchanges). On the sf0.1
+      // quotient graph this is wall-neutral (measured 5.5 s either way
+      // — the key's cost is fixed per-job overhead on a ≤150 k-edge
+      // graph, not recompute), but at raw-graph scale the re-derived
+      // chain is rounds× the full edge volume; per-superstep
+      // materialization is the Pregel posture, and the round count is
+      // a declared constant so the materialized volume only shrinks.
       e = e.join(keep, e("a") === keep("node"), "left_semi")
-      e = e.join(keep, e("b") === keep("node"), "left_semi")
+        .join(keep, col("b") === keep("node"), "left_semi")
+        .localCheckpoint(true)
     }
     degrees(e)
   }

@@ -224,7 +224,12 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Normalize at ingest (r16 ADVICE): the same fixture referenced with a
+    // trailing slash / relative path maps to the same stamped file but a
+    // mismatched recorded-sf string, so readPrev would refuse the floor and
+    // the write guard would drop the update — a silently floorless run.
+    val sfDir = Paths.get(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+      .toAbsolutePath.normalize.toString
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // ---- ambient-load gate (r10 verdict #4) --------------------------
     // The r10 committed bench published 3-20x noise because BOTH min-of-2
@@ -473,13 +478,19 @@ object Bench {
         // incident this path scheme exists to prevent.
         val resident = readPrevAt(prevPath)
         if (resident.loaded && !resident.sf.forall(_ == sfDir))
+          // the FULL record shares the basename scheme, so the same
+          // collision would clobber the other root's record — gate both
+          // writes on the one resident-sf check (r16 ADVICE)
           System.err.println(s"bench: $prevPath holds a floor for " +
-            s"sf=${resident.sf.getOrElse("?")} — refusing to overwrite with $sfDir")
-        else Files.write(Paths.get(prevPath), floor.getBytes("UTF-8"))
-        Files.write(Paths.get(fullPath), full.getBytes("UTF-8"))
-        // the un-stamped official artifact: only ever the sf0.1 record
-        if (sfName(sfDir) == OfficialSfName)
-          Files.write(Paths.get(AliasFullPath), full.getBytes("UTF-8"))
+            s"sf=${resident.sf.getOrElse("?")} — refusing to overwrite " +
+            s"floor AND full record with $sfDir")
+        else {
+          Files.write(Paths.get(prevPath), floor.getBytes("UTF-8"))
+          Files.write(Paths.get(fullPath), full.getBytes("UTF-8"))
+          // the un-stamped official artifact: only ever the sf0.1 record
+          if (sfName(sfDir) == OfficialSfName)
+            Files.write(Paths.get(AliasFullPath), full.getBytes("UTF-8"))
+        }
       }
     } catch { case _: Throwable => () }
     val slow10 = results.filter(_.ok).sortBy(-_.wall).take(10).map(r => r.name -> r.wall)

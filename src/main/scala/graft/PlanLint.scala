@@ -208,6 +208,61 @@ object PlanLint {
       }
     }
 
+  // ---- deserialized-broadcast budget bar (r16 verdict #1) ------------
+  // bcast_bytes_max was informational in r16 and immediately caught a
+  // real scale-killer (join_skew_salted auto-broadcasting its
+  // ×8-replicated build side: 1.51 GB deserialized at sf1). This
+  // promotes the column to an ENFORCED bar: any key whose measured
+  // deserialized broadcast (BroadcastExchangeExec dataSize, seeded from
+  // the AQE observation pass — real materialized bytes, not static
+  // estimates) exceeds the declared budget either carries an explicit
+  // adjudication (recorded verbatim in the artifact) or flags
+  // `bcast_deser_over_budget` and fails the lint run.
+
+  /** 100 MB default: a broadcast is shipped to EVERY executor, so the
+    * per-key ceiling is a deployment budget line (100 MB × 1000
+    * executors = 100 GB of cluster RAM for one build side), not a
+    * local-correctness bound. Env-tunable for bigger clusters. */
+  private[graft] val BcastBudgetDefault: Long = 100L << 20
+  private[graft] def bcastBudget: Long =
+    sys.env.get("GRAFT_BCAST_BUDGET").map(_.trim.toLong)
+      .getOrElse(BcastBudgetDefault)
+
+  /** Keys whose measured over-budget broadcast is ADJUDICATED — the
+    * exceedance is the key's declared semantics, measured and accepted,
+    * not a silent trap. Reasons are recorded verbatim in the artifact
+    * (keep them JSON-safe: no quotes/control chars).
+    *
+    * The two standing sf10 instances (PLANS_r16: customer broadcasts
+    * 192 MB deserialized from 6.3 MB compressed parquet):
+    *  - join_broadcast_inner: the key's declared semantics IS the
+    *    broadcast-dim join; warm sf10 A/B measured BHJ 2.8 s vs forced
+    *    SMJ 3.5 s, so Catalyst's choice is locally right. The 192 MB ×
+    *    N-executors line is documented in BASELINE.md, and this entry
+    *    makes the acceptance diffable instead of silent.
+    *  - join_theta_range: a non-equi theta join has no SMJ/SHJ regime —
+    *    the only alternatives to the broadcast NL side are a shuffled
+    *    cartesian (strictly worse at every scale) or a rewrite to the
+    *    interval-bucketed key (which exists: join_interval_bucketed IS
+    *    that scale path). Accepted for the declared small-dim probe.
+    */
+  private[graft] val BcastAdjudicated: Map[String, String] = Map(
+    "join_broadcast_inner" -> ("declared broadcast-dim semantics; warm sf10 A/B " +
+      "BHJ 2.8s vs SMJ 3.5s - Catalyst right locally; 192MB deser x N executors " +
+      "documented as the deployment budget line in BASELINE.md"),
+    "join_theta_range" -> ("non-equi theta join: no SMJ regime exists; shuffled " +
+      "cartesian is strictly worse; the scale path is the interval-bucketed " +
+      "rewrite (join_interval_bucketed); small-dim probe accepted"))
+
+  /** The bar, as a pure decision: None = under budget; Left(reason) =
+    * over budget, adjudicated (recorded, not flagged); Right(flag) =
+    * over budget, unadjudicated — fails the lint. Factored out so
+    * PlanSpec can pin the decision table without an sf10 execution. */
+  private[graft] def bcastVerdict(key: String, bytes: Long,
+      budget: Long = bcastBudget): Option[Either[String, String]] =
+    if (bytes <= budget) None
+    else Some(BcastAdjudicated.get(key).toLeft("bcast_deser_over_budget"))
+
   // ---- AQE-on observation pass (r14 verdict #5) ----------------------
   // The static lint above deliberately plans with AQE OFF (the full
   // exchange tree is the conservative side); every "AQE will handle it
@@ -293,9 +348,11 @@ object PlanLint {
     } catch { case e: Throwable =>
       // class name + first line of the message: a bare "SparkException"
       // is unactionable in the artifact (r16: four sf1 text keys)
+      // strip quotes/backslashes AND control chars (a tab inside the
+      // first line would land raw in the JSON string — r16 ADVICE)
       val msg = (e.getClass.getSimpleName +: Option(e.getMessage).toSeq)
         .mkString(": ").linesIterator.take(1).mkString.take(200)
-        .replaceAll("[\"\\\\]", "'")
+        .replaceAll("[\"\\\\]", "'").replaceAll("\\p{Cntrl}", " ")
       AqeReport(key, -1, -1, -1, -1, -1, -1, -1, -1L, Some(msg))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
@@ -344,25 +401,40 @@ object PlanLint {
         s""""shuffles":${r.shuffles},"broadcasts":${r.broadcasts},""" +
         s""""bnlj":${r.bnlj},"in_memory_scans":${r.inMemoryScans},"scans":${r.scans}}"""
     }.mkString(",")
+    val bcastFlagged = Seq.newBuilder[String]
     def aqeRows(asf: String): String = {
       println(s"[planlint] AQE observation pass at $asf" +
         (if (sys.env.contains("GRAFT_AQE_ONLY")) " (GRAFT_AQE_ONLY subset)"
          else " (executes every key)") + "...")
       aqeAll(spark, asf).map { a =>
+        // the enforced budget bar (r16 verdict #1): seeded from the
+        // measured dataSize just recorded, adjudications inlined so the
+        // artifact is self-contained
+        val bar = bcastVerdict(a.key, a.bcastBytesMax) match {
+          case None => ""
+          case Some(Left(reason)) =>
+            s""","bcast_over_budget":"adjudicated: $reason""""
+          case Some(Right(flag)) =>
+            bcastFlagged += s"$asf:${a.key}"
+            s""","flags":["$flag"]"""
+        }
         s""""${a.key}":{"bhj":${a.bhj},"smj":${a.smj},"shj":${a.shj},""" +
           s""""skew_joins":${a.skewJoins},"aqe_reads":${a.aqeReads},""" +
           s""""coalesced_reads":${a.coalescedReads},""" +
           s""""coalesced_partitions":${a.coalescedPartitions},""" +
-          s""""bcast_bytes_max":${a.bcastBytesMax}""" +
+          s""""bcast_bytes_max":${a.bcastBytesMax}$bar""" +
           a.error.map(e => s""","error":"$e"""").getOrElse("") + "}"
       }.mkString(",")
     }
     val aqeBySf = aqeSfs.map(asf => asf -> aqeRows(asf))
+    val bcastFlags = bcastFlagged.result()
     val aqeJson = aqeSf.map { asf =>
       val first = aqeBySf.head._2
       val runs = aqeBySf.map { case (d, rows) =>
         s"""{"sf":"$d","keys":{$rows}}""" }.mkString(",")
-      s""","aqe_sf":"$asf","aqe":{$first},"aqe_runs":[$runs]"""
+      s""","aqe_sf":"$asf","aqe":{$first},"aqe_runs":[$runs],""" +
+        s""""bcast_budget":$bcastBudget,""" +
+        s""""bcast_flagged":[${bcastFlags.map("\"" + _ + "\"").mkString(",")}]"""
     }.getOrElse("")
     val json = s"""{"sf":"$sf","n_keys":${reports.length},""" +
       s""""n_flagged":${flagged.length},""" +
@@ -372,7 +444,9 @@ object PlanLint {
       json.getBytes("UTF-8"))
     println(s"[planlint] ${reports.length} keys, ${flagged.length} flagged -> $outJson")
     flagged.foreach(r => println(s"[planlint] FLAG ${r.key}: ${r.flags.mkString(", ")}"))
+    bcastFlags.foreach(k => println(s"[planlint] FLAG $k: bcast_deser_over_budget " +
+      s"(> $bcastBudget bytes deserialized, unadjudicated)"))
     spark.stop()
-    if (flagged.nonEmpty) sys.exit(1)
+    if (flagged.nonEmpty || bcastFlags.nonEmpty) sys.exit(1)
   }
 }

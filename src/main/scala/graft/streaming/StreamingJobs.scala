@@ -63,7 +63,7 @@ object StreamingJobs {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     var stage: String = null
-    try {
+    try withEnvStateProvider(spark) {
       stage = stageChunks(rowsWithChunk, tag)
       assertStagedWithin(stage, maxChunk)
       val schema = org.apache.spark.sql.types.StructType(
@@ -78,6 +78,46 @@ object StreamingJobs {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       Seq(Option(stage).map(java.nio.file.Paths.get(_).getParent).orNull,
         watch, java.nio.file.Paths.get(ckpt)).foreach(quietDelete)
+    }
+  }
+
+  /** GRAFT_STREAM_STATE_PROVIDER=rocksdb: run the enclosed replay's
+    * state store on RocksDB + changelog checkpointing (r16 verdict #4
+    * A/B — the HDFS-backed provider's per-batch full-snapshot commit is
+    * the stateful family's wall floor; changelog mode commits only the
+    * delta). Default (unset) preserves the long-standing HDFS provider
+    * so the A/B has a fixed control side and the oracle hashes a stable
+    * baseline. Session-scoped: set before the query starts (the stream
+    * pins the provider at its first batch), restored after — the same
+    * pattern as the partition-count scoping in [[replayFileSource]].
+    * Results must be provider-INVARIANT (the provider stores state, it
+    * does not define semantics) — StreamingStatefulSpec pins that by
+    * running a key under both providers.
+    */
+  private def withEnvStateProvider[A](spark: SparkSession)(body: => A): A = {
+    // sys.props first so the in-suite invariance test can flip the knob
+    // inside one JVM; the bench/driver surface is the env var
+    val useRocks = sys.props.get("graft.stream.stateProvider")
+      .orElse(sys.env.get("GRAFT_STREAM_STATE_PROVIDER"))
+      .exists(_.trim == "rocksdb")
+    if (!useRocks) body
+    else {
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val changelogKey =
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      val prevProvider = spark.conf.getOption(providerKey)
+      val prevChangelog = spark.conf.getOption(changelogKey)
+      def restore(key: String, prev: Option[String]): Unit = prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(changelogKey, "true")
+      try body finally {
+        restore(providerKey, prevProvider)
+        restore(changelogKey, prevChangelog)
+      }
     }
   }
 
@@ -871,7 +911,7 @@ object StreamingJobs {
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       var stage: String = null
-      try {
+      try withEnvStateProvider(spark) {
         stage = stageChunks(staged, "an")
         assertStagedWithin(stage, nChunks)
         // pre-load the full backlog, discovery-ordered by chunk
@@ -1199,7 +1239,7 @@ object StreamingJobs {
           .start()
         q.awaitTermination() // AvailableNow self-terminates when drained
       }
-      try {
+      try withEnvStateProvider(spark) {
         stage = stageChunks(staged, "rr")
         assertStagedWithin(stage, nChunks)
         val t0 = System.currentTimeMillis()

@@ -20,6 +20,36 @@ class PlanLintSpec extends SparkSpec {
       .mkString("\n  ", "\n  ", ""))
   }
 
+  test("bcast budget bar: decision table pinned (r16 verdict #1)") {
+    // the bar is a pure decision over (key, measured deserialized bytes,
+    // budget) — pin the table so the enforcement semantics can't drift:
+    // under budget → silent; over budget → adjudicated keys record their
+    // reason, everything else flags and fails the lint run
+    val b = PlanLint.BcastBudgetDefault
+    assert(b == 100L * 1024 * 1024)
+    assert(PlanLint.bcastVerdict("join_shuffle_inner", b, b).isEmpty,
+      "exactly at budget is under the bar")
+    assert(PlanLint.bcastVerdict("join_shuffle_inner", b + 1, b) ==
+      Some(Right("bcast_deser_over_budget")),
+      "an unadjudicated exceedance must flag")
+    assert(PlanLint.bcastVerdict("join_broadcast_inner", 192L << 20, b)
+      .exists(_.isLeft), "the standing sf10 instance is adjudicated")
+    assert(PlanLint.bcastVerdict("join_theta_range", 192L << 20, b)
+      .exists(_.isLeft), "the standing sf10 instance is adjudicated")
+    // join_skew_salted is deliberately NOT adjudicated: its r16 1.5 GB
+    // broadcast was a real defect (fixed with a pinned SMJ); if it ever
+    // broadcasts over budget again the bar must fire
+    assert(PlanLint.bcastVerdict("join_skew_salted", 1_510L << 20, b) ==
+      Some(Right("bcast_deser_over_budget")))
+    // adjudications must name real inventory keys, and reasons must be
+    // JSON-safe (they are inlined verbatim into the PLANS artifact)
+    PlanLint.BcastAdjudicated.foreach { case (k, reason) =>
+      assert(SparkEntry.queries.contains(k), s"stale adjudication: $k")
+      assert(!reason.exists(c => c == '"' || c == '\\' || c.isControl),
+        s"reason for $k must be JSON-safe")
+    }
+  }
+
   test("lint allowlists stay tied to real plans: join_cross is cartesian, rollup is Expand") {
     // the allowlist entries must keep EARNING their exemption — if
     // join_cross stops planning a cartesian or agg_rollup stops using

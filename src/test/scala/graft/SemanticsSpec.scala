@@ -387,6 +387,32 @@ class SemanticsSpec extends SparkSpec {
       s"streaming dedup counts $streamed != batch counts $batch")
   }
 
+  test("state-store provider invariance: rocksdb replay equals the hdfs replay") {
+    // r16 verdict #4: the RocksDB+changelog provider is the A/B lever
+    // on the stateful family's commit floor — a provider stores state,
+    // it must not change semantics. Pin that: the same stateful dedup
+    // replay under both providers yields identical rows, so the bench
+    // A/B (GRAFT_STREAM_STATE_PROVIDER=rocksdb) compares walls over a
+    // provably unchanged result surface.
+    def counts(): Map[String, Long] =
+      SparkEntry.queries("stream_dedup_stateful")(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hdfs = counts()
+    System.setProperty("graft.stream.stateProvider", "rocksdb")
+    try {
+      val rocks = counts()
+      assert(rocks == hdfs,
+        s"provider changed the result: rocksdb=$rocks hdfs=$hdfs")
+      // the knob must not leak into the shared session conf (getOption
+      // surfaces the registered HDFS default after unset — assert the
+      // override is gone, not that the conf is absent)
+      assert(!spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+        .exists(_.contains("RocksDB")),
+        "providerClass leaked into the session after the scoped replay")
+    } finally System.clearProperty("graft.stream.stateProvider")
+  }
+
   test("stream_ingest_dedup equals the cross-split minhash pairs; index reuse is warm") {
     // batch equivalence: the streamed ingest screen (candidates from
     // the PERSISTED band index, verified at J>=0.5) must equal the

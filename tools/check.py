@@ -7,8 +7,20 @@ Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB against the
 parquet tables in <sfDir>, and compares to the Spark result parquet at
 <verifyOutDir>/<name>/*.parquet.  Mimics the driver: columns sorted by
 name, values compared row-by-row (after normalizing dtypes).
+
+Options (before positionals): --max-spill-gb=N (or env CHECK_MAX_SPILL_GB)
+caps DuckDB's temp-directory spill; an oracle replay that would exceed it
+raises OutOfMemoryException naming max_temp_directory_size and is recorded
+as `SKIP name: oracle_spill_budget_exceeded(NGB)` — the exclusion becomes
+machine-decided instead of ENOSPC-then-hand-curated (r16 verdict #7).
+
+Exit codes: 0 = comparator ran, all compared keys pass; 3 = comparator ran,
+>=1 key FAILed. Anything else (1 = uncaught exception, OOM-kill codes, ...)
+means the comparator CRASHED and its stdout must not be read as a clean
+column (r16 ADVICE).
 """
 import sys, os, json, glob, math
+import atexit, shutil
 import duckdb
 import pandas as pd
 
@@ -40,8 +52,16 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = sys.argv[1:]
+    max_spill_gb = os.environ.get("CHECK_MAX_SPILL_GB")
+    while argv and argv[0].startswith("--"):
+        opt = argv.pop(0)
+        if opt.startswith("--max-spill-gb="):
+            max_spill_gb = opt.split("=", 1)[1]
+        else:
+            sys.exit(f"check: unknown option {opt}")
+    sfdir, outdir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     # Bounded + spillable: the sweep runs this next to a fat Spark JVM;
     # DuckDB's default limit (80% of RAM) ignores that neighbor, and a
@@ -53,7 +73,13 @@ def main():
     # check.py runs sharing one temp_directory delete each other's
     # files and die with an IOException mid-oracle (r16 incident)
     import tempfile
-    con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duckdb_spill_')}'")
+    spill_dir = tempfile.mkdtemp(prefix="duckdb_spill_")
+    # DuckDB cleans its tmp FILES but not the dir — without this, repeated
+    # runs accumulate duckdb_spill_* dirs in /tmp (r16 ADVICE)
+    atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
+    con.execute(f"SET temp_directory='{spill_dir}'")
+    if max_spill_gb:
+        con.execute(f"SET max_temp_directory_size='{int(max_spill_gb)}GB'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.isdir(p):
@@ -62,7 +88,7 @@ def main():
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     results = sorted(oracle.items())
     for name, sql in results:
         if only and name not in only:
@@ -72,6 +98,14 @@ def main():
             print(f"FAIL {name}: no spark result parquet"); n_fail += 1; continue
         try:
             exp = norm(con.execute(sql).df())
+        except duckdb.OutOfMemoryException as e:
+            # the machine-decided spill exclusion: the replay priced
+            # itself over the declared budget; the dir was NOT filled
+            if max_spill_gb and "max_temp_directory_size" in str(e):
+                print(f"SKIP {name}: oracle_spill_budget_exceeded"
+                      f"({int(max_spill_gb)}GB)")
+                n_skip += 1; continue
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
         act = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
@@ -138,8 +172,10 @@ def main():
             files = glob.glob(f"{d}/*.parquet")
             nr = sum(len(pd.read_parquet(f)) for f in files) if files else 0
             print(f"NOTE {name}: TEST-only, rows={nr}")
-    print(f"== {n_pass} pass, {n_fail} fail ==")
-    sys.exit(1 if n_fail else 0)
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skip ==")
+    # 3 (not 1) on fails: rc 1 is what an uncaught exception exits with,
+    # and a caller must be able to tell "ran, found fails" from "crashed"
+    sys.exit(3 if n_fail else 0)
 
 if __name__ == "__main__":
     main()

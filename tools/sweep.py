@@ -66,6 +66,15 @@ def main():
         proc = subprocess.run(
             ["python3", "tools/check.py", sf_dir[sf], f"{tmp}/{sf}"],
             capture_output=True, text=True)
+        # a crashed comparator (missing fixture, OOM) emits no PASS/FAIL
+        # lines — without this check it would machine-read as a clean
+        # zero-failure column (r16 ADVICE). check.py's contract: 0 = ran
+        # clean, 3 = ran with FAILs (still a valid column); anything else
+        # is a crash.
+        if proc.returncode not in (0, 3):
+            sys.stderr.write(proc.stderr or "")
+            sys.exit(f"sweep: check.py for {sf} exited {proc.returncode} — "
+                     "comparator crash, not a clean pass")
         per = {}
         for line in proc.stdout.splitlines():
             # key name only — check.py's FAIL/NOTE lines carry a trailing
@@ -120,8 +129,14 @@ def main():
         # to check.py too — oracle_sql.json carries ALL keys, and
         # un-subsetted the comparator records every non-dumped key as a
         # missing-dump FAIL
+        # SWEEP_EXTRA_SPILL_GB: oracle-side spill budget for the big SF —
+        # a replay that would ENOSPC the box instead prices itself out and
+        # lands in `excluded` with its measured reason (r16 verdict #7)
+        spill_gb = os.environ.get("SWEEP_EXTRA_SPILL_GB")
+        spill_opt = [f"--max-spill-gb={spill_gb}"] if spill_gb else []
         proc = subprocess.run(
-            ["python3", "tools/check.py", extra_dir, etmp] + extra_keys,
+            ["python3", "tools/check.py"] + spill_opt +
+            [extra_dir, etmp] + extra_keys,
             capture_output=True, text=True)
         per = {}
         for line in proc.stdout.splitlines():
@@ -129,10 +144,20 @@ def main():
             if m:
                 per[m.group(2)] = {"PASS": "pass", "FAIL": "fail",
                                    "NOTE": "test_only"}[m.group(1)]
+            # machine-decided spill exclusions from check.py's
+            # --max-spill-gb guard land in `excluded` with their measured
+            # reason, same slot as the hand-curated env pairs
+            ms = re.match(r"SKIP ([^\s:]+): (.*)", line)
+            if ms:
+                excluded[ms.group(1)] = ms.group(2)
         result["extra"] = {
             "sf": extra_sf, "dir": extra_dir,
             "keys": per,
             "excluded": excluded,
+            # rc + stderr tail recorded in-artifact so a crashed extra-SF
+            # comparator is distinguishable from a clean zero-fail column
+            # (r16 ADVICE — the exact evidence row r15 verdict #2 demanded)
+            "comparator_rc": proc.returncode,
             "totals": {
                 "pass": sum(1 for v in per.values() if v == "pass"),
                 "fail": sum(1 for v in per.values() if v == "fail"),
@@ -142,6 +167,13 @@ def main():
         totals[extra_sf] = result["extra"]["totals"]
         result["fails"][extra_sf] = sorted(
             k for k, v in per.items() if v == "fail")
+        if proc.returncode not in (0, 3):
+            result["extra"]["stderr_tail"] = (proc.stderr or "")[-2000:]
+            # count the crash as a failure so the exit gate and any
+            # machine reader of totals/fails both see it
+            result["fails"][extra_sf].append(
+                f"_comparator_crash_rc{proc.returncode}")
+            totals[extra_sf]["fail"] += 1
     with open(out_json, "w") as f:
         json.dump(result, f, indent=1, sort_keys=False)
     print(json.dumps({"totals": totals, "fails": result["fails"]}))

@@ -259,9 +259,89 @@ object MetricBlocking {
       s"$op: projected candidate volume $dots ordered dots exceeds the " +
       s"dot budget $budget. This operator guarantees recall 1.0, so on a " +
       "loose-geometry corpus the volume is the task's real price " +
-      "(~n^2/2); either raise GRAFT_DOT_BUDGET to buy it explicitly, or " +
+      "(~n^2/2); either raise GRAFT_DOT_BUDGET to buy it explicitly, set " +
+      "GRAFT_DOT_BUDGET_MODE=degrade to accept banded-LSH candidates " +
+      "(recall < 1.0, priced and bounded), or " +
       "use a bounded candidate generator (dedup_minhash_lsh for text " +
       "near-dups, sim_ann_lsh/sim_ann_ivf for embedding neighbors).")
+
+  // ---- over-budget degrade mode (r16 verdict #5) ----------------------
+  // Default stays REFUSE: silent output degradation is worse than a
+  // priced refusal. GRAFT_DOT_BUDGET_MODE=degrade opts the caller into
+  // a banded hyperplane-LSH candidate generator with exact cosine
+  // re-rank: precision stays 1.0 (every emitted pair is re-checked at
+  // 4 dp against the threshold — the output is a SUBSET of the exact
+  // pair set), recall drops to the banding curve
+  // 1 − (1 − (1 − θ/π)^bits)^bands, which OpsSpec pins on the fixture
+  // and BASELINE.md documents. The degrade path prices ITS candidate
+  // volume too (Σ m² over band×bucket groups) and still refuses above
+  // budget — "degrade" buys a cheaper candidate generator, never
+  // unbounded work. Knobs: GRAFT_DEGRADE_BANDS (default 16) ×
+  // GRAFT_DEGRADE_BITS (default 8) — at the repo's declared
+  // cosine ≥ 0.35 near-dup threshold the per-plane collision is ~0.61,
+  // so 8-bit bands keep ~0.61^8 ≈ 2% of pairs per band; recall at the
+  // threshold boundary is the curve's price, rising steeply toward
+  // sim 1.0 (true near-dups collide almost surely).
+
+  private[graft] def dotBudgetMode: String =
+    sys.props.get("graft.dotBudgetMode")
+      .orElse(sys.env.get("GRAFT_DOT_BUDGET_MODE"))
+      .map(_.trim).filter(_.nonEmpty).getOrElse("refuse")
+
+  val DegradeBands: Int = sys.env.get("GRAFT_DEGRADE_BANDS").flatMap(v =>
+    scala.util.Try(v.toInt).toOption).getOrElse(16)
+  val DegradeBits: Int = sys.env.get("GRAFT_DEGRADE_BITS").flatMap(v =>
+    scala.util.Try(v.toInt).toOption).getOrElse(8)
+
+  /** banded-LSH near-dup pairs (a < b, 4-dp cosine ≥ threshold, subset
+    * of the exact result): band j uses planes j·bits..j·bits+bits−1 of
+    * the deterministic [[VectorOps.lshCoefs]] family (mod-17 period —
+    * bands × bits must stay < 17 per band offset, so plane ids recycle
+    * the family by (band·bits + bit) directly; distinctness within one
+    * band's bits is what matters for the bucket split). Candidates =
+    * pairs sharing any (band, bucket); distinct before the dot so a
+    * pair colliding in several bands is priced once.
+    */
+  private[graft] def bandedNearDupPairs(s: SparkSession, p: DataFrame,
+      threshold: Double, budget: Long,
+      bands: Int = DegradeBands, bits: Int = DegradeBits): DataFrame = {
+    val dim = p.select(size(col("v"))).head.getInt(0)
+    val u = p.select(col("vec_id"), VectorOps.unit(col("v")).as("u"))
+      .localCheckpoint(true)
+    // one pass: every vector emits its (band, bucket) memberships
+    val bandCols = (0 until bands).map { j =>
+      val bucket = (0 until bits).map { b =>
+        when(VectorOps.dotConst(col("u"),
+          VectorOps.lshCoefs(j * bits + b, dim)) > 0, 1 << b).otherwise(0)
+      }.reduce(_ + _)
+      struct(lit(j).as("band"), bucket.as("bucket"))
+    }
+    val member = u.select(col("vec_id"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .localCheckpoint(true)
+    // price the banded volume BEFORE the pair join — degrade is a
+    // cheaper candidate generator, not an unbounded one
+    val bandedDots = member.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(col("m") * col("m")), lit(0L))).head.getLong(0)
+    if (bandedDots > budget) throw new IllegalStateException(
+      s"nearDupPairs(degrade): even the banded candidate volume " +
+      s"$bandedDots ordered dots exceeds the dot budget $budget — " +
+      s"raise GRAFT_DOT_BUDGET, or raise GRAFT_DEGRADE_BITS (now $bits) " +
+      "to cut per-band bucket occupancy.")
+    val l = member.select(col("band"), col("bucket"), col("vec_id").as("a"))
+    val r = member.select(col("band"), col("bucket"), col("vec_id").as("b"))
+    val cand = l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(u.select(col("vec_id").as("a"), col("u").as("ua")), "a")
+      .join(u.select(col("vec_id").as("b"), col("u").as("ub")), "b")
+      .select(col("a"), col("b"),
+        round(graft.GraftFunctions.dotCol(s, col("ua"), col("ub")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 
   /** stride for sub-cell keys: (parentCell + 1) × stride + bucket.
     * The +1 keeps parent-0 splits out of the unsplit key range, and
@@ -322,13 +402,24 @@ object MetricBlocking {
     */
   def nearDupPairs(s: SparkSession, emb: DataFrame, threshold: Double,
       targetCellSize: Long = TargetCellSize, fanBudget: Long = FanBudget,
-      dotBudget: Long = DotBudget): DataFrame = {
+      dotBudget: Long = DotBudget, mode: String = null): DataFrame = {
     val p = prep(emb)
     val (a0, c0) = assignAndStats(s, subCells(p, p.count(), targetCellSize))
     val (assigned, cells) = fanSplit(s, a0, c0, tmax(threshold), fanBudget)
-    requireDotBudget(priceDots(s, assigned, cells, assigned, cells, tmax(threshold)),
-      dotBudget, "nearDupPairs")
-    blockedPairs(s, assigned, cells, assigned, cells, threshold, col("a") < col("b"))
+    val dots = priceDots(s, assigned, cells, assigned, cells, tmax(threshold))
+    if (dots > dotBudget &&
+        Option(mode).getOrElse(dotBudgetMode) == "degrade") {
+      // opt-in degrade (r16 verdict #5): priced exact volume refused,
+      // banded candidates bought instead — announced, never silent
+      System.err.println(s"[metricblocking] nearDupPairs: exact volume " +
+        s"$dots dots > budget $dotBudget — degrading to banded-LSH " +
+        s"candidates ($DegradeBands bands x $DegradeBits bits, " +
+        "recall < 1.0, precision 1.0)")
+      bandedNearDupPairs(s, p, threshold, dotBudget)
+    } else {
+      requireDotBudget(dots, dotBudget, "nearDupPairs")
+      blockedPairs(s, assigned, cells, assigned, cells, threshold, col("a") < col("b"))
+    }
   }
 
   /** Two-table similarity join — the contamination-check shape of a

@@ -225,6 +225,55 @@ class OpsSpec extends SparkSpec {
     assert(ex2.getMessage.contains("similarityJoin"), ex2.getMessage)
   }
 
+  test("MetricBlocking degrade mode: priced banded subset, refuse stays default (r16 verdict #5)") {
+    val emb = Tables.embeddings(spark, sf)
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = collectPairs(
+      graft.ops.MetricBlocking.nearDupPairs(spark, emb, 0.35))
+    // the fixture's exact priced volume, read from the refusal itself
+    val ex = intercept[IllegalStateException] {
+      collectPairs(graft.ops.MetricBlocking.nearDupPairs(spark, emb, 0.35,
+        dotBudget = 10L))
+    }
+    val price = "volume (\\d+) ordered".r.findFirstMatchIn(ex.getMessage)
+      .map(_.group(1).toLong).getOrElse(fail(s"no price in: ${ex.getMessage}"))
+    assert(price > 10L)
+    // refuse stays the DEFAULT over-budget behavior (mode unset)
+    assert(ex.getMessage.contains("GRAFT_DOT_BUDGET_MODE=degrade"))
+    // degrade just under the exact price: banded candidates run (their
+    // own volume is ~bands/2^bits of exact — far under), output is a
+    // SUBSET of the exact pair set (precision 1.0 via the 4-dp re-rank)
+    val degraded = collectPairs(graft.ops.MetricBlocking.nearDupPairs(
+      spark, emb, 0.35, dotBudget = price - 1, mode = "degrade"))
+    assert(degraded.subsetOf(exact),
+      s"degrade emitted non-pairs: ${degraded -- exact}")
+    // recall CURVE pinned on the fixture (16 bands × 8 bits): banding
+    // retention rises steeply with similarity — at the loose 0.35
+    // boundary (per-plane collision ~0.61) most near-threshold pairs
+    // are lost (that IS the trade degrade mode sells; the module doc
+    // predicted it), while genuinely-near pairs collide almost surely.
+    def recallAt(lo: Double): Double = {
+      val e = exact.filter(_._3 >= lo)
+      if (e.isEmpty) 1.0 else degraded.count(p => p._3 >= lo).toDouble / e.size
+    }
+    val rAll = degraded.size.toDouble / exact.size
+    info(f"degrade recall: all=$rAll%.3f sim>=0.5=${recallAt(0.5)}%.3f " +
+      f"sim>=0.6=${recallAt(0.6)}%.3f sim>=0.7=${recallAt(0.7)}%.3f " +
+      f"(n exact=${exact.size})")
+    assert(rAll > 0.05 && rAll < 1.0,
+      s"boundary recall $rAll (${degraded.size}/${exact.size}) out of the pinned band")
+    assert(recallAt(0.6) >= 0.75,
+      s"high-sim recall ${recallAt(0.6)} below the pinned curve at sim>=0.6")
+    // degrade is priced too: a budget under even the banded volume
+    // still refuses, naming the banded price
+    val ex2 = intercept[IllegalStateException] {
+      collectPairs(graft.ops.MetricBlocking.nearDupPairs(spark, emb, 0.35,
+        dotBudget = 10L, mode = "degrade"))
+    }
+    assert(ex2.getMessage.contains("banded candidate volume"), ex2.getMessage)
+  }
+
   test("MetricBlocking prunes on a clustered corpus (and still finds every pair)") {
     import spark.implicits._
     // 4 tight clusters around orthogonal axes: radii ~11°, inter-cell

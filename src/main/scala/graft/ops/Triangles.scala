@@ -37,8 +37,8 @@ object Triangles {
     *        both paths run against the same brute-force reference in
     *        OpsSpec. */
   def perNode(edges: DataFrame, bloomPrune: Boolean = false): DataFrame = {
-    val (und, _, wedges) = stages(edges)
-    close(und, wedges, bloomPrune)
+    val st = build(edges)
+    close(st, bloomPrune)
   }
 
   /** Wedge volume above which [[perNodeAuto]] flips the Bloom prune ON
@@ -66,18 +66,39 @@ object Triangles {
     * broadcast. Result-identical either way (OpsSpec pins both paths
     * against brute force). */
   def perNodeAuto(edges: DataFrame, budget: Long = WedgeBudget): DataFrame = {
-    val (und, dag, wedges) = stages(edges)
-    val w = dag.groupBy("x").agg(count(lit(1)).as("d"))
+    val st = build(edges)
+    val w = st.dag.groupBy("x").agg(count(lit(1)).as("d"))
       .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0.0)))
       .head.getDouble(0)
-    close(und, wedges, bloomPrune = w > budget)
+    close(st, bloomPrune = w > budget)
   }
 
-  private def close(und: DataFrame, wedges: DataFrame,
-      bloomPrune: Boolean): DataFrame = {
-    val probe = if (bloomPrune) prune(und, wedges) else wedges
+  /** The algorithm's intermediates plus the one measured regime bit both
+    * join strategies key off: `small` = the canonical edge set fits the
+    * session broadcast threshold (counted on the materialized
+    * checkpoint, ≈24 B/row UnsafeRow — never an optimizer estimate,
+    * which is exactly what the r16 salted-join incident showed lying). */
+  private final case class Built(und: DataFrame, dag: DataFrame,
+      wedges: DataFrame, small: Boolean)
+
+  private def close(st: Built, bloomPrune: Boolean): DataFrame = {
+    val probe = if (bloomPrune) prune(st.und, st.wedges) else st.wedges
+    // r17 (guide §3.1): the closing probe carries the FULL wedge volume
+    // (Σ C(outdeg,2) ≥ |E|), so when the edge set outgrows the broadcast
+    // threshold the planner's default SMJ SORTS the wedge stream — at
+    // sf0.1 raw co-purchase that sort+merge stage burned 382 s of CPU
+    // (uniform across tasks, med≈max ≈ 12.7 s). Hash-build the EDGE set
+    // instead (SHUFFLE_HASH): wedges stream unsorted past a per-partition
+    // hash of und. Scale-safe because AQE sizes the coalesced partitions
+    // on the UNION of both sides, which the wedge side dominates, so the
+    // und build per partition stays a small fraction of the advisory
+    // size at any graph scale. Below the threshold the edge set
+    // broadcasts (explicitly — a hint overrides size estimates, so the
+    // small path must say broadcast, not stay silent) and the wedge
+    // stream never exchanges at all.
     val tris = probe
-      .join(und, col("y") === col("a") && col("z") === col("b"))
+      .join(if (st.small) broadcast(st.und) else st.und.hint("SHUFFLE_HASH"),
+        col("y") === col("a") && col("z") === col("b"))
     tris
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
@@ -161,6 +182,11 @@ object Triangles {
     * and PlanSpec/bench tooling can inspect stages without duplicating
     * the construction. */
   private[graft] def stages(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val st = build(edges)
+    (st.und, st.dag, st.wedges)
+  }
+
+  private def build(edges: DataFrame): Built = {
     // simple undirected edge set, canonical a < b; read three times
     // below (degrees, orientation, closing probe) — pin it
     val und = edges.filter(col("src") =!= col("dst"))
@@ -168,6 +194,12 @@ object Triangles {
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .localCheckpoint(true)
+    // one cheap count over the materialized checkpoint decides BOTH join
+    // strategies below; ≤0 threshold (auto-broadcast disabled) means
+    // never-small, matching the planner's own contract
+    val bcastThreshold =
+      und.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val small = bcastThreshold > 0 && und.count() * 24 <= bcastThreshold
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -184,10 +216,39 @@ object Triangles {
       .localCheckpoint(true) // the wedge self-join reads it twice
     // wedges from each apex's out-neighborhood, emitted in canonical
     // id order (y < z) so the closing probe is an equi-join against
-    // the canonical edge set itself
-    val wedges = dag
-      .join(dag.select(col("x"), col("y").as("z")), Seq("x"))
-      .filter(col("y") < col("z"))
-    (und, dag, wedges)
+    // the canonical edge set itself.
+    // r17 (guide §2.5 explode-after-coalesce + §3.1): the wedge join
+    // MULTIPLIES each probe row by outdeg(x), but the probe's own size
+    // is all AQE and the planner can see. Two regimes, decided by the
+    // measured edge count above:
+    //  - small (edge set under the broadcast threshold, the 1000-node
+    //    quotient graphs): broadcast the neighbor side and spread the
+    //    probe ROUND-ROBIN to defaultParallelism when its checkpoint
+    //    materialized narrower — AQE had coalesced the tiny distinct
+    //    to ONE partition and the whole Σ C(outdeg,2) fan + closing
+    //    probe + partial aggregate ran single-threaded (measured:
+    //    a 14.6 s 1-task job that was graph_triangles' entire cost).
+    //    Round-robin, not hash-by-x, so a hub apex's fan splits across
+    //    tasks. Explicit broadcast: a bare join would re-derive the
+    //    same answer from stats today, but the strategy is now a
+    //    measured decision, so say it.
+    //  - large (raw graphs): hash-build the neighbor side
+    //    (SHUFFLE_HASH). The default SMJ sorted BOTH copies of the DAG
+    //    before fanning wedges; the hash build streams the fan with no
+    //    sort. The build side is the DAG itself, whose per-partition
+    //    slice AQE keeps near advisory size at any scale.
+    // Reading getNumPartitions off the checkpointed RDD is metadata,
+    // not a job; nothing here is pinned to the local core count.
+    val p = edges.sparkSession.sparkContext.defaultParallelism
+    val zSide = dag.select(col("x"), col("y").as("z"))
+    val wedges =
+      if (small) {
+        val probe =
+          if (dag.rdd.getNumPartitions < p) dag.repartition(p) else dag
+        probe.join(broadcast(zSide), Seq("x")).filter(col("y") < col("z"))
+      } else
+        dag.join(zSide.hint("SHUFFLE_HASH"), Seq("x"))
+          .filter(col("y") < col("z"))
+    Built(und, dag, wedges, small)
   }
 }

@@ -54,16 +54,12 @@ object StreamingJobs {
   private def replayFileSource(spark: SparkSession, tag: String,
       rowsWithChunk: DataFrame, maxChunk: Long,
       start: (DataFrame, String) => StreamingQuery,
-      interBatchSleepMs: Long = 0L): Unit = {
+      interBatchSleepMs: Long = 0L,
+      keepNoDataBatches: Boolean = false): Unit = {
     val watch = Tmp.dir(s"${tag}_watch")
     val ckpt = Tmp.dir(s"${tag}_ckpt").toString
-    // modest state-partition count for the local replay (the stream pins
-    // it from the session conf at first batch; state-store commit cost
-    // scales with partitions × batches). Restored after the run.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     var stage: String = null
-    try withEnvStateProvider(spark) {
+    try withReplayConfs(spark, keepNoDataBatches) { withEnvStateProvider(spark) {
       stage = stageChunks(rowsWithChunk, tag)
       assertStagedWithin(stage, maxChunk)
       val schema = org.apache.spark.sql.types.StructType(
@@ -74,10 +70,67 @@ object StreamingJobs {
           Option(q.lastProgress).map(_.sink.description).getOrElse(""))
         q.stop()
       }
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } } finally {
       Seq(Option(stage).map(java.nio.file.Paths.get(_).getParent).orNull,
         watch, java.nio.file.Paths.get(ckpt)).foreach(quietDelete)
+    }
+  }
+
+  /** Session confs scoped to one replay, restored after (the stream pins
+    * each at its first batch, so set-before-start is the contract):
+    *
+    *  - shuffle.partitions = 8: modest state-partition count for the
+    *    local replay; state-store commit cost scales with
+    *    partitions × batches.
+    *  - checkpoint.fileChecksum (Spark 4.1, default on) OFF: every
+    *    checkpoint file — offsets, commit log, each state partition's
+    *    delta/snapshot, per batch — otherwise gets a sibling checksum
+    *    file written and verified. These checkpoints are ephemeral
+    *    scratch on tmpfs, deleted seconds after the query stops;
+    *    corruption detection buys nothing while costing ~3 file ops ×
+    *    ~30 checkpoint files per key. GRAFT_STREAM_CHECKPOINT_CHECKSUM
+    *    re-enables it for deployments whose checkpoints live on storage
+    *    that can actually corrupt. Integrity check, never semantics.
+    *  - noDataMicroBatches (r17, measured) OFF: with watermarks on, the
+    *    engine interleaves a no-data batch after nearly every data
+    *    batch (watermark advanced → shouldRunAnotherBatch) — profiled
+    *    replays ran 11 batches for 6 chunks at ~450 ms of driver-side
+    *    floor per batch. Every replay's emission is complete without
+    *    them: the terminal flush chunks are DATA batches (two where
+    *    watermark-gated emission or timers need the flush-advanced
+    *    watermark), and watermark VALUES at data batches are a pure
+    *    function of the data seen, not of interleaved no-data batches —
+    *    so the union-of-batches output is unchanged (the DuckDB oracle
+    *    re-proves it per key at every SF). Update/Complete-mode keys
+    *    never emitted from no-data batches at all.
+    *    GRAFT_STREAM_NODATA_BATCHES=true restores the engine default
+    *    (an always-on deployment wants eager state cleanup and timely
+    *    timers between arrivals — a replay draining a staged backlog
+    *    does not).
+    *    ONE key keeps them (`keepNoDataBatches`): stream_watermark_late.
+    *    Spark filters LATE records with the PREVIOUS batch's watermark
+    *    while evicting state with the current one (SPARK-24634), and the
+    *    no-data batches are what advance that previous-batch value
+    *    between data batches — for the key whose declared semantics ARE
+    *    the late-drop schedule, they are load-bearing (measured: without
+    *    them the moved slice lands one watermark behind and 60 extra
+    *    rows survive). Every other replay's output is emission-complete
+    *    and late-schedule-free, re-proven per key per SF by the oracle.
+    */
+  private def withReplayConfs[A](spark: SparkSession,
+      keepNoDataBatches: Boolean = false)(body: => A): A = {
+    val scoped = Seq(
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" ->
+        sys.env.getOrElse("GRAFT_STREAM_CHECKPOINT_CHECKSUM", "false"),
+      "spark.sql.streaming.noDataMicroBatches.enabled" ->
+        (if (keepNoDataBatches) "true"
+         else sys.env.getOrElse("GRAFT_STREAM_NODATA_BATCHES", "false")))
+    val prev = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 
@@ -273,7 +326,12 @@ object StreamingJobs {
         .writeStream.format("memory").queryName("wm_late")
         .outputMode(OutputMode.Append())
         .option("checkpointLocation", ckpt)
-        .start())
+        .start(),
+      // the late-drop SCHEDULE is this key's declared semantics, and
+      // Spark filters late records with the PREVIOUS batch's watermark —
+      // the no-data batches between chunks are what advance it, so this
+      // one replay keeps them (see withReplayConfs)
+      keepNoDataBatches = true)
     drain(spark, "wm_late")
       .select(col("w.start").as("ws"), col("event_type"), col("n"))
       .filter(col("event_type") =!= "___flush")
@@ -805,10 +863,17 @@ object StreamingJobs {
       val ev = events(spark, sfDir)
       val (n, maxTs) = bounds(ev)
       val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
+      // TWO flush chunks (r17, no-data batches disabled in the replay):
+      // the first advances the watermark past every real session's gap
+      // end, the second is the DATA batch in which the engine evaluates
+      // timers against that advanced watermark — the emission the
+      // trailing no-data batch used to perform. Same sessions, same
+      // rows (the oracle re-proves it); the flush user's own session
+      // still never closes and is filtered below.
       val staged = ev.withColumn("chunk",
           floor(col("event_id") / lit(per.toDouble)).cast("long"))
-        .unionByName(flushRows(spark, maxTs, nChunks, 1))
-      replayFileSource(spark, "tws_sess", staged, nChunks,
+        .unionByName(flushRows(spark, maxTs, nChunks, 2))
+      replayFileSource(spark, "tws_sess", staged, nChunks + 1,
         (stream, ckpt) => stream
           .withWatermark("ts", "10 minutes")
           .as[Event]
@@ -849,16 +914,19 @@ object StreamingJobs {
   def foreachBatchSink(spark: SparkSession, sfDir: String): DataFrame = {
     val outDir = Tmp.dir("fb_sink").toString
     try {
-      // in-order replay (no lateness here): id-range chunks, one
-      // terminal flush chunk so Append emits every window
+      // in-order replay (no lateness here): id-range chunks, then TWO
+      // terminal flush chunks (r17, no-data batches disabled in the
+      // replay): the first advances the watermark past every real
+      // window, the second is the data batch that emits the windows the
+      // trailing no-data batch used to — union-of-batches unchanged.
       val nChunks = 2L
       val ev = events(spark, sfDir)
       val (n, maxTs) = bounds(ev)
       val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
       val staged = ev.withColumn("chunk",
           floor(col("event_id") / lit(per.toDouble)).cast("long"))
-        .unionByName(flushRows(spark, maxTs, nChunks, 1))
-      replayFileSource(spark, "fb", staged, nChunks,
+        .unionByName(flushRows(spark, maxTs, nChunks, 2))
+      replayFileSource(spark, "fb", staged, nChunks + 1,
         (stream, ckpt) => stream
           .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -903,20 +971,22 @@ object StreamingJobs {
       val ev = events(spark, sfDir)
       val (n, maxTs) = bounds(ev)
       val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
+      // two flush chunks (r17): see [[withReplayConfs]] — the second is
+      // the data batch that emits the last real window once no-data
+      // batches are off
       val staged = ev.withColumn("chunk",
           floor(col("event_id") / lit(per.toDouble)).cast("long"))
-        .unionByName(flushRows(spark, maxTs, nChunks, 1))
+        .unionByName(flushRows(spark, maxTs, nChunks, 2))
+      val maxChunk = nChunks + 1
       val watch = Tmp.dir("an_watch")
       val ckpt = Tmp.dir("an_ckpt").toString
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
       var stage: String = null
-      try withEnvStateProvider(spark) {
+      try withReplayConfs(spark) { withEnvStateProvider(spark) {
         stage = stageChunks(staged, "an")
-        assertStagedWithin(stage, nChunks)
+        assertStagedWithin(stage, maxChunk)
         // pre-load the full backlog, discovery-ordered by chunk
         val t0 = System.currentTimeMillis()
-        for (c <- 0L to nChunks) {
+        for (c <- 0L to maxChunk) {
           val dir = java.nio.file.Paths.get(stage, s"chunk=$c")
           if (Files.exists(dir)) {
             val listing = Files.list(dir)
@@ -954,8 +1024,7 @@ object StreamingJobs {
           }
           .start()
         q.awaitTermination() // AvailableNow self-terminates when drained
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } } finally {
         Seq(Option(stage).map(java.nio.file.Paths.get(_).getParent).orNull,
           watch, java.nio.file.Paths.get(ckpt)).foreach(quietDelete)
       }
@@ -1177,17 +1246,19 @@ object StreamingJobs {
   def restartRecovery(spark: SparkSession, sfDir: String): DataFrame = {
     val outDir = Tmp.dir("rr_sink").toString
     try {
-      val nChunks = 4L // real chunks 0..3; flush sentinel = chunk 4
+      val nChunks = 4L // real chunks 0..3; flush sentinels = chunks 4,5
       val ev = events(spark, sfDir)
       val (n, maxTs) = bounds(ev)
       val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
+      // two flush chunks (r17): see [[withReplayConfs]] — the second is
+      // the data batch that emits the last real window once no-data
+      // batches are off
       val staged = ev.withColumn("chunk",
           floor(col("event_id") / lit(per.toDouble)).cast("long"))
-        .unionByName(flushRows(spark, maxTs, nChunks, 1))
+        .unionByName(flushRows(spark, maxTs, nChunks, 2))
+      val maxChunk = nChunks + 1
       val watch = Tmp.dir("rr_watch")
       val ckpt = Tmp.dir("rr_ckpt").toString
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
       var stage: String = null
       // move the staged chunk files into the watched dir with
       // chunk-ordered names AND strictly increasing mtimes so the file
@@ -1239,16 +1310,15 @@ object StreamingJobs {
           .start()
         q.awaitTermination() // AvailableNow self-terminates when drained
       }
-      try withEnvStateProvider(spark) {
+      try withReplayConfs(spark) { withEnvStateProvider(spark) {
         stage = stageChunks(staged, "rr")
-        assertStagedWithin(stage, nChunks)
+        assertStagedWithin(stage, maxChunk)
         val t0 = System.currentTimeMillis()
         moveIn(0L to 1L, t0)
         drainOnce() // "crash": terminates with half the backlog unseen
-        moveIn(2L to nChunks, t0)
+        moveIn(2L to maxChunk, t0)
         drainOnce() // recovery from the same checkpoint
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } } finally {
         Seq(Option(stage).map(java.nio.file.Paths.get(_).getParent).orNull,
           watch, java.nio.file.Paths.get(ckpt)).foreach(quietDelete)
       }

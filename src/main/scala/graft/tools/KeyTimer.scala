@@ -27,6 +27,7 @@ object KeyTimer {
       .config("spark.local.dir", graft.Tmp.dir("local").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.GraftFunctions.register(spark) // keys using native exprs (Bench parity)
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warm-up
     spark.read.parquet(s"$d/lineitem.parquet").count()
     for (k <- keys) {

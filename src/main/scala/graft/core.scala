@@ -326,6 +326,43 @@ object SessionMemo {
 
 /** Table loaders for the driver-generated parquet testdata. */
 object Tables {
+  /** Round-robin-spread a scanned table that physically CANNOT fill the
+    * cluster: the fixtures are single-row-group parquet files, and a
+    * parquet row group belongs to exactly one scan split, so every scan
+    * here is ONE effective task no matter how many (empty) splits the
+    * planner cuts — and any CPU-heavy per-row pipeline before the first
+    * exchange (tokenize → shingle → md5/sha, probe expressions) runs
+    * single-threaded (r17 profiling: 1-task jobs of 2–3.7 s inside the
+    * span/mining keys at sf0.1). Guide §2.5 input-skew class.
+    *
+    * The decision is scale-adaptive and metadata-only (no Spark job):
+    * spread only when the scan's total file bytes are under
+    * defaultParallelism × openCostInBytes — a table that small cannot
+    * produce a parallel scan no matter the layout, and the added
+    * exchange moves at most that many bytes. At any real deployment
+    * size the branch never fires. Row-count and result order are
+    * untouched (every consumer below re-shuffles or re-sorts).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    val sc = sess.sparkContext
+    val p = sc.defaultParallelism
+    // conf may carry units ("4MB") — fall back to the 4 MiB default
+    // rather than mis-parse (the threshold only needs the right order
+    // of magnitude)
+    val openCost = scala.util.Try(
+      sess.conf.get("spark.sql.files.openCostInBytes").toLong)
+      .getOrElse(4194304L)
+    val bytes =
+      try {
+        val hconf = sc.hadoopConfiguration
+        df.inputFiles.map { f =>
+          val path = new org.apache.hadoop.fs.Path(f)
+          path.getFileSystem(hconf).getFileStatus(path).getLen
+        }.sum
+      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    if (bytes < p.toLong * openCost) df.repartition(p) else df
+  }
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // The round-12 regenerated testdata writes timestamp[us] WITHOUT
     // timezone metadata; Spark 4 would infer TIMESTAMP_NTZ for those

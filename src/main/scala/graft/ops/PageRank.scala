@@ -39,14 +39,28 @@ object PageRank {
       .join(edges.groupBy("src").agg(sum("w").as("outw")), "src")
       .select(col("src"), col("dst"), (col("w") / col("outw")).as("wn"))
       .localCheckpoint(true)
+    // pr₀ is a cheap projection over the checkpointed node set — no
+    // checkpoint of its own (r17: each eager localCheckpoint is a full
+    // Spark job; at PrIters=3 the per-round pins made the key ~33 jobs
+    // of mostly scheduling floor). Rounds checkpoint every CkptEvery
+    // iterations instead of every one: within a window the recurrence
+    // is ONE linear plan executed once (each round's pr feeds exactly
+    // one consumer — no recompute; `nodes`/`norm` stay pinned scans),
+    // while the periodic pin still bounds lineage depth for large
+    // iteration counts. Every declared key runs 3 rounds = one window.
     var pr = nodes.crossJoin(broadcast(n1))
       .select(col("node"), (lit(1.0) / col("nn")).as("pr"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      pr = rankRound(norm, pr, nodes, n1, damping).localCheckpoint(true)
+    for (i <- 1 to iters) {
+      pr = rankRound(norm, pr, nodes, n1, damping)
+      if (i % CkptEvery == 0 && i < iters) pr = pr.localCheckpoint(true)
     }
     pr
   }
+
+  /** lineage window for the iteration loop in [[run]] — small enough
+    * that a window plans/AQE-executes comfortably, large enough that a
+    * 3-round key is a single un-pinned plan. */
+  private val CkptEvery = 4
 
   /** one un-materialized rank round — exposed so PlanSpec can pin the
     * per-round shape (one equi-join + one partial-aggregated sum + the

@@ -52,7 +52,9 @@ object DedupQueries extends QueryPack {
     * (dedup_containment) are both one map-side expression over this
     * table, so the inverted-index pipeline exists once. */
   private[graft] def minePairBase(s: org.apache.spark.sql.SparkSession, d: String) =
-    minePairBaseOn(T.documents(s, d))
+    // Tables.spread: the shingle explode + md5 otherwise run on the
+    // single-row-group scan's one task (r17); no-op at real scale
+    minePairBaseOn(T.spread(T.documents(s, d)))
 
   /** same mining over an arbitrary (doc_id, text) corpus —
     * dedup_containment feeds it the excerpt-seeded corpus. */
@@ -101,7 +103,9 @@ object DedupQueries extends QueryPack {
       // MIN(doc_id) is the surviving representative.
       val canon = array_join(array_sort(array_distinct(
         TextOps.tokens(lower(trim(col("text")))))), " ")
-      T.documents(s, d)
+      // Tables.spread: tokenize+sort+sha256 per doc otherwise runs on
+      // the single-row-group scan's one task (r17); no-op at real scale
+      T.spread(T.documents(s, d))
         .withColumn("h", sha2(canon, 256))
         .groupBy("h")
         .agg(count(lit(1)).as("n"), min("doc_id").as("rep_doc"))
@@ -148,7 +152,10 @@ object DedupQueries extends QueryPack {
       // every posting-list bucket), then the coefficient is one
       // map-side expression over (inter, sza, szb). Decision on the
       // 4-dp ROUNDED value, so both engines keep identical pair sets.
-      val docs = T.documents(s, d)
+      // Tables.spread: the excerpt-seeded corpus feeds the same shingle
+      // mining as minePairBase — spread once here so both union branches
+      // tokenize in parallel (r17); no-op at real scale
+      val docs = T.spread(T.documents(s, d))
       val base = docs.agg(max("doc_id")).head.getLong(0) + 1L
       val toks = TextOps.tokens(col("text"))
       val excerpts = docs.filter(col("doc_id") % 29 === 0)

@@ -43,9 +43,9 @@ object GraphMmQueries extends QueryPack {
       // buckets via an integer CASE chain (log2 would be a libm call at
       // an exact-power boundary — the CASE is branch-exact in both
       // engines). Output rows are ≤ ~11 buckets at any scale.
-      val edges = T.orders(s, d).select(
+      val edges = T.spread(T.orders(s, d).select(
         pmod(col("o_custkey"), lit(1000L)).as("src"),
-        pmod(col("o_orderkey"), lit(1000L)).as("dst"))
+        pmod(col("o_orderkey"), lit(1000L)).as("dst")))
       val und = edges.filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
@@ -72,9 +72,9 @@ object GraphMmQueries extends QueryPack {
       // the partial-aggregated degree table. All-integer until the one
       // final division: W = Σ C(deg,2) and 3T = Σ per-node
       // participation are exact BIGINTs.
-      val edges = T.orders(s, d).select(
+      val edges = T.spread(T.orders(s, d).select(
         pmod(col("o_custkey"), lit(1000L)).as("src"),
-        pmod(col("o_orderkey"), lit(1000L)).as("dst"))
+        pmod(col("o_orderkey"), lit(1000L)).as("dst")))
       val und = edges.filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
@@ -103,7 +103,8 @@ object GraphMmQueries extends QueryPack {
       // the oracle unrolls the identical recurrence as a CTE chain from
       // the same (damping, iters) constants. Only the final pr is
       // rounded (8 dp — double noise across engines is ~1e-15).
-      val edges = T.orders(s, d)
+      val edges = T.spread(T.orders(s, d)
+          .select("o_custkey", "o_orderkey"))
         .groupBy(pmod(col("o_custkey"), lit(1000L)).as("src"),
           pmod(col("o_orderkey"), lit(1000L)).as("dst"))
         .agg(count(lit(1)).cast("double").as("w"))
@@ -121,10 +122,7 @@ object GraphMmQueries extends QueryPack {
       // from their in-edges, so the wedge shuffle survives power-law
       // skew). Top-20 nodes by triangle participation; integer counts,
       // so parity is exact.
-      val edges = T.orders(s, d).select(
-        pmod(col("o_custkey"), lit(1000L)).as("src"),
-        pmod(col("o_orderkey"), lit(1000L)).as("dst"))
-      graft.ops.Triangles.perNodeAuto(edges)
+      quotientTriangles(s, d)
         .orderBy(col("n_tri").desc, col("node"))
         .limit(20)
     }),
@@ -142,9 +140,9 @@ object GraphMmQueries extends QueryPack {
       // are the declared, engine-portable semantics (the PageRank
       // precedent). Integer degrees → exact parity; the oracle unrolls
       // the identical peel as a CTE chain.
-      val edges = T.orders(s, d).select(
+      val edges = T.spread(T.orders(s, d).select(
         pmod(col("o_custkey"), lit(1000L)).as("src"),
-        pmod(col("o_orderkey"), lit(1000L)).as("dst"))
+        pmod(col("o_orderkey"), lit(1000L)).as("dst")))
       val und = edges
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
@@ -168,19 +166,7 @@ object GraphMmQueries extends QueryPack {
       // two hash aggregates (the tie-safe argmax is max(struct), never
       // a window) — the bounded-round iteration shape PageRank/KCore
       // already ship.
-      val und = T.orders(s, d).select(
-          pmod(col("o_custkey"), lit(1000L)).as("src"),
-          pmod(col("o_orderkey"), lit(1000L)).as("dst"))
-        .filter(col("src") =!= col("dst"))
-      // adj feeds 1 + LpaRounds consumers (seed-label distinct + one
-      // join per round) — materialize the deduped edge list once
-      // instead of re-running the orders scan + distinct per consumer
-      // (the graph_jaccard_neighbors device)
-      val adj = und.select(col("src").as("node"), col("dst").as("nbr"))
-        .unionAll(und.select(col("dst").as("node"), col("src").as("nbr")))
-        .distinct()
-        .localCheckpoint(true)
-      graft.ops.LabelPropagation.run(adj, LpaRounds)
+      lpaLabels(s, d)
         .orderBy("node")
     }),
 
@@ -196,15 +182,8 @@ object GraphMmQueries extends QueryPack {
       // BIGINTs; q_micro is ONE shared IEEE expression tree (exponent
       // literals — the decimal-literal division drift class), 1e-6
       // units. The oracle replays the identical LPA CTE chain.
-      val und0 = T.orders(s, d).select(
-          pmod(col("o_custkey"), lit(1000L)).as("src"),
-          pmod(col("o_orderkey"), lit(1000L)).as("dst"))
-        .filter(col("src") =!= col("dst"))
-      val adj = und0.select(col("src").as("node"), col("dst").as("nbr"))
-        .unionAll(und0.select(col("dst").as("node"), col("src").as("nbr")))
-        .distinct()
-        .localCheckpoint(true) // feeds labels + degrees + the edge set
-      val labels = graft.ops.LabelPropagation.run(adj, LpaRounds)
+      val adj = quotientAdj(s, d) // feeds labels + degrees + the edge set
+      val labels = lpaLabels(s, d)
       val undE = adj.filter(col("node") < col("nbr"))
         .select(col("node").as("a"), col("nbr").as("b"))
       val m = undE.agg(count(lit(1)).as("m"))
@@ -241,19 +220,7 @@ object GraphMmQueries extends QueryPack {
       // pair (single IEEE op — exact parity), 6-dp round, total order
       // (j desc, a, b), top 25. The brute-force self-join oracle is
       // unchanged: this is a plan device, not a semantics change.
-      val und = T.orders(s, d).select(
-          pmod(col("o_custkey"), lit(1000L)).as("src"),
-          pmod(col("o_orderkey"), lit(1000L)).as("dst"))
-        .filter(col("src") =!= col("dst"))
-      // adj feeds two consumers (degree table + pair mining);
-      // materialize the deduped edge list once instead of re-running
-      // the orders scan + distinct per consumer. The quotient adjacency
-      // is ≤ 2·|distinct edges| rows — executor blocks, not driver
-      // memory.
-      val adj = und.select(col("src").as("node"), col("dst").as("nbr"))
-        .unionAll(und.select(col("dst").as("node"), col("src").as("nbr")))
-        .distinct()
-        .localCheckpoint(true)
+      val adj = quotientAdj(s, d) // shared memoized adjacency (r17)
       val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
       val inter = graft.ops.PairMining.cooccur(adj, "nbr", "node", 64)
         .withColumnRenamed("n", "ni")
@@ -280,7 +247,8 @@ object GraphMmQueries extends QueryPack {
       // every order a dangling sink — the leaky formulation's worst
       // case (max dangling mass) and a real skew datapoint: hub
       // customers fan rank out over hundreds of orders.
-      val edges = T.orders(s, d)
+      val edges = T.spread(T.orders(s, d)
+          .select("o_custkey", "o_orderkey"))
         .groupBy(concat(lit("c:"), col("o_custkey")).as("src"),
           concat(lit("o:"), col("o_orderkey")).as("dst"))
         .agg(count(lit(1)).cast("double").as("w"))
@@ -299,8 +267,8 @@ object GraphMmQueries extends QueryPack {
       // order — bounded expansion, not quadratic), and the result has
       // real power-law hubs (popular parts) and real closures, which is
       // what the compact-forward orientation exists to survive.
-      val op = T.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val op = T.spread(T.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")))
         .distinct()
       val edges = op
         .join(op.withColumnRenamed("p", "p2"), "ok")
@@ -596,6 +564,44 @@ object GraphMmQueries extends QueryPack {
   private val PrIters = 3
   private val KCoreRounds = 3
   private val LpaRounds = 3
+
+  // ---- shared quotient-graph artifacts (r17, the minePairs/spanCovered
+  // SessionMemo pattern): graph_community, graph_modularity and
+  // graph_jaccard_neighbors each rebuilt the IDENTICAL deduped quotient
+  // adjacency (orders scan → pmod → distinct), and community+modularity
+  // each ran the same 3-round label propagation; graph_triangles and
+  // graph_clustering_coeff each ran the same compact-forward triangle
+  // count. One build per (session, sfDir), persisted MEMORY_AND_DISK;
+  // whichever key runs first pays it, the family SUM is the regression
+  // signal (the Bench contract for memoized families since round 3).
+
+  /** deduped undirected quotient adjacency (node, nbr), both directions. */
+  private def quotientAdj(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.SessionMemo(s, s"quotient-adj:$d") {
+      val und = T.spread(T.orders(s, d).select(
+          pmod(col("o_custkey"), lit(1000L)).as("src"),
+          pmod(col("o_orderkey"), lit(1000L)).as("dst")))
+        .filter(col("src") =!= col("dst"))
+      und.select(col("src").as("node"), col("dst").as("nbr"))
+        .unionAll(und.select(col("dst").as("node"), col("src").as("nbr")))
+        .distinct()
+    }
+
+  /** the 3-round LPA labels over [[quotientAdj]] — community detection
+    * result consumed by graph_community AND graph_modularity. */
+  private def lpaLabels(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.SessionMemo(s, s"lpa-labels:$d")(
+      graft.ops.LabelPropagation.run(quotientAdj(s, d), LpaRounds))
+
+  /** per-node triangle participation on the quotient graph — consumed
+    * by graph_triangles (top-20) and graph_clustering_coeff (Σ = 3T). */
+  private def quotientTriangles(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.SessionMemo(s, s"quotient-tri:$d") {
+      val edges = T.spread(T.orders(s, d).select(
+        pmod(col("o_custkey"), lit(1000L)).as("src"),
+        pmod(col("o_orderkey"), lit(1000L)).as("dst")))
+      graft.ops.Triangles.perNodeAuto(edges)
+    }
 
   /** the label-propagation oracle: the identical synchronous mode-label
     * rounds unrolled as a CTE chain (tie-break = smallest label, the

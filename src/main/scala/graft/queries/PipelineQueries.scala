@@ -116,7 +116,11 @@ object PipelineQueries extends QueryPack {
   /** covered (doc_id, pos) removal set — the expensive mined artifact,
     * consumed by BOTH span keys, so memoized per (session, sfDir). */
   private def spanCovered(s: org.apache.spark.sql.SparkSession, d: String) =
-    graft.SessionMemo(s, s"span-covered:$d")(spanCoveredOn(T.documents(s, d)))
+    graft.SessionMemo(s, s"span-covered:$d")(
+      // Tables.spread: the tokenize→shingle→posexplode stream otherwise
+      // runs on the single-row-group scan's one task (r17 profiling:
+      // a 3.7 s 1-task job); no-op at real scale
+      spanCoveredOn(T.spread(T.documents(s, d))))
 
   /** the un-memoized coverage mining (PlanSpec pins this plan — the
     * cached consumer plans hide it behind an InMemoryTableScan). */
@@ -401,7 +405,9 @@ object PipelineQueries extends QueryPack {
       // which is a CPU-side rewrite that shuffles identical bytes
       // (BASELINE.md §byte-floor note).
       val wideDemo = sys.env.contains("GRAFT_BYTES_DEMO_WIDE")
-      val sh = T.documents(s, d)
+      // Tables.spread: the 10-gram explode + md5 otherwise run on the
+      // single-row-group scan's one task (r17); no-op at real scale
+      val sh = T.spread(T.documents(s, d))
         .select(col("doc_id"), explode(array_distinct(
           TextOps.shingles(TextOps.tokens(col("text")), 10))).as("g"))
         .select(col("doc_id"),
@@ -416,7 +422,8 @@ object PipelineQueries extends QueryPack {
     }),
 
     "dedup_span_apply" -> ((s, d) =>
-      spanApplyFrom(spanTokens(T.documents(s, d)), spanCovered(s, d))),
+      spanApplyFrom(spanTokens(T.spread(T.documents(s, d))),
+        spanCovered(s, d))),
 
     "dedup_span_corpus" -> ((s, d) => {
       // the span-dedup ARTIFACT — the cleaned corpus itself, where
@@ -434,7 +441,7 @@ object PipelineQueries extends QueryPack {
       // ObjectHashAggregate with partial+final phases, never a window.
       // Rides the same memoized coverage set as the report key.
       val rm = spanCovered(s, d)
-      spanTokens(T.documents(s, d)
+      spanTokens(T.spread(T.documents(s, d))
           .join(rm.select("doc_id").distinct(), Seq("doc_id"), "left_semi"))
         .join(rm.withColumn("cov", lit(1)),
           Seq("doc_id", "pos"), "left")

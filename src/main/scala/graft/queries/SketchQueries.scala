@@ -216,7 +216,11 @@ object SketchQueries extends QueryPack {
         .agg(transform(array_sort(collect_list(struct(col("w"),
           coalesce(col("word"), lit(0L)).as("word")))), x => x("word"))
           .as("bitmap"))
-      val probed = T.lineitem(s, d).select(col("l_partkey"))
+      // Tables.spread: the per-row md5 probe over every lineitem row
+      // otherwise runs on the single-row-group scan's one task (r17);
+      // no-op at real scale. Project to the key FIRST so the spread
+      // exchange moves 8-byte keys, not lineitem rows (guide §2.3).
+      val probed = T.spread(T.lineitem(s, d).select(col("l_partkey")))
         .crossJoin(broadcast(bloom))
         .withColumn("h", TextOps.md5Long(concat(lit("bf:"), col("l_partkey"))))
         .withColumn("h1", pmod(col("h"), lit(1073741824L)))

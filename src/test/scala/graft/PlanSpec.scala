@@ -372,8 +372,18 @@ class PlanSpec extends SparkSpec {
     // compact-forward's whole value is that the wedge join hashes on
     // the apex and the closing probe hashes on the (y,z) pair — if
     // either degrades to a cartesian/theta shape the triangle count
-    // stops scaling
-    val p = planOf("graph_triangles")
+    // stops scaling. The query key memoizes the per-node table
+    // (SessionMemo, r17), so the key's own plan hides the mining behind
+    // an InMemoryTableScan — pin the RAW operator plan on the same
+    // quotient edge build (the minePairs/funnelFlaggedOn precedent).
+    spark.catalog.clearCache()
+    import org.apache.spark.sql.functions._
+    val edges = spark.read.parquet(s"$sf/orders.parquet").select(
+      pmod(col("o_custkey"), lit(1000L)).as("src"),
+      pmod(col("o_orderkey"), lit(1000L)).as("dst"))
+    val p = withConf("spark.sql.adaptive.enabled", "false") {
+      graft.ops.Triangles.perNodeAuto(edges).queryExecution.executedPlan
+    }
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
     val joins = p.collect {
       case j: SortMergeJoinExec => j
@@ -574,8 +584,23 @@ class PlanSpec extends SparkSpec {
   test("graph_community: hash-aggregate rounds, no window, no cartesian") {
     // the LPA tie-safe argmax must stay max(struct) — a window would
     // sort every hub neighborhood in one task; per round the plan is
-    // join + two HashAggregates (partial counts fold map-side)
-    val p = planOf("graph_community")
+    // join + two HashAggregates (partial counts fold map-side). The
+    // query key memoizes the labels (SessionMemo, r17) — pin the RAW
+    // operator plan on the same quotient adjacency.
+    spark.catalog.clearCache()
+    val p = {
+      import org.apache.spark.sql.functions._
+      val und = spark.read.parquet(s"$sf/orders.parquet").select(
+          pmod(col("o_custkey"), lit(1000L)).as("src"),
+          pmod(col("o_orderkey"), lit(1000L)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val adj = und.select(col("src").as("node"), col("dst").as("nbr"))
+        .unionAll(und.select(col("dst").as("node"), col("src").as("nbr")))
+        .distinct()
+      withConf("spark.sql.adaptive.enabled", "false") {
+        graft.ops.LabelPropagation.run(adj, 3).queryExecution.executedPlan
+      }
+    }
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
       "graph_community has a CartesianProduct node")
     assert(p.collect {

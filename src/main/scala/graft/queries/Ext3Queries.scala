@@ -64,7 +64,7 @@ object Ext3Queries extends QueryPack {
       // md5 bucket of the id, so the sample is identical on any engine,
       // any partitioning, any run — summarized per stratum with an
       // id-sum checksum that pins exact membership, not just counts.
-      T.embeddings(s, d)
+      T.spread(T.embeddings(s, d))
         .filter(pmod(TextOps.md5Short(col("vec_id").cast("string")), lit(10)) < 2)
         .groupBy("label")
         .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("id_sum"))
@@ -92,7 +92,7 @@ object Ext3Queries extends QueryPack {
       // hash aggregates; V is a 1-row broadcast; per-doc scoring is
       // two equi-joins. ln of identical rationals differs across
       // engines ≤1 ulp/term, invisible at the 4-dp round.
-      val docs = T.documents(s, d)
+      val docs = T.spread(T.documents(s, d))
       val toks = TextOps.tokens(col("text"))
       val docBi = docs.select(col("doc_id"), explode(TextOps.shingles(toks, 2)).as("b"))
         .withColumn("w1", substring_index(col("b"), " ", 1))
@@ -178,7 +178,7 @@ object Ext3Queries extends QueryPack {
       // Scale shape: two aggregate passes over documents plus two
       // broadcast joins of the per-lang stats row (percentile's sketch
       // is bounded by DISTINCT length values per lang, not rows).
-      val docs = T.documents(s, d)
+      val docs = T.spread(T.documents(s, d))
         .select(col("doc_id"), col("lang"), expr(GlitchLenSql).as("len"))
       val med = docs.groupBy("lang")
         .agg(expr("percentile(len, 0.5)").as("med"))

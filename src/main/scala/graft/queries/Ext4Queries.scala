@@ -75,7 +75,7 @@ object Ext4Queries extends QueryPack {
       // df / N / avgdl are a 3-row and a 1-row broadcast; the dl join
       // keys on doc_id (hash join both sides at 100 TB — the tf side is
       // the docs-containing-a-query-term slice, already minimal).
-      val tok = T.documents(s, d)
+      val tok = T.spread(T.documents(s, d))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .filter(col("term") =!= "")
       val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
@@ -283,7 +283,7 @@ object Ext4Queries extends QueryPack {
       // nano-units before the pair sums (exact BIGINT accumulation;
       // the declared semantics are the quantized JSD — both engines
       // compute identical integers; LN is the accepted libm precedent).
-      val tok = T.documents(s, d)
+      val tok = T.spread(T.documents(s, d))
         .select(col("lang"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
       val wl = tok.groupBy("lang", "w").agg(count(lit(1)).as("c"))
@@ -363,7 +363,7 @@ object Ext4Queries extends QueryPack {
       // broadcast joins (per-class counts, 1-row min), deterministic
       // and engine-identical at any scale.
       import graft.ops.TextOps
-      val e = T.embeddings(s, d)
+      val e = T.spread(T.embeddings(s, d))
       val byLabel = e.groupBy("label").agg(count(lit(1)).as("n_before"))
       val mn = byLabel.agg(min("n_before").as("min_n"))
       val rates = byLabel.crossJoin(broadcast(mn))
@@ -394,7 +394,7 @@ object Ext4Queries extends QueryPack {
       // units before the per-label average so aggregation is exact.
       graft.GraftFunctions.register(s)
       val sgn = (k: Int) => array(jlSigns(k).map(v => lit(v.toDouble)): _*)
-      var df = T.embeddings(s, d)
+      var df = T.spread(T.embeddings(s, d))
         .select(col("vec_id"), col("label"),
           graft.ops.VectorOps.toDouble(col("embedding")).as("v"))
         .withColumn("xx", expr("graft_dot(v, v)"))
@@ -424,7 +424,7 @@ object Ext4Queries extends QueryPack {
       // differs only on runs like "aaa", an accepted approximation
       // documented here). Output: top-10 pairs per round, exact BIGINT
       // weights, tie-break pair-lexicographic.
-      val tok = T.documents(s, d)
+      val tok = T.spread(T.documents(s, d))
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
       val vocab = tok.groupBy("word").agg(count(lit(1)).as("n"))
@@ -460,7 +460,7 @@ object Ext4Queries extends QueryPack {
       // products, so the only double is the final kappa ratio —
       // engine-identical — rounded to 4 dp. All joins run on the
       // |langs × 3|-row marginal tables.
-      val lab = T.documents(s, d)
+      val lab = T.spread(T.documents(s, d))
         .withColumn("n_tok", size(split(col("text"), " ")))
         .withColumn("a", when(col("n_chars") < 220, "short")
           .when(col("n_chars") < 380, "mid").otherwise("long"))

@@ -44,7 +44,7 @@ object Ext5Queries extends QueryPack {
       // label fan never becomes rows. d² = ‖x‖² − 2x·c + ‖c‖² with
       // graft_dot folds, 6-dp rounded, label-asc tie-break.
       graft.GraftFunctions.register(s)
-      val e = T.embeddings(s, d)
+      val e = T.spread(T.embeddings(s, d))
         .select(col("vec_id"), col("label"),
           graft.ops.VectorOps.toDouble(col("embedding")).as("v"))
       val cents = e
@@ -76,7 +76,7 @@ object Ext5Queries extends QueryPack {
       // Entirely integer arithmetic on two tiny aggregates (per-lang
       // counts × a 1-row total broadcast) — the PLAN is the output;
       // applying it is a generate-by-epoch map pass at any scale.
-      val byLang = T.documents(s, d)
+      val byLang = T.spread(T.documents(s, d))
         .groupBy("lang").agg(count(lit(1)).as("n_before"))
       val tot = byLang.agg(sum("n_before").as("n_total"),
         count(lit(1)).as("n_langs"))
@@ -158,7 +158,7 @@ object Ext5Queries extends QueryPack {
       // audit exists to surface before anyone ships cosine-threshold
       // retrieval against such embeddings.
       graft.GraftFunctions.register(s)
-      val e = T.embeddings(s, d)
+      val e = T.spread(T.embeddings(s, d))
         .select(col("vec_id"), col("label"),
           graft.ops.VectorOps.unit(
             graft.ops.VectorOps.toDouble(col("embedding"))).as("u"))
@@ -201,7 +201,7 @@ object Ext5Queries extends QueryPack {
     // of a division by zero (Spark NULL/ANSI-error vs DuckDB error —
     // an engine-divergence class, not just a crash).
     "sample_mixture_ipf" -> ((s, d) => {
-      val cells = T.documents(s, d)
+      val cells = T.spread(T.documents(s, d))
         .groupBy("lang", "source").agg(count(lit(1)).as("n"))
       val langT = cells.groupBy("lang").agg(sum("n").as("nl"))
         .withColumn("sq", expr("CAST(FLOOR(SQRT(CAST(nl AS DOUBLE))) AS BIGINT)"))
@@ -236,7 +236,7 @@ object Ext5Queries extends QueryPack {
       // allocation is UNCAPPED (a stratum may be offered more than it
       // holds when the budget exceeds the corpus — real deployments
       // cap-and-redistribute; the plan reports the raw optimum).
-      val st = T.documents(s, d)
+      val st = T.spread(T.documents(s, d))
         .groupBy("lang")
         .agg(count(lit(1)).as("nh"), sum("n_chars").as("s1"),
           sum(col("n_chars") * col("n_chars")).as("s2"))
@@ -289,7 +289,7 @@ object Ext5Queries extends QueryPack {
       // − 84.6·(syl/w) with every ratio a single division of exact
       // BIGINT sums — the curation feature next to text_quality's
       // shape score. Per-lang aggregate report.
-      val t = T.documents(s, d)
+      val t = T.spread(T.documents(s, d))
         .select(col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_w"),
           size(expr("regexp_extract_all(text, '[aeiou]+', 0)")).cast("long")
@@ -313,7 +313,7 @@ object Ext5Queries extends QueryPack {
       // hashes overflows at ~10⁶ docs — the xor is the correct fold at
       // any scale), and map-side combinable.
       val h = graft.ops.TextOps.md5Long(col("text"))
-      T.documents(s, d)
+      T.spread(T.documents(s, d))
         .withColumn("h", h)
         .rollup("source")
         .agg(count(lit(1)).as("n_docs"),
@@ -366,7 +366,7 @@ object Ext5Queries extends QueryPack {
       // task forwards 3 candidates per probe, not its whole fan.
       import org.apache.spark.sql.expressions.Window
       graft.GraftFunctions.register(s)
-      val e = T.embeddings(s, d)
+      val e = T.spread(T.embeddings(s, d))
         .select(col("vec_id"), col("label"),
           graft.ops.VectorOps.unit(
             graft.ops.VectorOps.toDouble(col("embedding"))).as("u"))
@@ -399,7 +399,7 @@ object Ext5Queries extends QueryPack {
       val toks = graft.ops.TextOps.tokens(col("text"))
       val canon = array_join(array_sort(array_distinct(
         graft.ops.TextOps.tokens(lower(trim(col("text")))))), " ")
-      T.documents(s, d)
+      T.spread(T.documents(s, d))
         .withColumn("h", sha2(canon, 256))
         .withColumn("n_tok", size(toks).cast("double"))
         .withColumn("stop_ratio",
@@ -430,7 +430,7 @@ object Ext5Queries extends QueryPack {
       // loses volume. Pure integer map pass + one aggregate; shares are
       // exact integer basis points against a 1-row broadcast total.
       val toks = graft.ops.TextOps.tokens(col("text"))
-      val masked = T.documents(s, d)
+      val masked = T.spread(T.documents(s, d))
         .withColumn("n_tok", size(toks).cast("double"))
         .withColumn("stop_ratio",
           size(filter(toks, t => t.isin("the", "a"))).cast("double") / col("n_tok"))

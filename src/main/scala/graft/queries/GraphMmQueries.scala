@@ -330,7 +330,7 @@ object GraphMmQueries extends QueryPack {
       // Shape: encode→parse is per-row inside one mapPartitions (the
       // codec-state boundary), the only shuffle is the 6-group profile.
       import s.implicits._
-      T.documents(s, d).select(col("doc_id")).as[Long]
+      T.spread(T.documents(s, d).select(col("doc_id"))).as[Long]
         .mapPartitions { ids =>
           // real pipeline: open the codec HERE, once per task.
           ids.map { id =>
@@ -363,7 +363,7 @@ object GraphMmQueries extends QueryPack {
       // per-channel sums FROM THE BYTES. Oracle recomputes expectations
       // from the arithmetic; profile per width bucket.
       import s.implicits._
-      T.documents(s, d).select(col("doc_id")).as[Long]
+      T.spread(T.documents(s, d).select(col("doc_id"))).as[Long]
         .mapPartitions { ids =>
           // real pipeline: open the codec HERE, once per task.
           ids.map { id =>
@@ -397,7 +397,7 @@ object GraphMmQueries extends QueryPack {
       // profile; n_crc_ok == n_images certifies every stream verified.
       // One mapPartitions pass; the only shuffle is the profile.
       import s.implicits._
-      T.documents(s, d).select(col("doc_id")).as[Long]
+      T.spread(T.documents(s, d).select(col("doc_id"))).as[Long]
         .mapPartitions { ids =>
           ids.map { id =>
             val w = (5 + id % 11).toInt
@@ -441,7 +441,7 @@ object GraphMmQueries extends QueryPack {
       // offset, or re-encode bug hash-mismatches. One mapPartitions
       // pass; the only shuffle is the per-width profile.
       import s.implicits._
-      T.documents(s, d).select(col("doc_id")).as[Long]
+      T.spread(T.documents(s, d).select(col("doc_id"))).as[Long]
         .mapPartitions { ids =>
           ids.map { id =>
             val w = (4 + id % 13).toInt
@@ -481,7 +481,7 @@ object GraphMmQueries extends QueryPack {
       // arithmetic is replayed per candidate by a generated 56-term
       // CASE chain from the SAME (r, c, weight) constants.
       import s.implicits._
-      val base = T.documents(s, d).select(col("doc_id")).as[Long]
+      val base = T.spread(T.documents(s, d).select(col("doc_id"))).as[Long]
       val cands = base.flatMap(id =>
         if (id % 7 == 0) Seq(id, id + PhashTwinOffset) else Seq(id))
       val hp = cands.mapPartitions { ids =>

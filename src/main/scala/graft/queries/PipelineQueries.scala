@@ -64,7 +64,7 @@ object PipelineQueries extends QueryPack {
 
   /** documents with the seeded slice as column `t2`. */
   private def piiSeeded(s: org.apache.spark.sql.SparkSession, d: String) =
-    T.documents(s, d).withColumn("t2", seedPii(col("text")))
+    T.spread(T.documents(s, d)).withColumn("t2", seedPii(col("text")))
 
   private def PiiSeededSql =
     s"SELECT lang, ${seedPiiSql("text")} AS t2 FROM documents"
@@ -211,7 +211,7 @@ object PipelineQueries extends QueryPack {
     * report aggregates it) and pipeline_corpus (the artifact filters
     * p4) — memoized per (session, sfDir) like the span coverage set. */
   private def funnelFlagged(s: org.apache.spark.sql.SparkSession, d: String) =
-    graft.SessionMemo(s, s"funnel-flags:$d")(funnelFlaggedOn(T.documents(s, d)))
+    graft.SessionMemo(s, s"funnel-flags:$d")(funnelFlaggedOn(T.spread(T.documents(s, d))))
 
   /** the un-memoized flag builder (PlanSpec pins this plan — the
     * memoized consumers hide it behind an InMemoryTableScan).
@@ -286,7 +286,7 @@ object PipelineQueries extends QueryPack {
     * version), the diff only the comparison verdict. */
   private def prevCurrJoined(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val docs = T.documents(s, d)
+    val docs = T.spread(T.documents(s, d))
     val addBase = docs.agg(max("doc_id")).head.getLong(0) + 1L
     val prev = docs.select(col("doc_id"), col("lang").as("p_lang"),
       md5(col("text")).as("p_h"))
@@ -333,7 +333,7 @@ object PipelineQueries extends QueryPack {
       // takes ONE pass — a broadcast left-join marker and a per-doc
       // aggregate, so gram total and hit count fall out of the same
       // shuffle. At 100 TB this is a map-side probe of a shared dict.
-      val sh = T.documents(s, d)
+      val sh = T.spread(T.documents(s, d))
         .select(col("doc_id"), explode(array_distinct(
           TextOps.shingles(TextOps.tokens(col("text")), 5))).as("g"))
       val bench = sh.filter(col("doc_id") < BenchCut)
@@ -354,7 +354,7 @@ object PipelineQueries extends QueryPack {
       // trigrams. Two explode→groupBy(doc_id) aggregates joined on
       // doc_id (both hash-partition on the same key); thresholds apply
       // to the ROUNDED 4-dp fractions on both engines.
-      val base = T.documents(s, d)
+      val base = T.spread(T.documents(s, d))
         .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
       val top = base
@@ -497,7 +497,7 @@ object PipelineQueries extends QueryPack {
       // assuming it. One aggregate shuffle on the 16-value shard key
       // (map-side combined); the global total rides a broadcast of the
       // 16-row aggregate, never a second corpus pass.
-      val docs = T.documents(s, d)
+      val docs = T.spread(T.documents(s, d))
         .withColumn("shard",
           pmod(TextOps.md5Long(col("doc_id").cast("string")), lit(16L)))
         .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
@@ -524,7 +524,7 @@ object PipelineQueries extends QueryPack {
       // pass (regex count + replace per row); the only shuffle is the
       // per-lang aggregate; n_residual re-probes the cleaned text and
       // must be 0.
-      val cleaned = T.documents(s, d)
+      val cleaned = T.spread(T.documents(s, d))
         .withColumn("t2", expr(HtmlSeedSql))
         .withColumn("n_tags", regexp_count(col("t2"), lit(ReTag)))
         .withColumn("clean", regexp_replace(col("t2"), ReTag, ""))
@@ -588,10 +588,10 @@ object PipelineQueries extends QueryPack {
       // %7 slice gets PII appended POST-span-clean — it cannot perturb
       // the mining — and the placeholders in the artifact prove the
       // scrubber ran against known ground truth).
-      val touched = reconstructTouched(T.documents(s, d), spanCovered(s, d))
+      val touched = reconstructTouched(T.spread(T.documents(s, d)), spanCovered(s, d))
       val surv = funnelFlagged(s, d).filter(col("p4")).select("doc_id")
       val b = TextOps.md5Long(col("doc_id").cast("string")) % 100
-      T.documents(s, d)
+      T.spread(T.documents(s, d))
         .join(surv, Seq("doc_id"), "left_semi")
         .join(touched, Seq("doc_id"), "left")
         .withColumn("clean_text",
@@ -613,7 +613,7 @@ object PipelineQueries extends QueryPack {
       // Reported as per-lang kept/total accounting.
       val p = least(lit(1.0), col("n_chars") / lit(1500.0))
       val bucket = TextOps.md5Long(col("doc_id").cast("string")) % 10000
-      T.documents(s, d)
+      T.spread(T.documents(s, d))
         .withColumn("kept", (bucket.cast("double") < p * 10000).cast("long"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"))
@@ -626,7 +626,7 @@ object PipelineQueries extends QueryPack {
       // engines and on every executor at any scale, no coordination or
       // RNG state; per-split × lang accounting (the split-audit table).
       val b = TextOps.md5Long(col("doc_id").cast("string")) % 100
-      T.documents(s, d)
+      T.spread(T.documents(s, d))
         .withColumn("split",
           when(b < 90, "train").when(b < 95, "val").otherwise("test"))
         .groupBy("split", "lang").agg(count(lit(1)).as("n"))
@@ -655,7 +655,7 @@ object PipelineQueries extends QueryPack {
       // back — one corpus pass + one broadcast join, no coordination.
       val nTok = size(expr(
         "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long")
-      val docs = T.documents(s, d).select(col("doc_id"), col("lang"), nTok.as("n_tok"))
+      val docs = T.spread(T.documents(s, d)).select(col("doc_id"), col("lang"), nTok.as("n_tok"))
       val per = docs.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("toks"))
       val tot = per.agg(sum("toks").cast("double").as("tot"),
@@ -690,7 +690,7 @@ object PipelineQueries extends QueryPack {
       // which truncates each map partition to its top-K BEFORE the window
       // exchange — a hot domain ships K rows per map task, not its
       // whole row set (pinned in PlanSpec).
-      val docs = T.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
+      val docs = T.spread(T.documents(s, d)).select(col("doc_id"), col("lang"), col("source"))
       val w = Window.partitionBy("source")
         .orderBy(TextOps.md5Long(col("doc_id").cast("string")), col("doc_id"))
       val kept = docs.withColumn("rk", row_number().over(w))
@@ -715,7 +715,7 @@ object PipelineQueries extends QueryPack {
       // doc-separator cost a packing plan watches).
       val nBpe = size(expr(
         "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long")
-      val sharded = T.documents(s, d).select(col("doc_id"), col("lang"),
+      val sharded = T.spread(T.documents(s, d)).select(col("doc_id"), col("lang"),
         (TextOps.md5Long(col("doc_id").cast("string")) % 8).as("shard"),
         nBpe.as("n_tok"))
       val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
@@ -814,9 +814,9 @@ object PipelineQueries extends QueryPack {
       // counts, and the CDF window runs over the ≤64-row-per-lang bin
       // table. Bin ids are exact integer math in both engines (the
       // products stay ≪ 2⁵³, floor(double) is engine-identical).
-      val bounds = T.documents(s, d)
+      val bounds = T.spread(T.documents(s, d))
         .agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
-      val binned = T.documents(s, d).crossJoin(broadcast(bounds))
+      val binned = T.spread(T.documents(s, d)).crossJoin(broadcast(bounds))
         .withColumn("bin", floor((col("n_chars") - col("mn")) * lit(64.0)
           / (col("mx") - col("mn") + lit(1.0))).cast("long"))
         .groupBy("lang", "bin")
@@ -858,7 +858,7 @@ object PipelineQueries extends QueryPack {
       // frequencies — Zipf-small at any corpus size; the quality_drift
       // bounded-window precedent); everything upstream is two hash
       // aggregates.
-      val vocab = T.documents(s, d)
+      val vocab = T.spread(T.documents(s, d))
         .select(explode(TextOps.tokens(col("text"))).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("w").agg(count(lit(1)).as("n"))
@@ -888,7 +888,7 @@ object PipelineQueries extends QueryPack {
       // sampling weights. The window is over the AGGREGATED mixture
       // table (|langs| × |sources| rows), so the single-partition sort
       // is a few dozen rows at any corpus scale.
-      val per = T.documents(s, d)
+      val per = T.spread(T.documents(s, d))
         .withColumn("n_bpe",
           size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
         .groupBy("lang", "source").agg(sum("n_bpe").as("toks"))

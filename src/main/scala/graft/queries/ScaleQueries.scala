@@ -73,11 +73,20 @@ object ScaleQueries extends QueryPack {
       // real bucketed fact layout prunes at WRITE time too — and the
       // demo's cost is the two writes, which round 3 measured inflating
       // 4.9→12.1 s when the full-width tables hit a contended disk.
+      // r17: repartition(8, key) before each bucketed write — the write
+      // uses the SAME murmur3 hash as the bucket spec, so every task
+      // holds exactly one bucket (still 8 files, one per bucket) but the
+      // encode+sort+write runs 8-way instead of on the single-row-group
+      // scan's one task (measured: the two writes were 2.2 s 1-task jobs
+      // each). At scale the pre-write repartition is exactly the
+      // clustering shuffle a bucketed fact write performs anyway.
       T.orders(s, d).select("o_orderkey", "o_orderpriority")
+        .repartition(8, col("o_orderkey"))
         .write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("graft_buckets.orders_b")
       T.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+        .repartition(8, col("l_orderkey"))
         .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable("graft_buckets.lineitem_b")

@@ -34,13 +34,13 @@ object SimQueries extends QueryPack {
     graft.SessionMemo(s, s"cos-pairs:$d")(mineCosPairs(s, d))
 
   private[graft] def mineCosPairs(s: org.apache.spark.sql.SparkSession, d: String) =
-    graft.ops.MetricBlocking.nearDupPairs(s, T.embeddings(s, d), CosFloor)
+    graft.ops.MetricBlocking.nearDupPairs(s, T.spread(T.embeddings(s, d)), CosFloor)
 
   // ---- IVF scaffolding (shared by sim_ann_ivf + sim_ann_recall_sweep)
 
   /** embeddings widened to double vectors. */
   private def embDouble(s: org.apache.spark.sql.SparkSession, d: String) =
-    T.embeddings(s, d)
+    T.spread(T.embeddings(s, d))
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
 
   /** ONE broadcastable row holding every IVF cell centroid
@@ -116,7 +116,7 @@ object SimQueries extends QueryPack {
     * ADC search) via the SessionMemo pair. */
   private def pqTrained(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.SessionMemo.pair(s, s"pq-train:$d") {
-      val e = T.embeddings(s, d).select(col("vec_id"), col("label"),
+      val e = T.spread(T.embeddings(s, d)).select(col("vec_id"), col("label"),
         VectorOps.toDouble(col("embedding")).as("v"))
       val ms = (0 until PqM).map { m =>
         val (asg, cent) = graft.ops.KMeans.trained(s,
@@ -172,7 +172,7 @@ object SimQueries extends QueryPack {
       // vec_id < 200 (brute-force baseline; ordering on the ROUNDED sim
       // + (a,b) tie-break keeps the cutoff engine-deterministic).
       // Vectors are unit-normalized ONCE so each pair costs one dot.
-      val e = T.embeddings(s, d)
+      val e = T.spread(T.embeddings(s, d))
         .select(col("vec_id"), VectorOps.unit(VectorOps.toDouble(col("embedding"))).as("v"))
       val probes = e.filter(col("vec_id") < 200)
         .select(col("vec_id").as("a"), col("v").as("va"))
@@ -188,7 +188,7 @@ object SimQueries extends QueryPack {
       // ANN via deterministic random-hyperplane LSH: candidates share an
       // 8-bit sign bucket (shuffle on bucket ≡ blocking), then exact
       // cosine re-rank, top-3 per probe.
-      val e = T.embeddings(s, d)
+      val e = T.spread(T.embeddings(s, d))
         .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("raw"))
         .withColumn("bucket", VectorOps.lshBucket(col("raw"), PLANES, DIM))
         .withColumn("v", VectorOps.unit(col("raw")))
@@ -225,7 +225,7 @@ object SimQueries extends QueryPack {
       // projections, the bucket equi-join shuffle-partitions the
       // corpus, and the literal rank ≤ 3 compiles to
       // WindowGroupLimit — no all-pairs anywhere.
-      val e = T.embeddings(s, d)
+      val e = T.spread(T.embeddings(s, d))
         .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("raw"))
         .withColumn("n", VectorOps.norm(col("raw")))
       val m = e.agg(max(col("n")).as("m"))
@@ -294,7 +294,7 @@ object SimQueries extends QueryPack {
       // inequality blocking as dedup_embedding, generalized to one
       // anchor set with per-side radii (ops/MetricBlocking.scala
       // similarityJoin); oracle stays brute-force SQL.
-      val e = T.embeddings(s, d)
+      val e = T.spread(T.embeddings(s, d))
       graft.ops.MetricBlocking.similarityJoin(s,
         e.filter(col("vec_id") < 300), e.filter(col("vec_id") >= 300), 0.35)
         .orderBy("a", "b")
@@ -610,7 +610,7 @@ object SimQueries extends QueryPack {
       // aggregate and the per-label report. q = round((x−mn)·255/rng)
       // is integer-exact parity; only the across-row MSE average sees
       // fold-order noise, absorbed by the 8-dp round.
-      val e = T.embeddings(s, d)
+      val e = T.spread(T.embeddings(s, d))
         .select(col("vec_id"), col("label"), VectorOps.toDouble(col("embedding")).as("v"))
       val bounds = e
         .select(posexplode(col("v")).as(Seq("pos", "x")))
@@ -639,7 +639,7 @@ object SimQueries extends QueryPack {
     }),
 
     "sim_embedding_norms" -> ((s, d) => {
-      T.embeddings(s, d)
+      T.spread(T.embeddings(s, d))
         .select(col("label"), VectorOps.norm(VectorOps.toDouble(col("embedding"))).as("nrm"))
         .groupBy("label")
         .agg(count(lit(1)).as("n"), round(avg("nrm"), 4).as("avg_norm"))
@@ -731,7 +731,7 @@ object SimQueries extends QueryPack {
     * corpus's trained index and serving may skip training entirely. */
   private def buildAnnIndexIfAbsent(s: org.apache.spark.sql.SparkSession,
       d: String, root: String): Unit = {
-    val fp = T.embeddings(s, d)
+    val fp = T.spread(T.embeddings(s, d))
       .agg(count(lit(1)).as("n"),
         sum(round(element_at(col("embedding"), 1).cast("double") * 1e6))
           .cast("long").as("chk"))

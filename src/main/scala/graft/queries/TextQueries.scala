@@ -51,7 +51,7 @@ object TextQueries extends QueryPack {
     // tokens ⇒ same score; max = the value).
     "text_rake_keywords" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
-      val toks = T.documents(s, d)
+      val toks = T.spread(T.documents(s, d))
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       val nonstop = toks.filter(!col("tok").isInCollection(rakeStops))
         .withColumn("grp", col("pos") - row_number().over(
@@ -83,7 +83,7 @@ object TextQueries extends QueryPack {
       // cross join, never a driver-side collect. Ranking uses the
       // ROUNDED score so both engines rank identical values.
       import org.apache.spark.sql.expressions.Window
-      val docs = T.documents(s, d)
+      val docs = T.spread(T.documents(s, d))
       val tok = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .filter(col("term") =!= "")
@@ -121,7 +121,7 @@ object TextQueries extends QueryPack {
       // so both the quantized-LM join and the N scalar broadcast; the
       // corpus is scanned twice (count pass + score pass), both passes
       // hash-aggregate map-side.
-      val tok = T.documents(s, d)
+      val tok = T.spread(T.documents(s, d))
         .select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
@@ -144,7 +144,7 @@ object TextQueries extends QueryPack {
     "text_wordcount" -> ((s, d) => {
       // Mimir's flagship app: map(tokenize) → combine → reduce(sum).
       // explode + hash-agg gets map-side partial aggregation for free.
-      T.documents(s, d)
+      T.spread(T.documents(s, d))
         .select(explode(TextOps.tokens(col("text"))).as("word"))
         .filter(col("word") =!= "")
         .groupBy("word")
@@ -154,7 +154,7 @@ object TextQueries extends QueryPack {
     }),
 
     "text_bigrams" -> ((s, d) => {
-      T.documents(s, d)
+      T.spread(T.documents(s, d))
         .select(explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))
@@ -163,7 +163,7 @@ object TextQueries extends QueryPack {
     }),
 
     "text_lang_stats" -> ((s, d) => {
-      T.documents(s, d)
+      T.spread(T.documents(s, d))
         .groupBy("lang")
         .agg(
           count(lit(1)).as("docs"),
@@ -177,7 +177,7 @@ object TextQueries extends QueryPack {
       // n-gram-frequency language ID heuristic → confusion matrix vs the
       // labeled lang column.
       val toks = TextOps.tokens(col("text"))
-      val scored = sigs.foldLeft(T.documents(s, d).withColumn("toks", toks)) {
+      val scored = sigs.foldLeft(T.spread(T.documents(s, d)).withColumn("toks", toks)) {
         case (df, (lang, words)) =>
           df.withColumn(s"s_$lang",
             size(filter(col("toks"), t => t.isin(words.map(lit(_)): _*))))
@@ -197,7 +197,7 @@ object TextQueries extends QueryPack {
     "text_quality" -> ((s, d) => {
       // length/stopword/token-shape quality score, bucketed.
       val toks = TextOps.tokens(col("text"))
-      val q = T.documents(s, d)
+      val q = T.spread(T.documents(s, d))
         .withColumn("n_tok", size(toks).cast("double"))
         .withColumn("stop_ratio",
           size(filter(toks, t => t.isin("the", "a"))).cast("double") / col("n_tok"))
@@ -218,7 +218,7 @@ object TextQueries extends QueryPack {
     "text_tokens_bpe" -> ((s, d) => {
       // BPE-ish regex tokenization (letters / digit-runs / punctuation),
       // counted per doc then aggregated per lang.
-      T.documents(s, d)
+      T.spread(T.documents(s, d))
         .withColumn("n_bpe",
           size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
         .groupBy("lang")
@@ -230,7 +230,7 @@ object TextQueries extends QueryPack {
       // winnowing-style fingerprint: min 60-bit hash over 3-token
       // shingles; identical-content docs collide → dup-candidate groups.
       val sh = TextOps.shingles(TextOps.tokens(col("text")), 3)
-      T.documents(s, d)
+      T.spread(T.documents(s, d))
         .withColumn("fp", array_min(transform(sh, TextOps.md5Long(_))))
         .filter(col("fp").isNotNull)
         .groupBy("fp")

@@ -201,7 +201,7 @@ object DedupQueries extends QueryPack {
       // concat/regexp/parse_url over non-null columns, so neither the
       // distinct-counted columns nor the host join key can be NULL
       // (NullSemanticsSpec pins the rewrite's null contract).
-      val urls = T.documents(s, d)
+      val urls = T.spread(T.documents(s, d))
         .withColumn("raw", raw).withColumn("canon", canon)
         .withColumn("host", parse_url(col("canon"), lit("HOST")))
       val nTotal = urls.groupBy("host").agg(count(lit(1)).as("n_tot"))
@@ -242,7 +242,7 @@ object DedupQueries extends QueryPack {
       // 16-bit SimHash over token multiset; equal hashes → near-dup
       // bucket. Portable md5-derived bits, so the oracle reproduces the
       // exact hash values.
-      val tok = T.documents(s, d)
+      val tok = T.spread(T.documents(s, d))
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
         .withColumn("h", TextOps.md5Short(col("w")))
       val bitSums = (0 until 16).map { j =>
@@ -280,7 +280,7 @@ object DedupQueries extends QueryPack {
       // docs are kept by default and the corpus is read once.
       val labels = graft.ops.ConnectedComponents.labels(minedPairs(s, d).select("a", "b"))
         .select(col("v").as("doc_id"), col("rep"))
-      T.documents(s, d).join(labels, Seq("doc_id"), "left")
+      T.spread(T.documents(s, d)).join(labels, Seq("doc_id"), "left")
         .withColumn("kept", col("rep").isNull || col("rep") === col("doc_id"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -301,7 +301,7 @@ object DedupQueries extends QueryPack {
       // set join ×2) — materialize it once (eager executor-block
       // checkpoint; at 100 TB this is a staged table) so no branch
       // recomputes it. Measured at sf1: 18.3 → ~6 s.
-      val docs = T.documents(s, d)
+      val docs = T.spread(T.documents(s, d))
         .select(col("doc_id"), array_distinct(
           TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
         .filter(size(col("sh")) > 0)

@@ -91,7 +91,7 @@ object SketchQueries extends QueryPack {
     "agg_distinct_kmv" -> ((s, d) => {
       import graft.ops.TextOps
       val k = 256
-      val hashed = T.events(s, d)
+      val hashed = T.spread(T.events(s, d))
         .select(col("event_type"),
           TextOps.md5Long(concat(lit("kmv:"), col("user_id"))).as("h"))
         .distinct()
@@ -102,7 +102,7 @@ object SketchQueries extends QueryPack {
         .filter(col("rk") <= k)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_kept"), max("h").as("kth"))
-      val exact = T.events(s, d)
+      val exact = T.spread(T.events(s, d))
         .groupBy("event_type")
         .agg(countDistinct("user_id").as("n_exact"))
       val est = when(col("n_kept") < k, col("n_kept").cast("double"))
@@ -131,7 +131,7 @@ object SketchQueries extends QueryPack {
       import graft.ops.TextOps
       val k = 256
       val types = Seq("click", "purchase")
-      val hashed = T.events(s, d)
+      val hashed = T.spread(T.events(s, d))
         .filter(col("event_type").isin(types: _*))
         .select(col("event_type"),
           TextOps.md5Long(concat(lit("kmv:"), col("user_id"))).as("h"))
@@ -153,7 +153,7 @@ object SketchQueries extends QueryPack {
         .join(sk.filter(col("event_type") === "purchase")
           .select(col("h").as("hb")), col("h") === col("hb"))
         .agg(count(lit(1)).as("n_both"))
-      val ex = T.events(s, d).filter(col("event_type").isin(types: _*))
+      val ex = T.spread(T.events(s, d)).filter(col("event_type").isin(types: _*))
         .groupBy("user_id")
         .agg(countDistinct("event_type").as("nt"),
           max(when(col("event_type") === "click", 1).otherwise(0)).as("ia"),
@@ -311,7 +311,7 @@ object SketchQueries extends QueryPack {
     // counting, sf0.1 (1500 distinct users/group ≫ 160) in raw HLL.
     "agg_hll_det" -> ((s, d) => {
       import graft.ops.TextOps
-      val base = T.events(s, d)
+      val base = T.spread(T.events(s, d))
         .select(col("event_type"),
           TextOps.md5Long(concat(lit("hll:"), col("user_id"))).as("h"))
         .selectExpr("event_type", "pmod(h, 64) AS j", "h DIV 64 AS w")
@@ -323,7 +323,7 @@ object SketchQueries extends QueryPack {
       val grouped = regs.groupBy("event_type").agg(
         count(lit(1)).cast("long").as("n_present"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - mj)")).as("z_present"))
-      val ex = T.events(s, d).groupBy("event_type")
+      val ex = T.spread(T.events(s, d)).groupBy("event_type")
         .agg(countDistinct("user_id").cast("long").as("n_exact"))
       grouped.join(ex, "event_type")
         .withColumn("v0", lit(64L) - col("n_present"))

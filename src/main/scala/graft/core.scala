@@ -344,6 +344,7 @@ object Tables {
     * untouched (every consumer below re-shuffles or re-sorts).
     */
   def spread(df: DataFrame): DataFrame = {
+    if (sys.env.contains("GRAFT_SPREAD_DISABLE")) return df // A/B probe
     val sess = df.sparkSession
     val sc = sess.sparkContext
     val p = sc.defaultParallelism

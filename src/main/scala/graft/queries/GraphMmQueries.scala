@@ -83,10 +83,13 @@ object GraphMmQueries extends QueryPack {
         .union(und.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
         .agg(sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
-      val tri3 = graft.ops.Triangles.perNodeAuto(edges)
-        // Σ participation = 3 · T; coalesce: a triangle-free graph
-        // aggregates an EMPTY per-node table to NULL here, while the
-        // oracle's COUNT(*) CTE yields 0 (r12 ADVICE latent mismatch)
+      // Σ participation = 3 · T off the SAME memoized per-node triangle
+      // table graph_triangles reads (r18, ADVICE: the r17 memo sharing
+      // was half-wired — this key recomputed the identical quotient
+      // triangle count through its own perNodeAuto). coalesce: a
+      // triangle-free graph aggregates an EMPTY per-node table to NULL
+      // here, while the oracle's COUNT(*) CTE yields 0 (r12 ADVICE).
+      val tri3 = quotientTriangles(s, d)
         .agg(coalesce(sum("n_tri"), lit(0L)).as("tri3"))
       wedges.crossJoin(broadcast(tri3))
         .select(col("n_wedges"), expr("tri3 DIV 3").as("n_tri"),
@@ -247,13 +250,25 @@ object GraphMmQueries extends QueryPack {
       // every order a dangling sink — the leaky formulation's worst
       // case (max dangling mass) and a real skew datapoint: hub
       // customers fan rank out over hundreds of orders.
+      // r18 (guide §2.3, r17 verdict #2): the typed "c:"/"o:" STRING ids
+      // rode every iterative shuffle (join keys + group-by keys, 3
+      // rounds) — tag the two disjoint FK id spaces as longs instead
+      // (customer k → 2k, order k → 2k+1) and reconstruct the declared
+      // string ids once, post-rank, before the final order/limit. The
+      // recurrence, groups, and output rows are identical; only the
+      // shuffled key width changes (~24-byte strings → 8-byte longs).
       val edges = T.spread(T.orders(s, d)
           .select("o_custkey", "o_orderkey"))
-        .groupBy(concat(lit("c:"), col("o_custkey")).as("src"),
-          concat(lit("o:"), col("o_orderkey")).as("dst"))
+        .groupBy((col("o_custkey") * 2L).as("src"),
+          (col("o_orderkey") * 2L + 1L).as("dst"))
         .agg(count(lit(1)).cast("double").as("w"))
       graft.ops.PageRank.run(edges, PrDamping, PrIters)
-        .select(col("node"), round(col("pr"), 8).as("pr"))
+        .select(
+          when(col("node") % 2L === 0L,
+              concat(lit("c:"), shiftright(col("node"), 1)))
+            .otherwise(concat(lit("o:"), shiftright(col("node"), 1)))
+            .as("node"),
+          round(col("pr"), 8).as("pr"))
         .orderBy(col("pr").desc, col("node"))
         .limit(50)
     }),

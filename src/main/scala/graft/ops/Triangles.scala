@@ -199,7 +199,14 @@ object Triangles {
     // never-small, matching the planner's own contract
     val bcastThreshold =
       und.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    val small = bcastThreshold > 0 && und.count() * 24 <= bcastThreshold
+    // per-row width from the schema (r18 ADVICE: the old literal 24 was
+    // only valid for two 8-byte ids — a caller passing string node ids
+    // would under-estimate and broadcast an edge set several times the
+    // session threshold): UnsafeRow 8-byte header + null bitset word +
+    // each field's defaultSize (longs 8; strings estimate 20).
+    val small = bcastThreshold > 0 &&
+      und.count() * (16L + und.schema.map(_.dataType.defaultSize).sum) <=
+        bcastThreshold
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))

@@ -105,7 +105,12 @@ object Ext4Queries extends QueryPack {
       // 2·cum ≥ tot so no division ever happens. Aggregate-then-window:
       // the cumsum window runs over the (flag × distinct qty) table,
       // ~50 rows per flag at any corpus size.
-      val wq = T.lineitem(s, d)
+      // r18 (guide §2.5): the DECIMAL multiply/round ran in the 1-task
+      // single-row-group scan (sf1: 9.3 s one task, 20 empty) — spread
+      // the 4 needed columns so the per-row decimal work and the
+      // partial aggregate fold wide; ~150 groups shuffle after.
+      val wq = T.spread(T.lineitem(s, d)
+          .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount"))
         .groupBy(col("l_returnflag"), col("l_quantity"))
         .agg(expr(s"SUM(${graft.Sql.lineNetDec})").as("w"))
       val byFlag = Window.partitionBy("l_returnflag")

@@ -541,7 +541,12 @@ object GraphMmQueries extends QueryPack {
       // wordcount through the Mimir-style MapReduce facade (§2A):
       // map(tokenize) → map-side combine → reduce(sum).
       import s.implicits._
-      val docs = T.documents(s, d).select(col("text")).as[String]
+      // r18: spread the single-row-group scan so the closure map +
+      // map-side combine run wide (sf1 profiled 4.0 s in ≤2 tasks; the
+      // exchange moves only the 6 MB text column). The r17 decline was
+      // measured at sf0.1 where the map work was ~0.2 s — at sf1 it is
+      // 10× and the exchange cost is unchanged.
+      val docs = T.spread(T.documents(s, d).select(col("text"))).as[String]
       val kvs = MapReduce.map(docs)(line =>
         line.split(" ").iterator.filter(_.nonEmpty).map(w => (w, 1L)))
       MapReduce.reduceByKey(kvs)(_ + _)

@@ -262,7 +262,14 @@ object JoinQueries extends QueryPack {
       import graft.ops.TextOps
       def h(tag: String, c: org.apache.spark.sql.Column, m: Long) =
         pmod(TextOps.md5Long(concat(lit(tag), c)), lit(m))
-      val users = T.events(s, d).select(col("user_id")).distinct()
+      // r18 (recompute elimination + guide §2.5): pfx feeds FOUR
+      // consumers (three per-plen block aggregates + the candidate
+      // explode) and each re-ran the events scan + distinct (sf1: three
+      // 2.9 s jobs doing identical work). Spread the projected 8-byte
+      // user_id so the distinct's partial fold runs wide, and pin the
+      // |users|-bounded pfx table once (eager executor-block
+      // checkpoint — dimension-sized at any corpus scale).
+      val users = T.spread(T.events(s, d).select(col("user_id"))).distinct()
       val pfx = users
         .withColumn("ip",
           h("net:", pmod(col("user_id"), lit(50L)), 256L) * lit(16777216L) +
@@ -272,6 +279,7 @@ object JoinQueries extends QueryPack {
           shiftright(col("ip"), 24).as("p8"),
           shiftright(col("ip"), 16).as("p16"),
           shiftright(col("ip"), 8).as("p24"))
+        .localCheckpoint(true)
       def blocks(c: String, plen: Int, minUsers: Long) = {
         val g = pfx.groupBy(col(c).as("pfx"))
           .agg(countDistinct("user_id").as("nu"))

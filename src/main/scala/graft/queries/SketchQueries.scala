@@ -259,9 +259,16 @@ object SketchQueries extends QueryPack {
       import s.implicits._
       val W = org.apache.spark.sql.expressions.Window
       val B = 4096L
-      val v = T.lineitem(s, d).select(
+      // r18 (guide §2.5 + recompute elimination): v is consumed three
+      // times (min/max pass, histogram pass, target-bin join) and each
+      // pass re-ran the 1-task single-row-group scan + the decimal
+      // cast. Spread the projected 8-byte key, then PIN it (eager
+      // executor-block checkpoint): one wide decode feeds all three
+      // passes. At real scale the spread is a no-op and the pin is a
+      // staged column — the two-pass selection's normal shape.
+      val v = T.spread(T.lineitem(s, d).select(
         expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
-          .as("c"))
+          .as("c"))).localCheckpoint(true)
       val mm = v.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
       val binned = v.crossJoin(broadcast(mm))
         .withColumn("bin", expr(s"((c - lo) * $B) DIV (hi - lo + 1)"))
@@ -361,7 +368,11 @@ object SketchQueries extends QueryPack {
           struct(lit(r).as("r"),
             pmod(TextOps.md5Long(concat(lit(s"cm$r:"), w)),
               lit(wBuckets)).as("b"))): _*)
-      val toks = T.documents(s, d)
+      // r18 (guide §2.5): both consumers (sketch build with 4 md5
+      // hashes per token, exact top-10) re-ran split+explode inside the
+      // 1-task single-row-group scan — spread the text column so the
+      // tokenize/hash work folds wide in both passes.
+      val toks = T.spread(T.documents(s, d).select(col("text")))
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
       val sketch = toks

@@ -19,6 +19,13 @@ object SortQueries extends QueryPack {
     }),
 
     "topk_limit" -> ((s, d) => {
+      // r18: measured and left alone. The single-row-group scan makes
+      // TakeOrdered a one-task pass (sf1: 6 M rows in one 4.2 s task),
+      // but spreading was WORSE — the round-robin exchange serialized
+      // 104 MB from the same single scan task (9.2 s) while the work it
+      // parallelized (one expr + a top-100 heap) is cheaper than the
+      // serialization. Profiled both at sf1 (plans/r18 note); the
+      // 1-task decode is the fixture layout's irreducible floor here.
       T.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           expr(graft.Sql.lineNet).as("net"))

@@ -60,7 +60,7 @@ object StreamingJobs {
     val ckpt = Tmp.dir(s"${tag}_ckpt").toString
     var stage: String = null
     try withReplayConfs(spark, keepNoDataBatches) { withEnvStateProvider(spark) {
-      stage = stageChunks(rowsWithChunk, tag)
+      stage = stageChunks(rowsWithChunk, tag, maxChunk)
       assertStagedWithin(stage, maxChunk)
       val schema = org.apache.spark.sql.types.StructType(
         rowsWithChunk.schema.filterNot(_.name == "chunk"))
@@ -189,6 +189,22 @@ object StreamingJobs {
 
   /** terminal flush rows: far-future events that advance the watermark
     * past every real window so Append mode emits them all. */
+  /** How many terminal flush CHUNKS an Append-mode watermark replay
+    * must stage while [[withReplayConfs]] disables no-data micro-batches
+    * (the default): the FIRST flush batch advances the watermark past
+    * every real window/session/timer deadline, and the SECOND is the
+    * data batch in which the engine evaluates emission/timers against
+    * that advanced watermark — the work the trailing no-data batch used
+    * to do. A key that paired ONE flush chunk with the disabled default
+    * would leave its last window unemitted (r17 ADVICE: the coupling
+    * was spread across six call sites as a bare literal 2 — it now has
+    * one name, defined next to the conf it compensates). Keys that keep
+    * no-data batches (stream_watermark_late) or run Update/Complete
+    * mode don't need the second chunk but stay on the shared constant:
+    * one extra sub-second batch buys a single invariant for the family.
+    */
+  private[graft] val FlushChunks = 2
+
   private def flushRows(spark: SparkSession, maxTs: Timestamp, firstChunk: Long,
       nFlush: Int): DataFrame = {
     import spark.implicits._
@@ -211,11 +227,28 @@ object StreamingJobs {
   private[graft] def sinkDescription(tag: String): String =
     Option(sinkDescriptions.get(tag)).getOrElse("")
 
-  private[graft] def stageChunks(rowsWithChunk: DataFrame, tag: String): String = {
+  private[graft] def stageChunks(rowsWithChunk: DataFrame, tag: String,
+      maxChunk: Long): String = {
     val root = Tmp.dir(s"${tag}_stage")
     val stage = root.resolve("p").toString
     try {
-      rowsWithChunk.repartition(col("chunk")).write.partitionBy("chunk").parquet(stage)
+      // r18 (guide §2.5): the bare repartition(col) let AQE coalesce the
+      // few-MB staged slice to ONE partition, so every replay key encoded
+      // its whole input serially (profiled 1.24 s single-task write in
+      // stream_session_tws). Range-partition on the chunk value with an
+      // explicit count instead: each chunk lands whole in its own
+      // partition (the one-file-per-chunk discovery-order contract the
+      // AvailableNow keys document), the writes run chunk-parallel, and
+      // the explicit count keeps AQE's coalescer out of it. Distinct
+      // chunk values are dense 0..maxChunk (assertStagedWithin enforces
+      // the caller's contract), so the range sample splits them exactly;
+      // the count is data-derived, not the core count.
+      // uncompressed: the staged chunks are RAM-backed scratch read
+      // exactly once by the file source — snappy costs ~0.2 s per key
+      // here and buys nothing on tmpfs (A/B in OPTIMIZATION_r18.md)
+      rowsWithChunk.repartitionByRange(maxChunk.toInt + 1, col("chunk"))
+        .write.option("compression", "uncompressed")
+        .partitionBy("chunk").parquet(stage)
       stage
     } catch {
       // a failed staging write must not leak its partial output
@@ -317,7 +350,7 @@ object StreamingJobs {
     val late = when(col("event_id") % 40 === 0,
       least(base + 2, lit(nChunks))).otherwise(base)
     val staged = ev.withColumn("chunk", late)
-      .unionByName(flushRows(spark, maxTs, nChunks, 2))
+      .unionByName(flushRows(spark, maxTs, nChunks, FlushChunks))
     replayFileSource(spark, "wm_late", staged, nChunks + 1,
       (stream, ckpt) => stream
         .withWatermark("ts", "10 minutes")
@@ -356,7 +389,7 @@ object StreamingJobs {
     val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
     val staged = ev.withColumn("chunk",
         floor(col("event_id") / lit(per.toDouble)).cast("long"))
-      .unionByName(flushRows(spark, maxTs, nChunks, 2))
+      .unionByName(flushRows(spark, maxTs, nChunks, FlushChunks))
     val dim = T.customer(spark, sfDir)
       .select(col("c_custkey").as("user_id"), col("c_nationkey").as("nation"))
     replayFileSource(spark, "ss_join", staged, nChunks + 1, (stream, ckpt) =>
@@ -872,7 +905,7 @@ object StreamingJobs {
       // still never closes and is filtered below.
       val staged = ev.withColumn("chunk",
           floor(col("event_id") / lit(per.toDouble)).cast("long"))
-        .unionByName(flushRows(spark, maxTs, nChunks, 2))
+        .unionByName(flushRows(spark, maxTs, nChunks, FlushChunks))
       replayFileSource(spark, "tws_sess", staged, nChunks + 1,
         (stream, ckpt) => stream
           .withWatermark("ts", "10 minutes")
@@ -925,7 +958,7 @@ object StreamingJobs {
       val per = math.max(1L, math.ceil(n.toDouble / nChunks).toLong)
       val staged = ev.withColumn("chunk",
           floor(col("event_id") / lit(per.toDouble)).cast("long"))
-        .unionByName(flushRows(spark, maxTs, nChunks, 2))
+        .unionByName(flushRows(spark, maxTs, nChunks, FlushChunks))
       replayFileSource(spark, "fb", staged, nChunks + 1,
         (stream, ckpt) => stream
           .withWatermark("ts", "10 minutes")
@@ -976,13 +1009,13 @@ object StreamingJobs {
       // batches are off
       val staged = ev.withColumn("chunk",
           floor(col("event_id") / lit(per.toDouble)).cast("long"))
-        .unionByName(flushRows(spark, maxTs, nChunks, 2))
+        .unionByName(flushRows(spark, maxTs, nChunks, FlushChunks))
       val maxChunk = nChunks + 1
       val watch = Tmp.dir("an_watch")
       val ckpt = Tmp.dir("an_ckpt").toString
       var stage: String = null
       try withReplayConfs(spark) { withEnvStateProvider(spark) {
-        stage = stageChunks(staged, "an")
+        stage = stageChunks(staged, "an", maxChunk)
         assertStagedWithin(stage, maxChunk)
         // pre-load the full backlog, discovery-ordered by chunk
         val t0 = System.currentTimeMillis()
@@ -1255,7 +1288,7 @@ object StreamingJobs {
       // batches are off
       val staged = ev.withColumn("chunk",
           floor(col("event_id") / lit(per.toDouble)).cast("long"))
-        .unionByName(flushRows(spark, maxTs, nChunks, 2))
+        .unionByName(flushRows(spark, maxTs, nChunks, FlushChunks))
       val maxChunk = nChunks + 1
       val watch = Tmp.dir("rr_watch")
       val ckpt = Tmp.dir("rr_ckpt").toString
@@ -1311,7 +1344,7 @@ object StreamingJobs {
         q.awaitTermination() // AvailableNow self-terminates when drained
       }
       try withReplayConfs(spark) { withEnvStateProvider(spark) {
-        stage = stageChunks(staged, "rr")
+        stage = stageChunks(staged, "rr", maxChunk)
         assertStagedWithin(stage, maxChunk)
         val t0 = System.currentTimeMillis()
         moveIn(0L to 1L, t0)

@@ -25,7 +25,7 @@ class IngestRestartSpec extends SparkSpec {
     val watch = Tmp.dir("ingest_rr_watch")
     val ckpt = Tmp.dir("ingest_rr_ckpt").toString
     val incoming = StreamingJobs.ingestIncoming(spark, sf)
-    val stage = StreamingJobs.stageChunks(incoming, "ingest_rr")
+    val stage = StreamingJobs.stageChunks(incoming, "ingest_rr", 1L)
     val schema = org.apache.spark.sql.types.StructType(
       incoming.schema.filterNot(_.name == "chunk"))
 

@@ -34,6 +34,17 @@ class PlanSpec extends SparkSpec {
       SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
     }
 
+  /** Exchanges excluding round-robin repartitions — i.e. excluding
+    * Tables.spread's fixture-only respreads, which are no-ops at any
+    * real scale. Pins on "how many exchanges does this plan need"
+    * assert the scale-invariant bound over THESE, instead of a loosened
+    * total that would absorb an unrelated extra exchange whenever the
+    * spread branch doesn't fire (r17 ADVICE). */
+  private def nonSpreadExchanges(p: SparkPlan): Seq[ShuffleExchangeExec] =
+    p.collect { case e: ShuffleExchangeExec => e }.filterNot(
+      _.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning])
+
   test("join_5way_flagship: both dimensions broadcast, aggregation is partial+final, no cartesian") {
     val p = planOf("join_5way_flagship")
     val bhj = p.collect { case j: BroadcastHashJoinExec => j }
@@ -199,10 +210,11 @@ class PlanSpec extends SparkSpec {
     assert(scans.length == 1)
     assert(scans.head.requiredSchema.fieldNames.toSet == Set("doc_id", "text", "lang"),
       s"scan reads ${scans.head.requiredSchema.fieldNames.mkString(",")}")
-    // +1 exchange since r17: Tables.spread's deliberate fixture-only
-    // round-robin of the single-row-group scan (off at any real scale)
-    assert(p.collect { case e: ShuffleExchangeExec => e }.length <= 3,
-      "expected only the spread + lang-agg exchange + the sort exchange")
+    // Tables.spread's fixture-only round-robin is excluded from the
+    // count (r18: the r17 bound-bump absorbed it; the tight bound is
+    // back over the scale-invariant exchanges)
+    assert(nonSpreadExchanges(p).length <= 2,
+      "expected only the lang-agg exchange + the sort exchange")
     assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty)
   }
 
@@ -213,10 +225,9 @@ class PlanSpec extends SparkSpec {
     // window's hash + the ORDER BY range)
     val p = planOf("text_seq_pack")
     assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.length == 1)
-    // +1 exchange since r17: the Tables.spread round-robin (see
-    // text_pii_scrub pin); the window/agg partitioning reuse is still
-    // what the bound protects
-    assert(p.collect { case e: ShuffleExchangeExec => e }.length <= 3,
+    // Tables.spread's round-robin excluded (see text_pii_scrub pin);
+    // the window/agg partitioning reuse is what the bound protects
+    assert(nonSpreadExchanges(p).length <= 2,
       "per-stream aggregate must reuse the window's partitioning")
   }
 
@@ -440,9 +451,8 @@ class PlanSpec extends SparkSpec {
     // exchanges: per-(pos) bounds agg, the 1-row global bounds fold,
     // the per-label report agg, and the ORDER BY range — nothing scales
     // with corpus size except the map pass itself
-    // +2 exchanges since r17: Tables.spread of the two embeddings
-    // scans (encode + decode branches), fixture-only (see text_pii_scrub)
-    assert(p.collect { case e: ShuffleExchangeExec => e }.length <= 6,
+    // Tables.spread's round-robin excluded (see text_pii_scrub pin)
+    assert(nonSpreadExchanges(p).length <= 4,
       "quantization grew an exchange beyond bounds/report/sort")
   }
 
@@ -458,9 +468,8 @@ class PlanSpec extends SparkSpec {
     assert(gens.head.collect { case j: SortMergeJoinExec => j }.nonEmpty,
       "the full-outer snapshot join must sit UNDER the history explode")
     assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty)
-    // +3 exchanges since r17: Tables.spread of the snapshot scans
-    // (prev/curr/change feeds), fixture-only (see text_pii_scrub)
-    assert(p.collect { case e: ShuffleExchangeExec => e }.length <= 6,
+    // Tables.spread's round-robin excluded (see text_pii_scrub pin)
+    assert(nonSpreadExchanges(p).length <= 3,
       "merge_scd2 grew an exchange beyond join inputs + final sort")
   }
 
@@ -783,11 +792,9 @@ class PlanSpec extends SparkSpec {
       "projection must be joinless")
     assert(p.collect { case a: HashAggregateExec => a }.length >= 2,
       "per-label stats must aggregate partial + final")
-    // +1 exchange since r17: the Tables.spread round-robin of the
-    // embeddings scan, fixture-only (see text_pii_scrub)
-    assert(p.collect {
-      case e: ShuffleExchangeExec => e
-    }.length <= 3, "expected only the spread + agg + sort exchanges")
+    // Tables.spread's round-robin excluded (see text_pii_scrub pin)
+    assert(nonSpreadExchanges(p).length <= 2,
+      "expected only the agg + sort exchanges")
   }
 
   test("join_fuzzy_blocked: the fuzzy join is block-equi over the distinct-name aggregate") {

@@ -512,7 +512,7 @@ class SemanticsSpec extends SparkSpec {
     // vanish. assertStagedWithin must catch that from the staged dirs.
     import spark.implicits._
     val rows = Seq((0L, "a", 0L), (1L, "b", 3L)).toDF("id", "v", "chunk")
-    val stage = graft.streaming.StreamingJobs.stageChunks(rows, "contract")
+    val stage = graft.streaming.StreamingJobs.stageChunks(rows, "contract", 3L)
     try {
       graft.streaming.StreamingJobs.assertStagedWithin(stage, 3L) // in-bounds passes
       val e = intercept[IllegalArgumentException] {
